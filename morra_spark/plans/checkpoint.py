@@ -1,0 +1,105 @@
+"""Checkpoint / lineage table + idempotent per-partition resume.
+
+Mandated by the north rule ("every stage writes per-partition lineage +
+counters to a checkpoint table so the pipeline resumes idempotently
+mid-run"); no analogue exists in the reference (SURVEY.md §2 B-S3/J5/J3).
+
+Design: every stage's output is partitioned by ``part_key =
+pmod(xxhash64(conv_id), P)``. A stage run appends one checkpoint row per
+part_key with row counters and an input fingerprint. Resume = read the
+checkpoint, take the latest status per (stage, part_key) **as-of now**
+(window row_number — B-J5), and anti-join (B-J3) the done part_keys out
+of the input before recomputing; finished partitions are never reread or
+rewritten, so re-running a completed run is a no-op.
+
+The fingerprint is an order-insensitive xxhash64-xor over the
+partition's input rows — cheap (one shuffle-free aggregate over data the
+stage reads anyway) and stable under row reordering.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHECKPOINT_SCHEMA = ("run_id string, stage string, part_key int, status string,"
+                     " n_in long, n_out long, input_fingerprint string, ts timestamp")
+
+
+def add_part_key(df: DataFrame, n_parts: int, col: str = "conv_id") -> DataFrame:
+    return df.withColumn(
+        "part_key", F.pmod(F.xxhash64(F.col(col)), F.lit(n_parts)).cast("int"))
+
+
+def partition_fingerprints(df: DataFrame) -> DataFrame:
+    """(part_key, n_in, input_fingerprint): order-insensitive row-hash xor."""
+    cols = [c for c in df.columns if c != "part_key"]
+    h = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    # bit_xor is order-insensitive and associative -> partial aggregation
+    return (df.groupBy("part_key")
+              .agg(F.count(F.lit(1)).alias("n_in"),
+                   F.bit_xor(h).cast("string").alias("input_fingerprint")))
+
+
+def read_done_parts(spark: SparkSession, ckpt_dir: str, run_id: str,
+                    stage: str) -> DataFrame:
+    """Latest checkpoint state per part_key (as-of join, B-J5) filtered to
+    status='done'. Empty DataFrame when no checkpoint exists yet."""
+    from pyspark.sql.window import Window
+
+    try:
+        ckpt = spark.read.parquet(ckpt_dir)
+    except Exception:
+        return spark.createDataFrame([], "part_key int")
+    w = Window.partitionBy("part_key").orderBy(F.col("ts").desc())
+    return (ckpt.filter((F.col("run_id") == run_id) & (F.col("stage") == stage))
+                .withColumn("rn", F.row_number().over(w))
+                .filter((F.col("rn") == 1) & (F.col("status") == "done"))
+                .select("part_key"))
+
+
+def write_checkpoint(spark: SparkSession, ckpt_dir: str, run_id: str, stage: str,
+                     stats: DataFrame) -> None:
+    """stats: (part_key, n_in, n_out, input_fingerprint) → append rows."""
+    (stats.select(
+        F.lit(run_id).alias("run_id"), F.lit(stage).alias("stage"),
+        "part_key", F.lit("done").alias("status"),
+        "n_in", "n_out", "input_fingerprint",
+        F.lit(int(time.time() * 1_000_000)).cast("timestamp").alias("_us"))
+        .withColumn("ts", (F.col("_us").cast("long") / F.lit(1_000_000)).cast("timestamp"))
+        .drop("_us")
+        .write.mode("append").parquet(ckpt_dir))
+
+
+def run_stage(spark: SparkSession, *, input_df: DataFrame, stage: str,
+              run_id: str, out_dir: str, ckpt_dir: str,
+              transform) -> None:
+    """Execute one resumable stage.
+
+    ``input_df`` must already carry ``part_key``. ``transform(df) -> df``
+    must preserve ``part_key``. Completed part_keys (per checkpoint) are
+    anti-joined away; output is appended partitioned by part_key.
+    """
+    done = read_done_parts(spark, ckpt_dir, run_id, stage)
+    pending = input_df.join(done, "part_key", "left_anti")
+
+    fps = partition_fingerprints(pending).persist()
+    try:
+        if fps.limit(1).count() == 0:
+            return  # everything done — resume is a no-op
+        out = transform(pending)
+        out.write.mode("append").partitionBy("part_key").parquet(out_dir)
+        written = spark.read.parquet(out_dir).join(
+            fps.select("part_key"), "part_key", "left_semi")
+        n_out = written.groupBy("part_key").agg(F.count(F.lit(1)).alias("n_out"))
+        stats = fps.join(n_out, "part_key", "left").fillna(0, subset=["n_out"])
+        write_checkpoint(spark, ckpt_dir, run_id, stage, stats)
+    finally:
+        fps.unpersist()
+
+
+def new_run_id() -> str:
+    return uuid.uuid4().hex[:12]

@@ -1,0 +1,112 @@
+"""The flagship KG-construction job, end to end.
+
+Plan shape (SURVEY.md §4.3): Scan → [ArrowEval: tokenize+tag+NER+spans+
+triples, map-only] → explode triples → BroadcastHashJoin(entity dict,
+linking/canonicalization) → Exchange(part_key) → partitioned write, plus
+the checkpoint sink. Exactly one shuffle on the triple path (the final
+repartition-by-part_key) + broadcast joins; turn reassembly (its own
+salted two-phase aggregation) is a separate branch.
+
+Entity linking (north star: "entity linking by lemma-normalized
+candidate scoring"): mention/endpoint lemma_norm → broadcast join against
+the candidate dictionary → highest-frequency candidate wins via a
+ranking window (SURVEY.md §2 B-J1 + B-W2) → canonical surface replaces
+the raw lemma_norm in the emitted triple.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from morra_spark.model_artifact import KGModel
+from morra_spark.operators.tagger import annotate_turns
+from morra_spark.plans import checkpoint as CK
+
+TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """B-S1 scan. Parquet locally; on a cluster with the Iceberg runtime
+    this is ``spark.read.table(...)`` — same downstream plan."""
+    return spark.read.parquet(path).select(*TRANSCRIPT_COLS)
+
+
+def entity_candidates_df(spark: SparkSession, model: KGModel) -> DataFrame:
+    """Candidate dictionary (canonical, ne_type, freq) for linking —
+    tiny, always broadcast."""
+    rows = [(c, t, 10) for c, t in sorted(model.entity_type.items())]
+    return spark.createDataFrame(rows, "canonical string, ne_type string, freq long")
+
+
+def link_endpoints(triples: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Canonicalize subj/obj by candidate scoring (B-J1 broadcast join +
+    B-W2 ranking window on freq); unlinked endpoints keep their
+    lemma-normalized surface (they are already canonical lemmata)."""
+    cand = F.broadcast(candidates)
+    for side in ("subj", "obj"):
+        c = cand.select(
+            F.col("canonical").alias(f"{side}_cand"),
+            F.col("ne_type").alias(f"{side}_cand_ne"),
+            F.col("freq").alias(f"{side}_freq"))
+        triples = triples.join(
+            c, (F.col(side) == F.col(f"{side}_cand"))
+            & (F.col(f"{side}_ne") == F.col(f"{side}_cand_ne")), "left")
+        w = Window.partitionBy("conv_id", "turn_idx", "subj", "pred", "obj") \
+                  .orderBy(F.col(f"{side}_freq").desc_nulls_last())
+        triples = (triples.withColumn(f"{side}_rn", F.row_number().over(w))
+                   .filter(F.col(f"{side}_rn") == 1)
+                   .withColumn(side, F.coalesce(F.col(f"{side}_cand"), F.col(side)))
+                   .drop(f"{side}_cand", f"{side}_cand_ne", f"{side}_freq", f"{side}_rn"))
+    return triples
+
+
+def extract_triples(ann: DataFrame, candidates: DataFrame) -> DataFrame:
+    """turns_annotated → linked, canonicalized triple rows."""
+    t = (ann.filter(F.col("role") != "tool")
+            .select("conv_id", "turn_idx", "part_key",
+                    F.explode("triples").alias("t"))
+            .select("conv_id", "turn_idx", "part_key",
+                    "t.subj", "t.pred", "t.obj", "t.subj_ne", "t.obj_ne"))
+    return link_endpoints(t, candidates)
+
+
+def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
+                 model_path: str, run_id: str | None = None,
+                 n_parts: int = 64) -> dict:
+    """Full resumable job: annotate+extract → triples sink + checkpoint.
+
+    Returns summary counters. Re-running with the same ``run_id`` after a
+    partial failure skips completed part_keys (idempotent resume).
+    """
+    model = KGModel.load(model_path)
+    model_bc = spark.sparkContext.broadcast(model)
+    candidates = entity_candidates_df(spark, model)
+
+    run_id = run_id or CK.new_run_id()
+    triples_dir = f"{out_dir}/triples"
+    ckpt_dir = f"{out_dir}/checkpoint"
+
+    src = load_transcripts(spark, transcripts_path)
+    src = CK.add_part_key(src, n_parts)
+
+    def transform(pending: DataFrame) -> DataFrame:
+        ann = annotate_turns(pending.drop("part_key"), model_bc)
+        ann = CK.add_part_key(ann, n_parts)
+        out = extract_triples(ann, candidates)
+        # hot-conversation salting for the sink: part_key alone would put a
+        # 10^6-turn conversation's triples in one write task; spreading by
+        # turn_idx-hash salt inside repartition keeps tasks bounded while
+        # the directory layout stays partitionBy(part_key).
+        return out.repartition(
+            F.col("part_key"),
+            F.pmod(F.xxhash64("turn_idx"), F.lit(8)))
+
+    CK.run_stage(spark, input_df=src, stage="extract_triples", run_id=run_id,
+                 out_dir=triples_dir, ckpt_dir=ckpt_dir, transform=transform)
+
+    triples = spark.read.parquet(triples_dir)
+    n_triples = triples.count()
+    return {"run_id": run_id, "n_triples": n_triples,
+            "triples_dir": triples_dir, "ckpt_dir": ckpt_dir}

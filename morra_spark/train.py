@@ -1,0 +1,150 @@
+"""Offline model training → ``models/kg_model.pkl``.
+
+Morra-parity training loop (SURVEY.md §2 A4/A7/A11: greedy structured
+averaged perceptron, predicted-prev-tag features, epoch shuffling,
+weights averaged at the end) on the deterministic grammar fixtures.
+Driver-side, tiny data by design — the production pipeline only ever
+*loads* the artifact and broadcasts it (SURVEY.md §2 A14: training is an
+offline artifact-prep step, out of the hot path).
+
+NER is trained on *predicted* POS, not gold, so the tagger cascade sees
+identical feature distributions at train and serve time.
+
+Usage: python -m morra_spark.train [--convs 800] [--out models/kg_model.pkl]
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from morra_spark.grammar import Lexicon
+from morra_spark.model_artifact import KGModel
+from morra_spark.operators import features as FT
+from morra_spark.operators.lemmatizer import SEP, LemmaRules, lemmatize
+from morra_spark.operators.perceptron import PerceptronModel
+
+POS_CLASSES = ["ADJ", "ADP", "DET", "NOUN", "PROPN", "PUNCT", "VERB"]
+NE_CLASSES = ["Location", "O", "Org", "Person", "Product"]
+
+
+def build_dicts(lex: Lexicon):
+    """Corpus-dict analogues from the grammar lexicon (A3)."""
+    dict_tag: dict[str, str] = {}
+    form_upos_lemma: dict[str, str] = {}
+    form_lemma: dict[str, str] = {}
+    for form, (lemma, upos) in sorted(lex.token_lemma.items()):
+        fn = form.lower()
+        dict_tag.setdefault(fn, upos)
+        form_upos_lemma.setdefault(f"{fn}{SEP}{upos}", lemma)
+        form_lemma.setdefault(fn, lemma)
+    gazetteer: dict[str, str] = {}
+    for canon, variants in sorted(lex.entities.items()):
+        ne = lex.entity_type[canon]
+        for var in variants:
+            for tok in var:
+                t = tok.lower()
+                gazetteer.setdefault(t, ne)
+                # possessive-stripped key too: variant sets differ between
+                # lexicon seeds, but the bare form is always a valid hint
+                if t.endswith("'s"):
+                    gazetteer.setdefault(t[:-2], ne)
+                else:
+                    gazetteer.setdefault(t + "'s", ne)
+    entity_canon = {c: c for c in lex.entity_type}
+    return dict_tag, form_upos_lemma, form_lemma, gazetteer, entity_canon
+
+
+def _to_token_dicts(feats: dict[str, pd.Series], starts: np.ndarray) -> list[list[dict]]:
+    """Flat feature columns → per-sequence per-token {family: value}."""
+    names = list(feats)
+    cols = [feats[n].to_numpy(dtype=object) for n in names]
+    out = []
+    for s, e in zip(starts[:-1], starts[1:]):
+        out.append([
+            {n: c[i] for n, c in zip(names, cols)} for i in range(s, e)
+        ])
+    return out
+
+
+def train_models(gold: pd.DataFrame, lex: Lexicon, epochs: int = 5, seed: int = 42):
+    """``gold``: gold_tokens rows (conv_id, turn_idx, token_id, form,
+    lemma, upos, ne) sorted by (conv_id, turn_idx, token_id)."""
+    gold = gold.sort_values(["conv_id", "turn_idx", "token_id"], kind="stable")
+    gold = gold.reset_index(drop=True)
+    dict_tag, ful, fl, gazetteer, entity_canon = build_dicts(lex)
+
+    seq_key = gold["conv_id"].astype(str) + "\x00" + gold["turn_idx"].astype(str)
+    seq_change = np.ones(len(gold), bool)
+    seq_change[1:] = seq_key.to_numpy()[1:] != seq_key.to_numpy()[:-1]
+    seq_ids = np.cumsum(seq_change) - 1
+    starts = np.concatenate([np.nonzero(seq_change)[0], [len(gold)]])
+
+    forms = gold["form"].astype(str)
+
+    # ---- POS ----
+    pos_feats = FT.pos_static_features(forms, seq_ids, dict_tag)
+    pos_vocabs = FT.build_vocabs(pos_feats, POS_CLASSES, FT.POS_DYNAMIC)
+    pos = PerceptronModel.init(POS_CLASSES, pos_vocabs)
+    sent_feats = _to_token_dicts(pos_feats, starts)
+    gold_pos = [gold["upos"].to_numpy()[s:e].tolist() for s, e in zip(starts[:-1], starts[1:])]
+    acc_pos = pos.train(sent_feats, gold_pos, epochs=epochs, seed=seed)
+
+    # predicted POS for the NER cascade (identical to serve time)
+    ids = FT.features_to_ids(pos, pos_feats)
+    static = pos.static_scores(ids, len(gold))
+    pred_pos_ids = pos.decode_batch(static, starts)
+    pred_pos = pd.Series(np.array(POS_CLASSES, dtype=object)[pred_pos_ids],
+                         index=gold.index)
+
+    # ---- NER ----
+    ner_feats = FT.ner_static_features(forms, pred_pos, seq_ids, gazetteer)
+    ner_vocabs = FT.build_vocabs(ner_feats, NE_CLASSES, FT.NER_DYNAMIC)
+    ner = PerceptronModel.init(NE_CLASSES, ner_vocabs)
+    ner_sent_feats = _to_token_dicts(ner_feats, starts)
+    gold_ne = [gold["ne"].to_numpy()[s:e].tolist() for s, e in zip(starts[:-1], starts[1:])]
+    acc_ne = ner.train(ner_sent_feats, gold_ne, dynamic=("prev",), epochs=epochs, seed=seed)
+
+    lemma_rules = LemmaRules(ful, fl, lex.suffix_rules())
+    model = KGModel(pos=pos, ner=ner, lemma_rules=lemma_rules,
+                    dict_tag=dict_tag, gazetteer=gazetteer,
+                    entity_canon=entity_canon, entity_type=dict(lex.entity_type),
+                    meta={"train_acc_pos": acc_pos, "train_acc_ne": acc_ne})
+
+    # sanity: lemmatizer accuracy on gold POS. Lemma lookup uses plain
+    # lowercase — digit folding is a *feature* normalization only and
+    # would corrupt lemmata like "x1".
+    lem = lemmatize(forms.str.lower(), gold["upos"], lemma_rules)
+    acc_lemma = float((lem.to_numpy() == gold["lemma"].to_numpy()).mean())
+    model.meta["train_acc_lemma"] = acc_lemma
+    return model
+
+
+def main() -> None:
+    import argparse
+    import os
+    import tempfile
+
+    from morra_spark.fixtures import write_fixtures
+    from morra_spark.session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=800)
+    ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--out", default="models/kg_model.pkl")
+    args = ap.parse_args()
+
+    spark = get_spark("train")
+    with tempfile.TemporaryDirectory() as td:
+        write_fixtures(spark, td, args.convs, seed=7, shuffle_rows=False)
+        gold = spark.read.parquet(f"{td}/gold_tokens").toPandas()
+    model = train_models(gold, Lexicon(seed=7), epochs=args.epochs)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    model.save(args.out)
+    size = os.path.getsize(args.out)
+    print(f"saved {args.out} ({size/1e6:.2f} MB) meta={model.meta}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
