@@ -14,7 +14,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-SEP = "\x00"
+# NB: must not be "\x00" — numpy's fixed-width string kernels drop NUL
+# bytes during Series concatenation, silently breaking every dict lookup.
+SEP = "\x1f"
 
 
 class LemmaRules:
@@ -22,7 +24,7 @@ class LemmaRules:
 
     def __init__(self, form_upos_lemma: dict[str, str], form_lemma: dict[str, str],
                  suffix_rules: list[tuple[str, str, str, int]]) -> None:
-        # keys: f"{form_norm}\x00{upos}" -> lemma ; form_norm -> lemma
+        # keys: f"{form_norm}{SEP}{upos}" -> lemma ; form_norm -> lemma
         self.form_upos_lemma = form_upos_lemma
         self.form_lemma = form_lemma
         # longest suffix first, then frequency — first hit wins

@@ -74,7 +74,7 @@ def train_models(gold: pd.DataFrame, lex: Lexicon, epochs: int = 5, seed: int = 
     gold = gold.reset_index(drop=True)
     dict_tag, ful, fl, gazetteer, entity_canon = build_dicts(lex)
 
-    seq_key = gold["conv_id"].astype(str) + "\x00" + gold["turn_idx"].astype(str)
+    seq_key = gold["conv_id"].astype(str) + "\x1f" + gold["turn_idx"].astype(str)
     seq_change = np.ones(len(gold), bool)
     seq_change[1:] = seq_key.to_numpy()[1:] != seq_key.to_numpy()[:-1]
     seq_ids = np.cumsum(seq_change) - 1

@@ -1,0 +1,77 @@
+import numpy as np
+import pandas as pd
+
+from morra_spark.operators import features as FT
+from morra_spark.operators.perceptron import PerceptronModel
+
+
+def _tiny_model():
+    """x→A, y→B language — learnable, used for parity/OOV tests."""
+    classes = ["A", "B"]
+    vocabs = {"form": {"x": 0, "y": 1},
+              "prev": {"A": 0, "B": 1, "<S>": 2}}
+    m = PerceptronModel.init(classes, vocabs)
+    sents = [[{"form": "x"}, {"form": "y"}, {"form": "x"}, {"form": "y"}]] * 4
+    gold = [["A", "B", "A", "B"]] * 4
+    m.train(sents, gold, dynamic=("prev",), epochs=8, seed=1)
+    return m
+
+
+def test_training_learns_form_language():
+    m = _tiny_model()
+    feats = {"form": pd.Series(["x", "y", "y", "x"])}
+    ids = FT.features_to_ids(m, feats)
+    static = m.static_scores(ids, 4)
+    out = m.decode_batch(static, np.array([0, 4]))
+    assert [m.classes[i] for i in out] == ["A", "B", "B", "A"]
+
+
+def test_decode_sequence_dependence_and_boundary_reset():
+    """Hand-set prev-tag weights: <S>→A, A→B, B→A. Decode must alternate
+    and restart from <S> at every sequence boundary."""
+    classes = ["A", "B"]
+    m = PerceptronModel.init(classes, {"prev": {"A": 0, "B": 1, "<S>": 2}})
+    m.families["prev"].w = np.array(
+        [[-1.0, 1.0],   # after A -> B
+         [1.0, -1.0],   # after B -> A
+         [1.0, -1.0],   # after <S> -> A
+         [0.0, 0.0]], np.float32)
+    static = np.zeros((6, 2), np.float32)
+    out = m.decode_batch(static, np.array([0, 3, 6]))
+    assert [m.classes[i] for i in out] == ["A", "B", "A", "A", "B", "A"]
+
+
+def test_decode_batch_matches_sequential_scoring():
+    """Vectorized batch decode == token-at-a-time greedy decode."""
+    m = _tiny_model()
+    forms = ["x", "y", "y", "x"]
+    feats = {"form": pd.Series(forms)}
+    ids = FT.features_to_ids(m, feats)
+    static = m.static_scores(ids, 4)
+    batch = m.decode_batch(static, np.array([0, 4]))
+
+    prev = "<S>"
+    seq = []
+    for i in range(4):
+        feat_ids = {"form": m.families["form"].id_of(forms[i]),
+                    "prev": m.families["prev"].id_of(prev)}
+        s = m._score_one(feat_ids)
+        g = int(np.argmax(s))
+        seq.append(g)
+        prev = m.classes[g]
+    assert batch.tolist() == seq
+
+
+def test_oov_feature_maps_to_zero_row():
+    m = _tiny_model()
+    feats = {"form": pd.Series(["zzz"])}
+    ids = FT.features_to_ids(m, feats)
+    assert ids["form"][0] == len(m.families["form"].vocab)
+    static = m.static_scores(ids, 1)
+    assert np.allclose(static[0], m.bias)  # OOV row contributes nothing
+
+
+def test_empty_batch():
+    m = _tiny_model()
+    out = m.decode_batch(np.zeros((0, 2), np.float32), np.array([0]))
+    assert len(out) == 0

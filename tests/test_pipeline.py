@@ -1,0 +1,136 @@
+"""End-to-end invariants (SURVEY.md §5.2): P/R gate, text fidelity,
+ordering invariance, resume idempotency, salting correctness."""
+
+import glob
+import shutil
+
+import pyspark.sql.functions as F
+
+from morra_spark.plans.evaluate import token_accuracy, triple_pr
+
+
+def test_triple_pr_gate(spark, fixture_dir, pipeline_out):
+    out, _res = pipeline_out
+    pred = spark.read.parquet(f"{out}/triples")
+    gold = spark.read.parquet(f"{fixture_dir}/gold_triples")
+    pr = triple_pr(pred, gold)
+    assert pr["precision"] >= 0.95, pr
+    assert pr["recall"] >= 0.95, pr
+
+
+def test_token_accuracy_vs_gold(spark, fixture_dir, model_path, model):
+    from morra_spark.operators.tagger import annotate_turns
+
+    bc = spark.sparkContext.broadcast(model)
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts")
+    ann = annotate_turns(tr.filter(F.col("role") != "tool"), bc)
+    pred = (ann.select("conv_id", "turn_idx", F.explode("tokens").alias("t"))
+               .select("conv_id", "turn_idx", "t.token_id", "t.form",
+                       "t.lemma", "t.upos", "t.ne"))
+    gold = spark.read.parquet(f"{fixture_dir}/gold_tokens")
+    assert token_accuracy(pred, gold, "upos") >= 0.98
+    assert token_accuracy(pred, gold, "lemma") >= 0.98
+    assert token_accuracy(pred, gold, "ne") >= 0.98
+    # tokenization itself must agree with gold offsets exactly
+    keys = ["conv_id", "turn_idx", "token_id"]
+    n_gold = gold.count()
+    n_match = pred.join(gold, keys).filter(
+        pred["form"] == gold["form"]).count()
+    assert n_match == n_gold
+
+
+def test_ordering_invariance(spark, fixture_dir, model_path, pipeline_out, tmp_path):
+    """Shuffled input row order → byte-identical sorted triples."""
+    from morra_spark.plans.pipeline import run_pipeline
+
+    out, _ = pipeline_out
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts")
+    shuffled_dir = str(tmp_path / "shuffled")
+    tr.orderBy(F.xxhash64("text")).coalesce(3).write.parquet(shuffled_dir)
+
+    out2 = str(tmp_path / "kg2")
+    run_pipeline(spark, transcripts_path=shuffled_dir, out_dir=out2,
+                 model_path=str(model_path))
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    a = spark.read.parquet(f"{out}/triples").select(cols)
+    b = spark.read.parquet(f"{out2}/triples").select(cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_resume_idempotency(spark, fixture_dir, model_path, pipeline_out):
+    """Re-run completed run_id → no duplicate output; partial delete →
+    exact restore (north rule: resumes idempotently mid-run)."""
+    from morra_spark.plans.pipeline import run_pipeline
+
+    out, res = pipeline_out
+    n0 = spark.read.parquet(f"{out}/triples").count()
+
+    res2 = run_pipeline(spark, transcripts_path=f"{fixture_dir}/transcripts",
+                        out_dir=out, model_path=str(model_path),
+                        run_id=res["run_id"])
+    assert res2["n_triples"] == n0
+
+    # simulate mid-run failure: drop 3 partitions + their checkpoint rows
+    victims = []
+    for d in sorted(glob.glob(f"{out}/triples/part_key=*"))[:3]:
+        victims.append(int(d.split("=")[-1]))
+        shutil.rmtree(d)
+    ck = spark.read.parquet(f"{out}/checkpoint") \
+        .filter(~F.col("part_key").isin(victims)).collect()
+    shutil.rmtree(f"{out}/checkpoint")
+    spark.createDataFrame(
+        ck, "run_id string, stage string, part_key int, status string,"
+            " n_in long, n_out long, input_fingerprint string, ts timestamp"
+    ).write.parquet(f"{out}/checkpoint")
+
+    res3 = run_pipeline(spark, transcripts_path=f"{fixture_dir}/transcripts",
+                        out_dir=out, model_path=str(model_path),
+                        run_id=res["run_id"])
+    assert res3["n_triples"] == n0
+
+
+def test_reassembly_text_fidelity_and_salting(spark, fixture_dir):
+    """Salted two-phase reassembly: per-turn text byte-equal to source,
+    and identical to an unsalted single-phase collect (salting
+    correctness, SURVEY.md §5.2.3)."""
+    from morra_spark.operators.reassembly import reassemble_conversations
+
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts")
+    conv = reassemble_conversations(tr, n_salt=16)
+    ex = (conv.select("conv_id", F.explode("turns").alias("t"))
+              .select("conv_id", F.col("t.turn_idx").alias("turn_idx"),
+                      F.col("t.text").alias("rtext")))
+    bad = (ex.join(tr, ["conv_id", "turn_idx"])
+             .filter(F.col("rtext") != F.col("text")).count())
+    assert bad == 0
+    assert ex.count() == tr.count()
+
+    unsalted = (tr.groupBy("conv_id")
+                  .agg(F.sort_array(F.collect_list(
+                      F.struct("turn_idx", "role", "text"))).alias("turns")))
+    j = conv.select("conv_id", "turns").join(
+        unsalted.withColumnRenamed("turns", "turns_u"), "conv_id")
+    assert j.filter(F.col("turns") != F.col("turns_u")).count() == 0
+
+
+def test_turn_order_window_detects_gaps(spark, fixture_dir):
+    from morra_spark.fixtures import gen_full
+    from morra_spark.operators.reassembly import with_turn_order
+
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts")
+    w = with_turn_order(tr)
+    assert w.filter(F.col("turn_rank") == 1).count() == \
+        tr.select("conv_id").distinct().count()
+    # dedicated high-gap-rate sample: the gap flag must fire
+    gappy = gen_full(spark, 30, seed=3, gap_frac=0.9).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts")
+    assert with_turn_order(gappy).filter(F.col("turn_gap")).count() > 0
+
+
+def test_tool_turns_produce_no_triples(spark, pipeline_out, fixture_dir):
+    out, _ = pipeline_out
+    pred = spark.read.parquet(f"{out}/triples")
+    tools = spark.read.parquet(f"{fixture_dir}/transcripts") \
+        .filter(F.col("role") == "tool").select("conv_id", "turn_idx")
+    assert pred.join(tools, ["conv_id", "turn_idx"], "left_semi").count() == 0
