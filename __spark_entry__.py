@@ -1,38 +1,800 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG-construction job (SURVEY.md §4.3 plan) on
+sf0.001 testdata + deterministic synthetic transcripts.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator row of
+SURVEY.md §2 Part B (plus training-data-pipeline ops: dedup, similarity,
+text analysis). Every computed column is aliased identically in the Spark
+code and the DuckDB SQL; aggregates over doubles are rounded so the
+driver's value-hash is stable across engines.
+
+KG-pipeline stages that are not SQL-expressible (perceptron tagging via
+mapInPandas, minhash banding with Spark-specific xxhash64) have
+``queries()`` entries only → driver records the rows-only check.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+MODEL_PATH = os.path.join(REPO, "models", "kg_model.pkl")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_as_transcripts(docs: DataFrame) -> DataFrame:
+    """documents → the BASELINE.json transcript shape (single-turn convs)."""
+    return docs.select(
+        F.concat(F.lit("doc"), F.col("doc_id").cast("string")).alias("conv_id"),
+        F.lit(0).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def _synthetic_transcripts(spark: SparkSession, n_convs: int = 150) -> DataFrame:
+    from morra_spark.fixtures import TRANSCRIPT_COLS, gen_full
+
+    return gen_full(spark, n_convs, seed=42, hot_frac=0.0).select(*TRANSCRIPT_COLS)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: transcripts (sf0.001 documents-as-turns ∪ synthetic
+    grammar conversations) → fused Arrow annotate (tokenize+POS+lemma+NER
+    +spans+triples, map-only) → broadcast entity linking → canonical
+    (subj, pred, obj) counts, top-k. Driver checks rows > 0."""
+    from morra_spark.model_artifact import KGModel
+    from morra_spark.plans.pipeline import entity_candidates_df, extract_triples
+    from morra_spark.operators.tagger import annotate_turns
+    from morra_spark.plans import checkpoint as CK
+
+    model = KGModel.load(MODEL_PATH)
+    model_bc = spark.sparkContext.broadcast(model)
+    docs = _docs_as_transcripts(_t(spark, "/root/testdata/sf0.001", "documents"))
+    src = docs.unionByName(_synthetic_transcripts(spark))
+    ann = CK.add_part_key(annotate_turns(src, model_bc), 64)
+    triples = extract_triples(ann, entity_candidates_df(spark, model))
+    return (triples.groupBy("subj", "pred", "obj")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "subj", "pred", "obj")
+            .limit(100))
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracled operator queries (SURVEY.md §2 Part B)
+# ---------------------------------------------------------------------------
+
+def q_hash_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A1 hash aggregate + B-F3 arithmetic (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.to_timestamp(F.lit("2024-09-01")))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+def q_broadcast_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J1 broadcast hash join chain over the small dimensions."""
+    o, c = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .orderBy("r_name", "n_name"))
+
+
+def q_sortmerge_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J2 large-large equi join (SMJ above broadcast threshold)."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    j = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+            .orderBy("o_orderpriority"))
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J3 left semi: customers having ≥1 order above 100k."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    return (c.join(big, c.c_custkey == big.o_custkey, "left_semi")
+            .select("c_custkey", "c_name", "c_mktsegment")
+            .orderBy("c_custkey"))
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J3 left anti: customers with no orders (resume-path shape)."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    return (c.join(o.select("o_custkey"), c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_acctbal")
+            .orderBy("c_custkey"))
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J4 range join with equi-key (user_id) so Spark plans SMJ with a
+    range condition, not BNLJ: event pairs within 30 minutes."""
+    e = _t(spark, sf_dir, "events")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("b.ts") > F.col("a.ts"))
+                   & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1800 SECONDS")))
+            .select(F.col("a.event_id").alias("a_id"),
+                    F.col("b.event_id").alias("b_id"),
+                    F.col("a.user_id").alias("user_id"))
+            .orderBy("a_id", "b_id"))
+
+
+def q_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J5 as-of state: latest event per user (rank window + rn=1)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (e.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type",
+                    F.round("value", 4).alias("last_value"))
+            .orderBy("user_id"))
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-J6 skew-salted join: big side salted by row-hash, small side
+    exploded over the salt domain; result ≡ the plain join (the oracle)."""
+    li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
+    k = 8
+    lis = li.withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(k)).cast("int"))
+    ps = (p.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
+          .withColumn("salt", F.col("salt").cast("int")))
+    j = lis.join(F.broadcast(ps), (lis.l_partkey == ps.p_partkey)
+                 & (lis.salt == ps.salt))
+    return (j.groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+            .orderBy("p_brand"))
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A2 distinct / count-distinct per group."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment")
+            .agg(F.countDistinct("c_nationkey").alias("n_nations"),
+                 F.count(F.lit(1)).alias("n_cust"))
+            .orderBy("c_mktsegment"))
+
+
+def q_hot_keys_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A3 + B-O2: hot-key detection (skew planning) — top-10 users by
+    event count, deterministic tiebreak."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy(F.desc("n_events"), "user_id").limit(10))
+
+
+def q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A4 rollup: lineage/metrics-report shape over (event_type, day)."""
+    e = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return (e.rollup("event_type", "day")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+                    "n", "sum_value")
+            .orderBy("event_type", "day"))
+
+
+def q_collect_list_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A5 ordered reassembly: per-user event-type sequence (the
+    turns-per-conversation reassembly pattern) as a deterministic string."""
+    e = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+            lambda x: x["event_type"]),
+        ",")
+    return (e.groupBy("user_id").agg(seq.alias("type_seq"))
+            .orderBy("user_id"))
+
+
+def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-W1 ordering window: inter-event gap seconds per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    return (e.withColumn("gap_s", sec - F.lag(sec).over(w))
+            .select("event_id", "user_id", "gap_s")
+            .orderBy("event_id"))
+
+
+def q_window_rank_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-W2 ranking window: argmax part per brand (linking-score shape)."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), "p_partkey")
+    return (p.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("top_price"))
+            .orderBy("p_brand"))
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-W3 frame-spec window: running per-user value sum (lineage counters)."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (e.withColumn("run_sum", F.round(F.sum("value").over(w), 2))
+            .select("event_id", "user_id", "run_sum")
+            .orderBy("event_id"))
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-W4 segment assembly (the BIO-span pattern on events): boundary =
+    gap > 1800s, segment id = cumulative boundary sum, then per-session agg."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    sess = (e.withColumn("prev_ts", F.lag(sec).over(w))
+            .withColumn("is_new",
+                        F.when(F.col("prev_ts").isNull()
+                               | ((sec - F.col("prev_ts")) > 1800),
+                               1).otherwise(0))
+            .withColumn("session_id", F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    return (sess.groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("event_id").alias("first_event"))
+            .orderBy("user_id", "session_id"))
+
+
+def q_global_sort_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-O1/B-O2 global sort + limit (TakeOrderedAndProject)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+            .limit(50))
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-SO1 union of two extraction branches."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000) \
+        .select(F.col("c_name").alias("name"), F.round("c_acctbal", 2).alias("bal"),
+                F.lit("customer").alias("kind"))
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 9000) \
+        .select(F.col("s_name").alias("name"), F.round("s_acctbal", 2).alias("bal"),
+                F.lit("supplier").alias("kind"))
+    return c.unionByName(s).orderBy("kind", "name")
+
+
+def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-SO2 intersect: nation keys serving both customers and suppliers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+def q_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-SO2 except: FN-set shape — customers minus order-placing customers."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o.distinct()).orderBy("custkey")
+
+
+def q_string_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F1 string functions — the lemmatizer's suffix-k extraction shape."""
+    p = _t(spark, sf_dir, "part")
+    return (p.select(F.lower(F.substring(F.col("p_name"), -3, 3)).alias("suffix3"),
+                     F.length("p_name").cast("long").alias("name_len"))
+            .groupBy("suffix3")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("name_len").alias("max_len"))
+            .orderBy("suffix3"))
+
+
+def q_date_trunc_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F2 date/time bucketing."""
+    e = _t(spark, sf_dir, "events")
+    return (e.groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .orderBy("day"))
+
+
+def q_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F3 math/pmod — the part_key bucketing used by the triple sink."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.pmod(F.col("o_orderkey"), F.lit(16)).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bucket"))
+
+
+def q_array_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F4 array funcs + token counting on documents."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    return (d.select("doc_id", F.size(words).cast("long").alias("n_words"),
+                     F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"))
+            .orderBy("doc_id"))
+
+
+def q_map_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F5 map + B-F6 JSON: parse events.props into a map, extract key."""
+    e = _t(spark, sf_dir, "events")
+    k = F.element_at(F.from_json("props", "map<string,int>"), "k")
+    return (e.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.max("k").cast("long").alias("max_k"))
+            .orderBy("event_type"))
+
+
+# --- training-data-pipeline ops (dedup / similarity / text analysis) -------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality scoring: length, stopword ratio, mean word length."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    stops = F.filter(words, lambda x: x.isin("the", "a"))
+    return (d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.round(F.size(stops) / F.size(words), 4).alias("stop_ratio"),
+        F.round(F.aggregate(words, F.lit(0).cast("bigint"),
+                            lambda acc, x: acc + F.length(x)) / F.size(words),
+                4).alias("avg_word_len"))
+        .orderBy("doc_id"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup accounting per source (hash-groupBy shape)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("text").alias("n_distinct"))
+            .orderBy("source"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates: word-3-gram Jaccard via inverted-index
+    self-join (the scalable exact-verification stage behind MinHash)."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    tris = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 3),
+        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                              F.element_at(words, i + 2), F.element_at(words, i + 3)))
+    grams = (d.select("doc_id", F.explode(tris).alias("tri")).distinct())
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (a.join(b, (F.col("a.tri") == F.col("b.tri"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (inter.join(F.broadcast(sa), "da").join(F.broadcast(sb), "db")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+            .filter(F.col("jaccard") >= 0.05)
+            .select("da", "db", "jaccard")
+            .orderBy("da", "db"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline: brute-force cosine top-k against the
+    min-vec_id query vector, double-precision sequential dot product."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.orderBy("vec_id").limit(1).select(F.col("embedding").alias("q"))
+    j = e.crossJoin(F.broadcast(q))
+    dot = F.aggregate(F.zip_with("embedding", "q",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("embedding",
+                                        lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("q",
+                                        lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (j.select("vec_id", "label", F.round(dot / (na * nb), 4).alias("cosine"))
+            .orderBy(F.desc("cosine"), "vec_id")
+            .limit(20))
+
+
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram heuristic (deterministic, SQL-checkable): score
+    English-stopword fraction and bucket it."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    en = F.filter(words, lambda x: x.isin("the", "a", "of", "and"))
+    ratio = F.size(en) / F.size(words)
+    return (d.select(
+        "doc_id", "lang",
+        F.round(ratio, 4).alias("en_score"),
+        F.when(ratio >= 0.1, "en_like").otherwise("other").alias("lang_pred"))
+        .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (not SQL-expressible: perceptron decode, Spark-hash
+# minhash/simhash banding, full KG pipeline on synthetic transcripts)
+# ---------------------------------------------------------------------------
+
+def _load_model_bc(spark: SparkSession):
+    from morra_spark.model_artifact import KGModel
+
+    return spark.sparkContext.broadcast(KGModel.load(MODEL_PATH))
+
+
+def q_kg_annotate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptron tagger (mapInPandas, broadcast weights) over documents-
+    as-turns → per-UPOS token counts."""
+    from morra_spark.operators.tagger import annotate_turns
+
+    src = _docs_as_transcripts(_t(spark, sf_dir, "documents"))
+    ann = annotate_turns(src, _load_model_bc(spark))
+    return (ann.select(F.explode("tokens").alias("t"))
+            .groupBy(F.col("t.upos").alias("upos"))
+            .agg(F.count(F.lit(1)).alias("n_tokens"))
+            .orderBy("upos"))
+
+
+def q_kg_flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG pipeline on deterministic synthetic transcripts → top
+    canonical triples."""
+    from morra_spark.model_artifact import KGModel
+    from morra_spark.operators.tagger import annotate_turns
+    from morra_spark.plans import checkpoint as CK
+    from morra_spark.plans.pipeline import entity_candidates_df, extract_triples
+
+    model = KGModel.load(MODEL_PATH)
+    src = _synthetic_transcripts(spark, 120)
+    ann = CK.add_part_key(
+        annotate_turns(src, spark.sparkContext.broadcast(model)), 64)
+    t = extract_triples(ann, entity_candidates_df(spark, model))
+    return (t.groupBy("subj", "pred", "obj").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "subj", "pred", "obj").limit(50))
+
+
+def q_kg_mention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention detection via NER spans on synthetic transcripts."""
+    from morra_spark.operators.tagger import annotate_turns
+
+    src = _synthetic_transcripts(spark, 120)
+    ann = annotate_turns(src, _load_model_bc(spark))
+    return (ann.select(F.explode("mentions").alias("m"))
+            .groupBy(F.col("m.ne_type").alias("ne_type"))
+            .agg(F.count(F.lit(1)).alias("n_mentions"),
+                 F.countDistinct(F.col("m.lemma_norm")).alias("n_surface"))
+            .orderBy("ne_type"))
+
+
+def q_kg_text_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn text-equality invariant (BASELINE.json input_hint): rebuild
+    each turn's text from token offsets; report totals (exact == total)."""
+    from morra_spark.operators.tagger import annotate_turns
+
+    src = _synthetic_transcripts(spark, 100)
+    ann = annotate_turns(src, _load_model_bc(spark))
+    # every token's (start, len) slice of the original text must equal its
+    # form, and slices must cover text end-to-end with single-space gaps —
+    # offset-based detokenization then reproduces `text` byte-exactly.
+    slice_ok = F.forall(
+        "tokens",
+        lambda t: F.substring(F.col("text"), t["start"] + 1, t["len"]) == t["form"])
+    last = F.element_at("tokens", -1)
+    cover_ok = (last["start"] + last["len"]) == F.length("text")
+    ok = (slice_ok & cover_ok).cast("int")
+    return (ann.filter(F.size("tokens") > 0)
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.sum(ok).cast("long").alias("n_exact")))
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs on documents (Spark xxhash64 — not
+    portable to DuckDB, rows-only)."""
+    from morra_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup buckets on documents (rows-only)."""
+    from morra_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing over embeddings (the scale path for
+    ANN; rows-only)."""
+    from morra_spark.operators.similarity import lsh_bucket_stats
+
+    return lsh_bucket_stats(_t(spark, sf_dir, "embeddings"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: per-doc min-shingle rolling hash (rows-only)."""
+    from morra_spark.operators.dedup import doc_fingerprints
+
+    return doc_fingerprints(_t(spark, sf_dir, "documents"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "hash_agg": q_hash_agg,
+        "broadcast_join_dim": q_broadcast_join_dim,
+        "sortmerge_join": q_sortmerge_join,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "range_join": q_range_join,
+        "asof_latest": q_asof_latest,
+        "salted_skew_join": q_salted_skew_join,
+        "distinct_agg": q_distinct_agg,
+        "hot_keys_topk": q_hot_keys_topk,
+        "rollup_metrics": q_rollup_metrics,
+        "collect_list_ordered": q_collect_list_ordered,
+        "window_lag_gap": q_window_lag_gap,
+        "window_rank_argmax": q_window_rank_argmax,
+        "window_running_sum": q_window_running_sum,
+        "sessionize": q_sessionize,
+        "global_sort_topn": q_global_sort_topn,
+        "union_all": q_union_all,
+        "intersect_keys": q_intersect_keys,
+        "except_keys": q_except_keys,
+        "string_suffix": q_string_suffix,
+        "date_trunc_agg": q_date_trunc_agg,
+        "hash_bucket": q_hash_bucket,
+        "array_tokens": q_array_tokens,
+        "map_json_extract": q_map_json_extract,
+        "text_quality": q_text_quality,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "langid_heuristic": q_langid_heuristic,
+        # rows-only (no oracle entry):
+        "kg_annotate_documents": q_kg_annotate_documents,
+        "kg_flagship_triples": q_kg_flagship_triples,
+        "kg_mention_spans": q_kg_mention_spans,
+        "kg_text_fidelity": q_kg_text_fidelity,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "doc_fingerprint": q_doc_fingerprint,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hash_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2024-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "broadcast_join_dim": """
+            SELECT r_name, n_name, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name
+        """,
+        "sortmerge_join": """
+            SELECT o_orderpriority, COUNT(*) AS n_lines,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+            ORDER BY c_custkey
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+            ORDER BY c_custkey
+        """,
+        "range_join": """
+            SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1800 SECONDS
+            ORDER BY a_id, b_id
+        """,
+        "asof_latest": """
+            SELECT user_id, event_id, event_type, ROUND(value, 4) AS last_value
+            FROM (SELECT *, ROW_NUMBER() OVER
+                    (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+                  FROM events) WHERE rn = 1 ORDER BY user_id
+        """,
+        "salted_skew_join": """
+            SELECT p_brand, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "distinct_agg": """
+            SELECT c_mktsegment, COUNT(DISTINCT c_nationkey) AS n_nations,
+                   COUNT(*) AS n_cust
+            FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "hot_keys_topk": """
+            SELECT user_id, COUNT(*) AS n_events FROM events
+            GROUP BY user_id ORDER BY n_events DESC, user_id LIMIT 10
+        """,
+        "rollup_metrics": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+                   COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+            ORDER BY event_type, day
+        """,
+        "collect_list_ordered": """
+            SELECT user_id, STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS type_seq
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "window_lag_gap": """
+            SELECT event_id, user_id,
+                   CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+                     - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+            FROM events ORDER BY event_id
+        """,
+        "window_rank_argmax": """
+            SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS top_price
+            FROM (SELECT *, ROW_NUMBER() OVER
+                    (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) rn
+                  FROM part) WHERE rn = 1 ORDER BY p_brand
+        """,
+        "window_running_sum": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+            FROM events ORDER BY event_id
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS prev_s,
+                     CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS cur_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            m AS (
+              SELECT *, CASE WHEN prev_s IS NULL OR cur_s - prev_s > 1800
+                             THEN 1 ELSE 0 END AS is_new FROM g),
+            s AS (
+              SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+              FROM m)
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events, MIN(event_id) AS first_event
+            FROM s GROUP BY 1, 2 ORDER BY user_id, session_id
+        """,
+        "global_sort_topn": """
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+        """,
+        "union_all": """
+            SELECT c_name AS name, ROUND(c_acctbal, 2) AS bal, 'customer' AS kind
+            FROM customer WHERE c_acctbal > 9000
+            UNION ALL
+            SELECT s_name AS name, ROUND(s_acctbal, 2) AS bal, 'supplier' AS kind
+            FROM supplier WHERE s_acctbal > 9000
+            ORDER BY kind, name
+        """,
+        "intersect_keys": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+            ORDER BY nationkey
+        """,
+        "except_keys": """
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT ALL
+            SELECT DISTINCT o_custkey AS custkey FROM orders
+            ORDER BY custkey
+        """,
+        "string_suffix": """
+            SELECT LOWER(SUBSTRING(p_name, LENGTH(p_name) - 2, 3)) AS suffix3,
+                   COUNT(*) AS n, MAX(LENGTH(p_name)) AS max_len
+            FROM part GROUP BY 1 ORDER BY suffix3
+        """,
+        "date_trunc_agg": """
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "hash_bucket": """
+            SELECT o_orderkey % 16 AS bucket, COUNT(*) AS n
+            FROM orders GROUP BY bucket ORDER BY bucket
+        """,
+        "array_tokens": """
+            SELECT doc_id, LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_words,
+                   LEN(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' '))) AS n_distinct_words
+            FROM documents ORDER BY doc_id
+        """,
+        "map_json_extract": """
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "text_quality": """
+            WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words
+                       FROM documents)
+            SELECT doc_id, LEN(words) AS n_words,
+                   ROUND(LEN(LIST_FILTER(words, x -> x IN ('the', 'a')))
+                         * 1.0 / LEN(words), 4) AS stop_ratio,
+                   ROUND(LIST_SUM(LIST_TRANSFORM(words, x -> LENGTH(x)))
+                         * 1.0 / LEN(words), 4) AS avg_word_len
+            FROM w ORDER BY doc_id
+        """,
+        "dedup_exact": """
+            SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "dedup_ngram_jaccard": """
+            WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(words) - 2, 0))) AS i,
+                         words FROM w),
+            tg AS (SELECT DISTINCT doc_id,
+                          words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS tri
+                   FROM g),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+                      FROM tg a JOIN tg b ON a.tri = b.tri AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT da, db,
+                   ROUND(inter * 1.0 / (sa.n + sb.n - inter), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+            WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.05
+            ORDER BY da, db
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS q FROM embeddings
+                       ORDER BY vec_id LIMIT 1),
+            s AS (SELECT vec_id, label,
+                         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+                           i -> CAST(embedding[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+                         / (SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * SQRT(LIST_SUM(LIST_TRANSFORM(q,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+                  FROM embeddings, q)
+            SELECT vec_id, label, ROUND(c, 4) AS cosine
+            FROM s ORDER BY c DESC, vec_id LIMIT 20
+        """,
+        "langid_heuristic": """
+            WITH w AS (SELECT doc_id, lang, STRING_SPLIT(TRIM(text), ' ') AS words
+                       FROM documents)
+            SELECT doc_id, lang,
+                   ROUND(LEN(LIST_FILTER(words, x -> x IN ('the','a','of','and')))
+                         * 1.0 / LEN(words), 4) AS en_score,
+                   CASE WHEN LEN(LIST_FILTER(words, x -> x IN ('the','a','of','and')))
+                             * 1.0 / LEN(words) >= 0.1
+                        THEN 'en_like' ELSE 'other' END AS lang_pred
+            FROM w ORDER BY doc_id
+        """,
+    }

@@ -1,0 +1,158 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "e2e_bench", "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "n_triples": ...,
+     "triples_per_sec": ...}
+
+The flagship timing is the full KG-construction pipeline (annotate →
+link → canonical triples, SURVEY.md §4.3) over deterministic synthetic
+transcripts generated once into a cache dir (generation is setup, not
+timed); the rest are relational/dedup/similarity micro-benchmarks on the
+driver's sf testdata.
+
+``--scaling`` mode: the north rule's two-cluster-size criterion, proxied
+in-sandbox by running the SAME flagship job on the SAME input at
+local[8] and local[32]; prints throughput at both + efficiency
+T_32 / (4 * T_8) and appends the numbers to BENCH_SCALING.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+MODEL_PATH = os.path.join(REPO, "models", "kg_model.pkl")
+BENCH_CACHE = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/morra_bench")
+
+
+def ensure_transcripts(spark, n_convs: int) -> str:
+    """Generate (once) the deterministic bench transcript table."""
+    path = f"{BENCH_CACHE}/transcripts_{n_convs}"
+    marker = f"{path}/_SUCCESS_GEN"
+    if not os.path.exists(marker):
+        from morra_spark.fixtures import TRANSCRIPT_COLS, gen_full
+
+        shutil.rmtree(path, ignore_errors=True)
+        (gen_full(spark, n_convs, seed=42, hot_frac=0.0002)
+         .select(*TRANSCRIPT_COLS)
+         .write.mode("overwrite").parquet(path))
+        open(marker, "w").close()
+    return path
+
+
+def run_flagship(spark, transcripts_path: str) -> tuple[float, int]:
+    """Timed: scan → fused Arrow annotate → link → canonical triple agg."""
+    from morra_spark.model_artifact import KGModel
+    from morra_spark.operators.tagger import annotate_turns
+    from morra_spark.plans import checkpoint as CK
+    from morra_spark.plans.pipeline import (entity_candidates_df,
+                                            extract_triples, load_transcripts)
+
+    model = KGModel.load(MODEL_PATH)
+    bc = spark.sparkContext.broadcast(model)
+    src = load_transcripts(spark, transcripts_path)
+    t0 = time.time()
+    ann = CK.add_part_key(annotate_turns(src, bc), 64)
+    triples = extract_triples(ann, entity_candidates_df(spark, model))
+    n = triples.count()
+    return time.time() - t0, n
+
+
+def micro_queries(spark, sf_dir: str) -> dict[str, float]:
+    """Relational/dedup/similarity micro-benchmarks on driver testdata."""
+    import __spark_entry__ as E
+
+    names = ["hash_agg", "sortmerge_join", "broadcast_join_dim",
+             "salted_skew_join", "window_lag_gap", "sessionize",
+             "dedup_minhash_lsh", "ann_cosine_topk"]
+    qs = E.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_once(cpus: int, sf_dir: str, n_convs: int, micro: bool = True) -> dict:
+    from morra_spark.session import get_spark
+
+    spark = get_spark(f"bench_{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    try:
+        tr = ensure_transcripts(spark, n_convs)
+        n_turns = spark.read.parquet(tr).count()
+        # warm the JVM/Python-worker pool so the timed run measures steady
+        # state, not interpreter startup
+        run_flagship(spark, tr)
+        sec, n_triples = run_flagship(spark, tr)
+        res = {"flagship_sec": round(sec, 3), "n_triples": n_triples,
+               "n_turns": n_turns,
+               "turns_per_sec": round(n_turns / sec, 1),
+               "triples_per_sec": round(n_triples / sec, 1)}
+        if micro:
+            res["queries"] = micro_queries(spark, sf_dir)
+        return res
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run flagship at local[8] and local[32], report efficiency")
+    ap.add_argument("--convs", type=int,
+                    default=int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000")))
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    if args.scaling:
+        lo_cpus, hi_cpus = 8, 32
+        lo = bench_once(lo_cpus, sf_dir, args.convs, micro=False)
+        hi = bench_once(hi_cpus, sf_dir, args.convs, micro=False)
+        eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (hi_cpus / lo_cpus)
+        out = {"metric": "scaling_efficiency", "value": round(eff, 3),
+               "unit": "ratio", "sf": sf,
+               "local8": lo, "local32": hi,
+               "criterion": "turns_per_sec(32) / (4 * turns_per_sec(8)) >= 0.8"}
+        print(json.dumps(out))
+        with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
+            f.write(
+                "# Scaling evidence (north rule: N → 4N cores)\n\n"
+                "Same flagship job, same input "
+                f"({lo['n_turns']} turns, {lo['n_triples']} triples), "
+                "two parallelism levels (sandbox proxy for two cluster sizes):\n\n"
+                "| cores | wall sec | turns/sec | triples/sec |\n"
+                "| --- | --- | --- | --- |\n"
+                f"| local[{lo_cpus}] | {lo['flagship_sec']} | {lo['turns_per_sec']} | {lo['triples_per_sec']} |\n"
+                f"| local[{hi_cpus}] | {hi['flagship_sec']} | {hi['turns_per_sec']} | {hi['triples_per_sec']} |\n\n"
+                f"**Scaling efficiency = {eff:.3f}** "
+                f"(criterion ≥ 0.8, BASELINE.json north_rule).\n")
+        return
+
+    res = bench_once(cpus, sf_dir, args.convs, micro=True)
+    queries = dict(res.pop("queries"))
+    queries["kg_flagship"] = res["flagship_sec"]
+    total = round(sum(queries.values()), 3)
+    out = {"metric": "e2e_bench", "value": total, "unit": "sec",
+           "queries": queries, "sf": sf, **res}
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

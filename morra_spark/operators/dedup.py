@@ -1,0 +1,108 @@
+"""Large-scale deduplication operators for training-data pipelines.
+
+Exact dedup is a plain hash-groupBy; near-dup uses the standard
+MinHash+LSH recipe (shingle → k min-hashes → band → bucket self-join) and
+SimHash. Everything is built-in ``pyspark.sql.functions`` — the hashing,
+banding, and bucket joins all run JVM-side inside whole-stage codegen;
+there is no Python in the hot path at all, so these scale to the 100 TB
+tier limited only by the shuffle on (band_id, band_hash) /
+(prefix bucket), both of which are high-cardinality and skew-free by
+construction (hash-distributed keys).
+
+Exact n-gram-Jaccard verification of the LSH candidates lives in
+``__spark_entry__.q_dedup_ngram_jaccard`` (SQL-expressible, oracle-checked).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_shingles(df: DataFrame, text_col: str = "text", n: int = 3):
+    """(doc_id, tri) distinct word-n-gram shingles, built-ins only."""
+    words = F.split(F.trim(F.col(text_col)), " ")
+    tris = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j + 1) for j in range(n)]))
+    return df.select("doc_id", F.explode(tris).alias("tri")).distinct()
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(doc_id, sig: array<long>) — k independent min-hashes per doc.
+
+    Each hash family is ``xxhash64(seed_i, shingle)``; the k families are
+    evaluated in one pass by exploding the seed domain (k small), then a
+    single partial-aggregating groupBy takes the per-family min.
+    """
+    grams = _word_shingles(docs)
+    seeded = (grams.withColumn(
+        "i", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
+        .withColumn("h", F.xxhash64("i", "tri")))
+    return (seeded.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+            .groupBy("doc_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                lambda x: x["mh"]).alias("sig")))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32,
+                      bands: int = 8) -> DataFrame:
+    """Candidate near-duplicate pairs (da, db, n_shared_bands).
+
+    Signature is cut into ``bands`` bands of r = k/bands rows; docs
+    sharing any band-hash land in one bucket; buckets self-join into
+    pairs. Shuffle keys are (band_id, band_hash) — uniformly distributed,
+    so the self-join never sees a hot key unless actual mass-duplicates
+    exist (which is exactly the output).
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes)
+    banded = (sig.withColumn(
+        "band_id", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+        .withColumn("band_hash",
+                    F.xxhash64(F.slice("sig", F.col("band_id") * r + 1, r)))
+        .select("doc_id", "band_id", "band_hash"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+            .orderBy("da", "db"))
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """(doc_id, simhash, prefix16) — SimHash over word hashes.
+
+    Per bit j: sum of ±1 contributions of each distinct word's hash bit,
+    sign becomes bit j of the signature. The 2·bits aggregations are one
+    hash-aggregate stage; prefix16 is the coarse near-dup bucket key.
+    """
+    words = (docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.trim(F.col("text")), " "))).alias("w"))
+        .withColumn("h", F.xxhash64("w")))
+    bit_sums = [
+        F.sum(F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(1) == 1,
+                     1).otherwise(-1)).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = words.groupBy("doc_id").agg(*bit_sums)
+    sim = agg.select(
+        "doc_id",
+        sum([F.when(F.col(f"b{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+             for j in range(bits)], F.lit(0).cast("long")).alias("simhash"))
+    return (sim.withColumn(
+        "prefix16", F.shiftrightunsigned(F.col("simhash"), bits - 16))
+        .orderBy("doc_id"))
+
+
+def doc_fingerprints(docs: DataFrame, n: int = 5) -> DataFrame:
+    """(doc_id, fp_min, fp_full): winnowing-style min-shingle rolling-hash
+    fingerprint + whole-text hash, for cheap containment/exact checks."""
+    grams = _word_shingles(docs, n=n).withColumn("h", F.xxhash64("tri"))
+    mins = grams.groupBy("doc_id").agg(F.min("h").alias("fp_min"))
+    full = docs.select("doc_id", F.xxhash64("text").alias("fp_full"))
+    return full.join(mins, "doc_id", "left").orderBy("doc_id")

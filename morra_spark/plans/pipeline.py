@@ -41,24 +41,28 @@ def entity_candidates_df(spark: SparkSession, model: KGModel) -> DataFrame:
 
 
 def link_endpoints(triples: DataFrame, candidates: DataFrame) -> DataFrame:
-    """Canonicalize subj/obj by candidate scoring (B-J1 broadcast join +
-    B-W2 ranking window on freq); unlinked endpoints keep their
-    lemma-normalized surface (they are already canonical lemmata)."""
-    cand = F.broadcast(candidates)
+    """Canonicalize subj/obj by candidate scoring: B-W2 ranking window
+    picks the argmax-freq candidate per (canonical, ne_type) key — run on
+    the TINY candidate side so the big triple stream stays map-only —
+    then B-J1 broadcast left joins per endpoint. Unlinked endpoints keep
+    their lemma-normalized surface (already canonical lemmata).
+
+    At 100 TB the triple stream must not shuffle here: a ranking window
+    over the stream itself would add one exchange per endpoint; ranking
+    the dictionary instead is equivalent (the join key is the window's
+    partition key) and free."""
+    w = Window.partitionBy("canonical", "ne_type").orderBy(F.desc("freq"))
+    best = (candidates.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn", "freq"))
     for side in ("subj", "obj"):
-        c = cand.select(
+        c = F.broadcast(best.select(
             F.col("canonical").alias(f"{side}_cand"),
-            F.col("ne_type").alias(f"{side}_cand_ne"),
-            F.col("freq").alias(f"{side}_freq"))
-        triples = triples.join(
+            F.col("ne_type").alias(f"{side}_cand_ne")))
+        triples = (triples.join(
             c, (F.col(side) == F.col(f"{side}_cand"))
             & (F.col(f"{side}_ne") == F.col(f"{side}_cand_ne")), "left")
-        w = Window.partitionBy("conv_id", "turn_idx", "subj", "pred", "obj") \
-                  .orderBy(F.col(f"{side}_freq").desc_nulls_last())
-        triples = (triples.withColumn(f"{side}_rn", F.row_number().over(w))
-                   .filter(F.col(f"{side}_rn") == 1)
-                   .withColumn(side, F.coalesce(F.col(f"{side}_cand"), F.col(side)))
-                   .drop(f"{side}_cand", f"{side}_cand_ne", f"{side}_freq", f"{side}_rn"))
+            .withColumn(side, F.coalesce(F.col(f"{side}_cand"), F.col(side)))
+            .drop(f"{side}_cand", f"{side}_cand_ne"))
     return triples
 
 
