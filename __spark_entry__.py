@@ -371,12 +371,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: word-3-gram Jaccard via inverted-index
     self-join (the scalable exact-verification stage behind MinHash)."""
-    d = _t(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), " ")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("words"))
+    w = F.col("words")
+    # words is a projected column, not an inline split: higher-order
+    # lambdas get no CSE, an inline expression would re-split per element
     tris = F.transform(
-        F.sequence(F.lit(0), F.size(words) - 3),
-        lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
-                              F.element_at(words, i + 2), F.element_at(words, i + 3)))
+        F.sequence(F.lit(0), F.size(w) - 3),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
+                              F.element_at(w, i + 2), F.element_at(w, i + 3)))
     grams = (d.select("doc_id", F.explode(tris).alias("tri")).distinct())
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = grams.alias("a"), grams.alias("b")

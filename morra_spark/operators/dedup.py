@@ -20,13 +20,21 @@ from pyspark.sql import functions as F
 
 
 def _word_shingles(df: DataFrame, text_col: str = "text", n: int = 3):
-    """(doc_id, tri) distinct word-n-gram shingles, built-ins only."""
-    words = F.split(F.trim(F.col(text_col)), " ")
+    """(doc_id, tri) distinct word-n-gram shingles, built-ins only.
+
+    ``words`` is projected as a real column BEFORE the higher-order
+    lambda: expressions referenced inside ``transform`` lambdas are not
+    common-subexpression-eliminated, so an inline ``split()`` would re-split
+    the text once per element access (O(len²) per doc).
+    """
+    words_df = df.select(
+        "doc_id", F.split(F.trim(F.col(text_col)), " ").alias("words"))
+    w = F.col("words")
     tris = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j + 1) for j in range(n)]))
-    return df.select("doc_id", F.explode(tris).alias("tri")).distinct()
+            " ", *[F.element_at(w, i + j + 1) for j in range(n)]))
+    return words_df.select("doc_id", F.explode(tris).alias("tri")).distinct()
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 32) -> DataFrame:

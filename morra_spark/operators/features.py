@@ -78,49 +78,68 @@ def _is_first(seq_ids: np.ndarray) -> np.ndarray:
     return first
 
 
-def pos_static_features(forms: pd.Series, seq_ids: np.ndarray,
-                        dict_tag: dict[str, str]) -> dict[str, pd.Series]:
-    """Static POS families; ``dict_tag`` is the corpus-dict most-frequent
-    UPOS per normalized form (morra's ``guess_pos`` hook analogue)."""
+def shared_static(forms: pd.Series, seq_ids: np.ndarray) -> dict:
+    """Families used by BOTH taggers, computed once per Arrow batch (the
+    feature *values* are identical either way — this is pure reuse)."""
     fn = normalize_forms(forms)
     fn_np = fn.to_numpy(dtype=object)
-    feats = {
+    idx = forms.index
+    return {
         "form": fn,
+        "fn_np": fn_np,
         "suf3": fn.str[-3:],
+        "shape": _shape(forms),
+        "first": pd.Series(_is_first(seq_ids), index=idx),
+        "pform": pd.Series(_shift_with_sentinel(fn_np, seq_ids, 1, BOS), index=idx),
+        "nform": pd.Series(_shift_with_sentinel(fn_np, seq_ids, -1, EOS), index=idx),
+    }
+
+
+def pos_static_features(forms: pd.Series, seq_ids: np.ndarray,
+                        dict_tag: dict[str, str],
+                        shared: dict | None = None) -> dict[str, pd.Series]:
+    """Static POS families; ``dict_tag`` is the corpus-dict most-frequent
+    UPOS per normalized form (morra's ``guess_pos`` hook analogue)."""
+    sh = shared if shared is not None else shared_static(forms, seq_ids)
+    fn = sh["form"]
+    return {
+        "form": fn,
+        "suf3": sh["suf3"],
         "suf4": fn.str[-4:],
         "pre1": fn.str[:1],
-        "shape": _shape(forms),
-        "first": pd.Series(_is_first(seq_ids), index=forms.index),
-        "pform": pd.Series(_shift_with_sentinel(fn_np, seq_ids, 1, BOS), index=forms.index),
-        "nform": pd.Series(_shift_with_sentinel(fn_np, seq_ids, -1, EOS), index=forms.index),
+        "shape": sh["shape"],
+        "first": sh["first"],
+        "pform": sh["pform"],
+        "nform": sh["nform"],
         "dguess": fn.map(dict_tag).fillna("NA"),
     }
-    return feats
 
 
 def ner_static_features(forms: pd.Series, upos: pd.Series, seq_ids: np.ndarray,
-                        gazetteer: dict[str, str]) -> dict[str, pd.Series]:
+                        gazetteer: dict[str, str],
+                        shared: dict | None = None) -> dict[str, pd.Series]:
     """Static NER families; ``gazetteer`` maps normalized token form →
     NE-type hint (from the entity dictionary), morra's cdict-feature
     analogue for NER."""
-    fn = normalize_forms(forms)
-    fn_np = fn.to_numpy(dtype=object)
+    sh = shared if shared is not None else shared_static(forms, seq_ids)
+    fn = sh["form"]
+    idx = forms.index
     upos_np = upos.to_numpy(dtype=object)
     gaz = fn.map(gazetteer).fillna("O")
     gaz_np = gaz.to_numpy(dtype=object)
     return {
         "form": fn,
-        "suf3": fn.str[-3:],
-        "shape": _shape(forms),
-        "first": pd.Series(_is_first(seq_ids), index=forms.index),
-        "pform": pd.Series(_shift_with_sentinel(fn_np, seq_ids, 1, BOS), index=forms.index),
-        "nform": pd.Series(_shift_with_sentinel(fn_np, seq_ids, -1, EOS), index=forms.index),
+        "suf3": sh["suf3"],
+        "shape": sh["shape"],
+        "first": sh["first"],
+        "pform": sh["pform"],
+        "nform": sh["nform"],
         "upos": upos,
-        "pupos": pd.Series(_shift_with_sentinel(upos_np, seq_ids, 1, BOS), index=forms.index),
-        "nupos": pd.Series(_shift_with_sentinel(upos_np, seq_ids, -1, EOS), index=forms.index),
+        "pupos": pd.Series(_shift_with_sentinel(upos_np, seq_ids, 1, BOS), index=idx),
+        "nupos": pd.Series(_shift_with_sentinel(upos_np, seq_ids, -1, EOS), index=idx),
         "gaz": gaz,
-        "pgaz": pd.Series(_shift_with_sentinel(gaz_np, seq_ids, 1, BOS), index=forms.index),
-        "ngaz": pd.Series(_shift_with_sentinel(gaz_np, seq_ids, -1, EOS), index=forms.index),
+        "pgaz": pd.Series(_shift_with_sentinel(gaz_np, seq_ids, 1, BOS), index=idx),
+        "ngaz": pd.Series(_shift_with_sentinel(gaz_np, seq_ids, -1, EOS), index=idx),
     }
 
 

@@ -62,7 +62,9 @@ def _annotate_pdf(pdf: pd.DataFrame, model) -> pd.DataFrame:
 
     if n:
         # POS (A5-A7): static features once, greedy decode across the batch
-        pos_feats = FT.pos_static_features(forms, seq_ids, model.dict_tag)
+        shared = FT.shared_static(forms, seq_ids)
+        pos_feats = FT.pos_static_features(forms, seq_ids, model.dict_tag,
+                                           shared=shared)
         pos_ids = FT.features_to_ids(model.pos, pos_feats)
         pos_static = model.pos.static_scores(pos_ids, n)
         upos = pd.Series(
@@ -72,7 +74,8 @@ def _annotate_pdf(pdf: pd.DataFrame, model) -> pd.DataFrame:
         # Lemma (A9): dict-first + suffix rules, plain-lowercase keys
         lemma = lemmatize(forms.str.lower(), upos, model.lemma_rules)
         # NER (A11): consumes predicted POS, gazetteer hints
-        ner_feats = FT.ner_static_features(forms, upos, seq_ids, model.gazetteer)
+        ner_feats = FT.ner_static_features(forms, upos, seq_ids, model.gazetteer,
+                                           shared=shared)
         ner_ids = FT.features_to_ids(model.ner, ner_feats)
         ner_static = model.ner.static_scores(ner_ids, n)
         ne = np.array(model.ner.classes, dtype=object)[

@@ -27,17 +27,37 @@ from morra_spark.plans import checkpoint as CK
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def load_transcripts(spark: SparkSession, path: str) -> DataFrame:
+def load_transcripts(spark: SparkSession, path: str,
+                     min_parallelism: int | None = None) -> DataFrame:
     """B-S1 scan. Parquet locally; on a cluster with the Iceberg runtime
-    this is ``spark.read.table(...)`` — same downstream plan."""
-    return spark.read.parquet(path).select(*TRANSCRIPT_COLS)
+    this is ``spark.read.table(...)`` — same downstream plan.
+
+    ``min_parallelism``: when the input has fewer splits than this
+    (small local files — at 100 TB the scan naturally has thousands of
+    splits and this never triggers), redistribute by conv_id hash so the
+    map-only annotate stage uses every core. Hash-repartition, NOT
+    coalesce, so hot conversations spread too.
+    """
+    df = spark.read.parquet(path).select(*TRANSCRIPT_COLS)
+    if min_parallelism is None:
+        min_parallelism = spark.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() < min_parallelism:
+        df = df.repartition(min_parallelism, "conv_id", "turn_idx")
+    return df
 
 
 def entity_candidates_df(spark: SparkSession, model: KGModel) -> DataFrame:
     """Candidate dictionary (canonical, ne_type, freq) for linking —
-    tiny, always broadcast."""
-    rows = [(c, t, 10) for c, t in sorted(model.entity_type.items())]
-    return spark.createDataFrame(rows, "canonical string, ne_type string, freq long")
+    tiny, always broadcast. Built via pandas so Catalyst plans a
+    LocalTableScan (an RDD-backed createDataFrame would spin up Python
+    workers on every reuse of the broadcast build side)."""
+    import pandas as pd
+
+    rows = sorted(model.entity_type.items())
+    pdf = pd.DataFrame({"canonical": [c for c, _ in rows],
+                        "ne_type": [t for _, t in rows],
+                        "freq": [10] * len(rows)})
+    return spark.createDataFrame(pdf)
 
 
 def link_endpoints(triples: DataFrame, candidates: DataFrame) -> DataFrame:

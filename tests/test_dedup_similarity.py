@@ -1,0 +1,73 @@
+"""Dedup + similarity operators: determinism and recall-by-construction.
+
+Uses tiny in-memory docs so the tests assert semantics (exact dupes MUST
+collide in every MinHash band; disjoint docs must not collide; SimHash of
+identical docs identical), not statistics.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from morra_spark.operators.dedup import (doc_fingerprints, minhash_lsh_pairs,
+                                         minhash_signatures, simhash_signatures)
+from morra_spark.operators.similarity import cosine_topk, lsh_bucket_ids
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup of 0
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),    # near dup of 0
+        (3, "one two three four five six seven eight nine"),    # disjoint
+        (4, "red green blue cyan magenta yellow black white"),  # disjoint
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_exact_dup_all_bands(spark, docs):
+    pairs = {(r.da, r.db): r.n_shared_bands
+             for r in minhash_lsh_pairs(docs, num_hashes=32, bands=8).collect()}
+    assert pairs[(0, 1)] == 8  # identical shingle sets -> every band collides
+    assert (0, 3) not in pairs and (3, 4) not in pairs
+    assert (0, 2) in pairs  # near-dup shares >= 1 band at this band width
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    s1 = {r.doc_id: r.sig for r in minhash_signatures(docs, 16).collect()}
+    s2 = {r.doc_id: r.sig for r in minhash_signatures(docs, 16).collect()}
+    assert s1 == s2
+    assert s1[0] == s1[1] and s1[0] != s1[3]
+    assert all(len(v) == 16 for v in s1.values())
+
+
+def test_simhash_identity_and_distance(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    assert sh[0] == sh[1]
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFF).count("1")  # noqa: E731
+    assert ham(sh[0], sh[2]) < ham(sh[0], sh[3])
+
+
+def test_doc_fingerprints(spark, docs):
+    fp = {r.doc_id: (r.fp_full, r.fp_min) for r in doc_fingerprints(docs).collect()}
+    assert fp[0] == fp[1]
+    assert fp[0][0] != fp[2][0]
+
+
+def test_cosine_topk_self_first(spark):
+    rows = [(i, [float(i == j) for j in range(8)], i % 2) for i in range(8)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = emb.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("q"))
+    top = cosine_topk(emb, q, k=3).collect()
+    assert top[0].vec_id == 3 and abs(top[0].cosine - 1.0) < 1e-9
+
+
+def test_lsh_buckets_group_identical_vectors(spark):
+    rows = [(i, [1.0] * 16, 0) for i in range(4)] + [(9, [-1.0] * 16, 1)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    b = {r.vec_id: r.bucket for r in
+         lsh_bucket_ids(emb, n_planes=6, dim=16).collect()}
+    assert len({b[i] for i in range(4)}) == 1  # identical vectors -> same bucket
+    assert b[9] != b[0]  # antipodal vector -> different bucket
