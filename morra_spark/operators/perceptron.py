@@ -198,6 +198,27 @@ class PerceptronModel:
         return out
 
     # ------------------------------------------------------------------
+    def prune(self, abs_thresh: float = 1e-3) -> dict[str, int]:
+        """A15 — morra's ``remove_rare_feats`` analogue ([PK]
+        morra/base_parser.py): drop features whose max |averaged weight|
+        is below ``abs_thresh``; shrinks the broadcast artifact. Returns
+        per-family dropped-row counts. Dropped features score as OOV
+        (zero row) afterwards — identical to never having seen them."""
+        dropped: dict[str, int] = {}
+        for name, fam in self.families.items():
+            keep_mask = np.abs(fam.w[:-1]).max(axis=1) >= abs_thresh
+            n_drop = int((~keep_mask).sum())
+            dropped[name] = n_drop
+            if n_drop == 0:
+                continue
+            old_rows = np.nonzero(keep_mask)[0]
+            remap = {int(r): i for i, r in enumerate(old_rows)}
+            new_vocab = {feat: remap[fid] for feat, fid in fam.vocab.items()
+                         if fid in remap}
+            new_w = np.vstack([fam.w[old_rows], fam.w[-1:]])
+            fam.vocab, fam.w = new_vocab, new_w
+        return dropped
+
     def strip_for_broadcast(self) -> "PerceptronModel":
         for fam in self.families.values():
             fam.totals = fam.tstamps = None

@@ -75,3 +75,26 @@ def test_empty_batch():
     m = _tiny_model()
     out = m.decode_batch(np.zeros((0, 2), np.float32), np.array([0]))
     assert len(out) == 0
+
+
+def test_prune_drops_rare_feats_keeps_predictions():
+    """A15: pruning near-zero rows must not change argmax decisions."""
+    import numpy as np
+
+    from morra_spark.operators.perceptron import Family, PerceptronModel
+
+    vocab = {"big": 0, "tiny": 1, "zero": 2}
+    w = np.array([[2.0, -1.0], [1e-6, -1e-6], [0.0, 0.0], [0.0, 0.0]],
+                 np.float32)  # last row = OOV
+    m = PerceptronModel(classes=["A", "B"],
+                        families={"f": Family(vocab=dict(vocab), w=w.copy())},
+                        bias=np.zeros(2, np.float32))
+    ids_before = np.array([m.families["f"].id_of(x) for x in ["big", "tiny", "zero", "oov"]])
+    before = m.static_scores({"f": ids_before}, 4).argmax(axis=1)
+
+    dropped = m.prune(abs_thresh=1e-3)
+    assert dropped["f"] == 2
+    assert set(m.families["f"].vocab) == {"big"}
+    ids_after = np.array([m.families["f"].id_of(x) for x in ["big", "tiny", "zero", "oov"]])
+    after = m.static_scores({"f": ids_after}, 4).argmax(axis=1)
+    assert (before == after).all()
