@@ -56,14 +56,15 @@ def entry(spark: SparkSession) -> DataFrame:
     (subj, pred, obj) counts, top-k. Driver checks rows > 0."""
     from morra_spark.model_artifact import KGModel
     from morra_spark.plans.pipeline import entity_candidates_df, extract_triples
-    from morra_spark.operators.tagger import annotate_turns
+    from morra_spark.operators.tagger import extract_turn_triples
     from morra_spark.plans import checkpoint as CK
 
     model = KGModel.load(MODEL_PATH)
     model_bc = spark.sparkContext.broadcast(model)
     docs = _docs_as_transcripts(_t(spark, "/root/testdata/sf0.001", "documents"))
-    src = docs.unionByName(_synthetic_transcripts(spark))
-    ann = CK.add_part_key(annotate_turns(src, model_bc), 64)
+    src = docs.unionByName(_synthetic_transcripts(spark)) \
+              .filter(F.col("role") != "tool")
+    ann = CK.add_part_key(extract_turn_triples(src, model_bc), 64)
     triples = extract_triples(ann, entity_candidates_df(spark, model))
     return (triples.groupBy("subj", "pred", "obj")
             .agg(F.count(F.lit(1)).alias("n"))
@@ -459,14 +460,14 @@ def q_kg_flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG pipeline on deterministic synthetic transcripts → top
     canonical triples."""
     from morra_spark.model_artifact import KGModel
-    from morra_spark.operators.tagger import annotate_turns
+    from morra_spark.operators.tagger import extract_turn_triples
     from morra_spark.plans import checkpoint as CK
     from morra_spark.plans.pipeline import entity_candidates_df, extract_triples
 
     model = KGModel.load(MODEL_PATH)
-    src = _synthetic_transcripts(spark, 120)
+    src = _synthetic_transcripts(spark, 120).filter(F.col("role") != "tool")
     ann = CK.add_part_key(
-        annotate_turns(src, spark.sparkContext.broadcast(model)), 64)
+        extract_turn_triples(src, spark.sparkContext.broadcast(model)), 64)
     t = extract_triples(ann, entity_candidates_df(spark, model))
     return (t.groupBy("subj", "pred", "obj").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "subj", "pred", "obj").limit(50))

@@ -53,8 +53,9 @@ def ensure_transcripts(spark, n_convs: int) -> str:
 
 def run_flagship(spark, transcripts_path: str) -> tuple[float, int]:
     """Timed: scan → fused Arrow annotate → link → canonical triple agg."""
+    from pyspark.sql import functions as F
     from morra_spark.model_artifact import KGModel
-    from morra_spark.operators.tagger import annotate_turns
+    from morra_spark.operators.tagger import extract_turn_triples
     from morra_spark.plans import checkpoint as CK
     from morra_spark.plans.pipeline import (entity_candidates_df,
                                             extract_triples, load_transcripts)
@@ -63,7 +64,8 @@ def run_flagship(spark, transcripts_path: str) -> tuple[float, int]:
     bc = spark.sparkContext.broadcast(model)
     src = load_transcripts(spark, transcripts_path)
     t0 = time.time()
-    ann = CK.add_part_key(annotate_turns(src, bc), 64)
+    slim = src.filter(F.col("role") != "tool")
+    ann = CK.add_part_key(extract_turn_triples(slim, bc), 64)
     triples = extract_triples(ann, entity_candidates_df(spark, model))
     n = triples.count()
     return time.time() - t0, n
@@ -111,10 +113,32 @@ def bench_once(cpus: int, sf_dir: str, n_convs: int, micro: bool = True) -> dict
         spark.stop()
 
 
+def bench_once_pinned(cpus: int, sf_dir: str, n_convs: int) -> dict:
+    """Run bench_once in a subprocess pinned to ``cpus`` physical cores
+    with ``taskset``. ``local[N]`` alone only caps task slots — the JVM's
+    GC/shuffle threads and the N Python workers would still spread over
+    every physical core, overstating the small-"cluster" baseline. CPU
+    affinity makes the N-vs-4N comparison hardware-faithful, like two
+    real cluster sizes."""
+    import json as _json
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--once", str(cpus),
+           "--convs", str(n_convs)]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                         check=True).stdout
+    return _json.loads(out.strip().splitlines()[-1])
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true",
-                    help="run flagship at local[8] and local[32], report efficiency")
+                    help="run flagship at 8 and 32 pinned cores, report efficiency")
+    ap.add_argument("--once", type=int, default=None,
+                    help="internal: run flagship-only bench at N cores, print JSON")
     ap.add_argument("--convs", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "20000")))
     args = ap.parse_args()
@@ -123,6 +147,10 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    if args.once is not None:
+        print(json.dumps(bench_once(args.once, sf_dir, args.convs, micro=False)))
+        return
+
     if args.scaling:
         # scaling needs a steady-state-sized input: a 100 TB cluster job
         # amortizes startup over hours; locally we amortize over ~1.6M
@@ -130,24 +158,28 @@ def main() -> None:
         scaling_convs = max(args.convs, int(os.environ.get(
             "SPARK_GRAFT_SCALING_CONVS", "100000")))
         lo_cpus, hi_cpus = 8, 32
-        lo = bench_once(lo_cpus, sf_dir, scaling_convs, micro=False)
-        hi = bench_once(hi_cpus, sf_dir, scaling_convs, micro=False)
+        lo = bench_once_pinned(lo_cpus, sf_dir, scaling_convs)
+        hi = bench_once_pinned(hi_cpus, sf_dir, scaling_convs)
         eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (hi_cpus / lo_cpus)
         out = {"metric": "scaling_efficiency", "value": round(eff, 3),
                "unit": "ratio", "sf": sf,
-               "local8": lo, "local32": hi,
-               "criterion": "turns_per_sec(32) / (4 * turns_per_sec(8)) >= 0.8"}
+               "cores8": lo, "cores32": hi,
+               "criterion": "turns_per_sec(32 cores) / (4 * turns_per_sec(8 cores)) >= 0.8"}
         print(json.dumps(out))
         with open(os.path.join(REPO, "BENCH_SCALING.md"), "w") as f:
             f.write(
                 "# Scaling evidence (north rule: N → 4N cores)\n\n"
                 "Same flagship job, same input "
-                f"({lo['n_turns']} turns, {lo['n_triples']} triples), "
-                "two parallelism levels (sandbox proxy for two cluster sizes):\n\n"
-                "| cores | wall sec | turns/sec | triples/sec |\n"
+                f"({lo['n_turns']} turns, {lo['n_triples']} triples), two\n"
+                "CPU-pinned parallelism levels (`taskset -c` restricts the whole\n"
+                "JVM+Python-worker tree, so each level is a hardware-faithful proxy\n"
+                "for a cluster of that size — `local[N]` alone caps only task\n"
+                "slots while GC/shuffle threads and Python workers spill onto all\n"
+                "physical cores, which would overstate the small-cluster baseline):\n\n"
+                "| cores (pinned) | wall sec | turns/sec | triples/sec |\n"
                 "| --- | --- | --- | --- |\n"
-                f"| local[{lo_cpus}] | {lo['flagship_sec']} | {lo['turns_per_sec']} | {lo['triples_per_sec']} |\n"
-                f"| local[{hi_cpus}] | {hi['flagship_sec']} | {hi['turns_per_sec']} | {hi['triples_per_sec']} |\n\n"
+                f"| 8 | {lo['flagship_sec']} | {lo['turns_per_sec']} | {lo['triples_per_sec']} |\n"
+                f"| 32 | {hi['flagship_sec']} | {hi['turns_per_sec']} | {hi['triples_per_sec']} |\n\n"
                 f"**Scaling efficiency = {eff:.3f}** "
                 f"(criterion ≥ 0.8, BASELINE.json north_rule).\n")
         return

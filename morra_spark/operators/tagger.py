@@ -44,8 +44,14 @@ ANNOTATED_SCHEMA = (
     f" triples {TRIPLES_FIELD}"
 )
 
+# slim output for the triple path: Catalyst cannot prune columns through
+# an opaque mapInPandas, so the pruning is done HERE — the flagship never
+# pays Arrow transfer + JVM row conversion for token/mention arrays it
+# drops one operator later (SURVEY.md §4.2 "select-narrow before B-U2")
+TRIPLES_ONLY_SCHEMA = f"conv_id string, turn_idx int, triples {TRIPLES_FIELD}"
 
-def _annotate_pdf(pdf: pd.DataFrame, model) -> pd.DataFrame:
+
+def _annotate_pdf(pdf: pd.DataFrame, model, triples_only: bool = False) -> pd.DataFrame:
     """Annotate one Arrow batch of turn rows. Pure function of (batch,
     broadcast model) — unit-testable without Spark."""
     texts = pdf["text"].astype(str).tolist()
@@ -93,11 +99,16 @@ def _annotate_pdf(pdf: pd.DataFrame, model) -> pd.DataFrame:
              "lemma": lemma_np[s + j], "upos": upos_np[s + j], "ne": ne[s + j]}
             for j, (st, ln, f) in enumerate(toks)
         ]
-        tokens_col.append(trow)
         mentions, triples = assemble_mentions_and_triples(trow, texts[i])
-        mentions_col.append(mentions)
         triples_col.append(triples)
+        if not triples_only:
+            tokens_col.append(trow)
+            mentions_col.append(mentions)
 
+    if triples_only:
+        out = pdf[["conv_id", "turn_idx"]].copy()
+        out["triples"] = triples_col
+        return out
     out = pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]].copy()
     out["tokens"] = tokens_col
     out["mentions"] = mentions_col
@@ -118,3 +129,21 @@ def annotate_turns(df: DataFrame, model_bc) -> DataFrame:
                 yield _annotate_pdf(pdf, model)
 
     return df.mapInPandas(run, schema=ANNOTATED_SCHEMA)
+
+
+def extract_turn_triples(df: DataFrame, model_bc) -> DataFrame:
+    """transcripts → (conv_id, turn_idx, triples) — the slim flagship
+    stage. Same cascade, but only the triple arrays cross the Arrow
+    boundary (≈5× less transfer + JVM row-conversion than full
+    annotation). Input should be pre-filtered (role != 'tool') so the
+    predicate runs JVM-side BEFORE the Python stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = model_bc.value
+        for pdf in batches:
+            if len(pdf):
+                yield _annotate_pdf(pdf, model, triples_only=True)
+
+    # 3-column input: role/tool/ts never cross into Python either
+    return df.select("conv_id", "turn_idx", "text") \
+             .mapInPandas(run, schema=TRIPLES_ONLY_SCHEMA)

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from morra_spark.model_artifact import KGModel
-from morra_spark.operators.tagger import annotate_turns
+from morra_spark.operators.tagger import extract_turn_triples
 from morra_spark.plans import checkpoint as CK
 
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -88,11 +88,13 @@ def link_endpoints(triples: DataFrame, candidates: DataFrame) -> DataFrame:
 
 def extract_triples(ann: DataFrame, candidates: DataFrame) -> DataFrame:
     """turns_annotated → linked, canonicalized triple rows."""
-    t = (ann.filter(F.col("role") != "tool")
-            .select("conv_id", "turn_idx", "part_key",
-                    F.explode("triples").alias("t"))
-            .select("conv_id", "turn_idx", "part_key",
-                    "t.subj", "t.pred", "t.obj", "t.subj_ne", "t.obj_ne"))
+    t = ann
+    if "role" in t.columns:
+        t = t.filter(F.col("role") != "tool")
+    t = (t.select("conv_id", "turn_idx", "part_key",
+                  F.explode("triples").alias("t"))
+         .select("conv_id", "turn_idx", "part_key",
+                 "t.subj", "t.pred", "t.obj", "t.subj_ne", "t.obj_ne"))
     return link_endpoints(t, candidates)
 
 
@@ -116,8 +118,12 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
     src = CK.add_part_key(src, n_parts)
 
     def transform(pending: DataFrame) -> DataFrame:
-        ann = annotate_turns(pending.drop("part_key"), model_bc)
-        ann = CK.add_part_key(ann, n_parts)
+        # role filter runs JVM-side BEFORE the Python stage; the slim
+        # triples-only schema keeps token/mention arrays out of the
+        # Arrow transfer entirely (they are recomputable, not needed by
+        # the triple sink)
+        src_slim = pending.drop("part_key").filter(F.col("role") != "tool")
+        ann = CK.add_part_key(extract_turn_triples(src_slim, model_bc), n_parts)
         out = extract_triples(ann, candidates)
         # hot-conversation salting for the sink: part_key alone would put a
         # 10^6-turn conversation's triples in one write task; spreading by
