@@ -29,11 +29,24 @@ class KGModel:
     gazetteer: dict[str, str]       # form_norm -> NE-type hint
     entity_canon: dict[str, str]    # lemma_norm span -> canonical entity
     entity_type: dict[str, str]     # canonical -> NE type
+    # A12: per-NE-type binary perceptrons (margin-combined with joint)
+    ner_sep: dict[str, PerceptronModel] | None = None
+    # A10: per-UD-category FEATS perceptrons + joint feats-string model
+    feats_sep: dict[str, PerceptronModel] | None = None
+    feats_joint: PerceptronModel | None = None
     meta: dict = field(default_factory=dict)
 
+    def _all_models(self):
+        yield self.pos
+        yield self.ner
+        for d in (self.ner_sep or {}, self.feats_sep or {}):
+            yield from d.values()
+        if self.feats_joint is not None:
+            yield self.feats_joint
+
     def save(self, path: str) -> None:
-        self.pos.strip_for_broadcast()
-        self.ner.strip_for_broadcast()
+        for m in self._all_models():
+            m.strip_for_broadcast()
         with open(path, "wb") as f:
             pickle.dump(self, f, protocol=4)
 

@@ -32,7 +32,7 @@ from morra_spark.operators.spans import assemble_mentions_and_triples
 from morra_spark.operators.tokenizer import tokenize_one
 
 TOKENS_FIELD = ("array<struct<token_id:int,start:int,len:int,form:string,"
-                "lemma:string,upos:string,ne:string>>")
+                "lemma:string,upos:string,feats:map<string,string>,ne:string>>")
 MENTIONS_FIELD = ("array<struct<mention_id:int,tok_start:int,tok_end:int,"
                   "surface:string,lemma_norm:string,ne_type:string>>")
 TRIPLES_FIELD = ("array<struct<subj:string,pred:string,obj:string,"
@@ -86,17 +86,42 @@ def _annotate_pdf(pdf: pd.DataFrame, model, triples_only: bool = False) -> pd.Da
         ner_static = model.ner.static_scores(ner_ids, n)
         ne = np.array(model.ner.classes, dtype=object)[
             model.ner.decode_batch(ner_static, starts)]
+        # NER separate + combine (A12): per-type binary margins overrule
+        # the joint decision only on confident disagreement
+        ner_sep = getattr(model, "ner_sep", None)
+        if ner_sep and model.meta.get("ner_mode") == "combine":
+            from morra_spark.operators.ner_combine import (binary_margins,
+                                                           combine_joint_separate)
+
+            ids_per = {t: FT.features_to_ids(m, ner_feats)
+                       for t, m in ner_sep.items()}
+            types, margins = binary_margins(ner_sep, ids_per, starts, n)
+            ne = combine_joint_separate(ne, None, types, margins)
+        # FEATS (A10): per-category perceptrons over the POS cascade
+        feats_sep = getattr(model, "feats_sep", None)
+        if feats_sep and not triples_only:
+            from morra_spark.operators import feats as FE
+
+            fe_static = FE.feats_static_features(shared, upos, seq_ids)
+            fe_ids = {k: FT.features_to_ids(m, fe_static)
+                      for k, m in feats_sep.items()}
+            feats_list = FE.predict_feats_separate(feats_sep, fe_ids, starts, n)
+        else:
+            feats_list = None
         upos_np = upos.to_numpy(dtype=object)
         lemma_np = lemma.to_numpy(dtype=object)
     else:
         upos_np = lemma_np = ne = np.empty(0, dtype=object)
+        feats_list = None
 
     tokens_col, mentions_col, triples_col = [], [], []
     for i, toks in enumerate(tok_lists):
         s, e = int(starts[i]), int(starts[i + 1])
         trow = [
             {"token_id": j, "start": st, "len": ln, "form": f,
-             "lemma": lemma_np[s + j], "upos": upos_np[s + j], "ne": ne[s + j]}
+             "lemma": lemma_np[s + j], "upos": upos_np[s + j],
+             "feats": feats_list[s + j] if feats_list is not None else {},
+             "ne": ne[s + j]}
             for j, (st, ln, f) in enumerate(toks)
         ]
         mentions, triples = assemble_mentions_and_triples(trow, texts[i])

@@ -150,13 +150,15 @@ def annotated_to_conllu_rows(ann: DataFrame) -> DataFrame:
     """turns_annotated → CoNLL-U sentence rows (NE in MISC['NE'], the
     reference's convention [PK] morra/morph_parser_ne.py), for golden
     diffs against reference annotations."""
+    empty_map = F.map_from_arrays(F.array(), F.array()).cast("map<string,string>")
+    ann_fields = [f.name for f in ann.schema["tokens"].dataType.elementType.fields]
     tok = F.transform(
         "tokens",
         lambda t: F.struct(
             (t["token_id"] + 1).cast("string").alias("id"),
             t["form"].alias("form"), t["lemma"].alias("lemma"),
             t["upos"].alias("upos"), F.lit("_").alias("xpos"),
-            F.map_from_arrays(F.array(), F.array()).cast("map<string,string>").alias("feats"),
+            (t["feats"] if "feats" in ann_fields else empty_map).alias("feats"),
             F.lit("_").alias("head"), F.lit("_").alias("deprel"),
             F.lit("_").alias("deps"),
             F.when(t["ne"] != "O",

@@ -83,7 +83,8 @@ def train_models(gold: pd.DataFrame, lex: Lexicon, epochs: int = 5, seed: int = 
     forms = gold["form"].astype(str)
 
     # ---- POS ----
-    pos_feats = FT.pos_static_features(forms, seq_ids, dict_tag)
+    shared = FT.shared_static(forms, seq_ids)
+    pos_feats = FT.pos_static_features(forms, seq_ids, dict_tag, shared=shared)
     pos_vocabs = FT.build_vocabs(pos_feats, POS_CLASSES, FT.POS_DYNAMIC)
     pos = PerceptronModel.init(POS_CLASSES, pos_vocabs)
     sent_feats = _to_token_dicts(pos_feats, starts)
@@ -97,19 +98,71 @@ def train_models(gold: pd.DataFrame, lex: Lexicon, epochs: int = 5, seed: int = 
     pred_pos = pd.Series(np.array(POS_CLASSES, dtype=object)[pred_pos_ids],
                          index=gold.index)
 
-    # ---- NER ----
-    ner_feats = FT.ner_static_features(forms, pred_pos, seq_ids, gazetteer)
+    # ---- NER, joint (A11) ----
+    ner_feats = FT.ner_static_features(forms, pred_pos, seq_ids, gazetteer,
+                                       shared=shared)
     ner_vocabs = FT.build_vocabs(ner_feats, NE_CLASSES, FT.NER_DYNAMIC)
     ner = PerceptronModel.init(NE_CLASSES, ner_vocabs)
     ner_sent_feats = _to_token_dicts(ner_feats, starts)
     gold_ne = [gold["ne"].to_numpy()[s:e].tolist() for s, e in zip(starts[:-1], starts[1:])]
     acc_ne = ner.train(ner_sent_feats, gold_ne, dynamic=("prev",), epochs=epochs, seed=seed)
 
+    # ---- NER, separate per-type binary models (A12) ----
+    # one binary perceptron per NE type over the same features ([PK]
+    # morra/morph_parser_ne.py::train_ne2); combined at serve time by
+    # margin argmax (operators/ner_combine.py)
+    ner_sep: dict[str, PerceptronModel] = {}
+    acc_sep: dict[str, float] = {}
+    for ne_type in [c for c in NE_CLASSES if c != "O"]:
+        classes = ["O", ne_type]
+        m = PerceptronModel.init(classes, FT.build_vocabs(ner_feats, classes,
+                                                          FT.NER_DYNAMIC))
+        gold_bin = [[g if g == ne_type else "O" for g in sent] for sent in gold_ne]
+        acc_sep[ne_type] = m.train(ner_sent_feats, gold_bin, dynamic=("prev",),
+                                   epochs=epochs, seed=seed)
+        ner_sep[ne_type] = m
+
+    # ---- FEATS (A10): separate per-category + joint ----
+    from morra_spark.operators import feats as FE
+
+    fe_feats = FE.feats_static_features(shared, pred_pos, seq_ids)
+    fe_sent = _to_token_dicts(fe_feats, starts)
+    gold_fd = [FE.gold_feats(u, f, lm) for u, f, lm in
+               zip(gold["upos"], gold["form"], gold["lemma"])]
+    feats_sep: dict[str, PerceptronModel] = {}
+    acc_feats: dict[str, float] = {}
+    for key in FE.FEATS_KEYS:
+        vals = sorted({d.get(key, FE.ABSENT) for d in gold_fd})
+        if vals == [FE.ABSENT]:
+            continue
+        classes = sorted(set(vals) | {FE.ABSENT})
+        m = PerceptronModel.init(classes, FT.build_vocabs(fe_feats, classes,
+                                                          FE.FEATS_DYNAMIC))
+        labels = [[gold_fd[i].get(key, FE.ABSENT) for i in range(s, e)]
+                  for s, e in zip(starts[:-1], starts[1:])]
+        acc_feats[key] = m.train(fe_sent, labels, dynamic=("prev",),
+                                 epochs=epochs, seed=seed)
+        feats_sep[key] = m
+
+    gold_fs = [FE.gold_feats_str(u, f, lm) for u, f, lm in
+               zip(gold["upos"], gold["form"], gold["lemma"])]
+    joint_classes = sorted(set(gold_fs))
+    feats_joint = PerceptronModel.init(
+        joint_classes, FT.build_vocabs(fe_feats, joint_classes, FE.FEATS_DYNAMIC))
+    joint_labels = [[gold_fs[i] for i in range(s, e)]
+                    for s, e in zip(starts[:-1], starts[1:])]
+    acc_feats["joint"] = feats_joint.train(fe_sent, joint_labels,
+                                           dynamic=("prev",), epochs=epochs,
+                                           seed=seed)
+
     lemma_rules = LemmaRules(ful, fl, lex.suffix_rules())
     model = KGModel(pos=pos, ner=ner, lemma_rules=lemma_rules,
                     dict_tag=dict_tag, gazetteer=gazetteer,
                     entity_canon=entity_canon, entity_type=dict(lex.entity_type),
-                    meta={"train_acc_pos": acc_pos, "train_acc_ne": acc_ne})
+                    ner_sep=ner_sep, feats_sep=feats_sep, feats_joint=feats_joint,
+                    meta={"train_acc_pos": acc_pos, "train_acc_ne": acc_ne,
+                          "train_acc_ne_sep": acc_sep,
+                          "train_acc_feats": acc_feats})
 
     # sanity: lemmatizer accuracy on gold POS. Lemma lookup uses plain
     # lowercase — digit folding is a *feature* normalization only and
