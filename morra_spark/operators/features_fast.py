@@ -194,11 +194,38 @@ def ner_feature_ids(model, bf: BatchFeatures, upos_row_ids: dict,
     return ids
 
 
+def feats_feature_ids(model, bf: BatchFeatures, pred_pos: np.ndarray,
+                      pos_classes: list[str]) -> dict[str, np.ndarray]:
+    """Id arrays for one FEATS-category model (families per
+    features.FEATS-static: form suf3 shape first pform nform +
+    upos/pupos/nupos from the predicted POS)."""
+    fams = model.families
+    tab = class_row_tables(model, ("upos", "pupos", "nupos"), pos_classes)
+    ids = tag_context_ids(tab, pred_pos, bf.seq_ids, ("upos", "pupos", "nupos"))
+    ids.update({
+        "form": _ids_for(fams["form"], bf.fn),
+        "suf3": _ids_for(fams["suf3"], bf.suf3),
+        "shape": _shape_ids(fams["shape"], bf.forms),
+        "first": _first_ids(fams["first"], bf.seq_ids),
+        "pform": _shift_ids(_ids_for(fams["pform"], bf.fn), bf.seq_ids, 1,
+                            fams["pform"].id_of(BOS)),
+        "nform": _shift_ids(_ids_for(fams["nform"], bf.fn), bf.seq_ids, -1,
+                            fams["nform"].id_of(EOS)),
+    })
+    return ids
+
+
 def class_row_tables(model, fam_names: tuple[str, str, str],
                      classes: list[str]):
     """For ('upos','pupos','nupos')-style tag-context families: per family
     a (n_classes,) row-id table + sentinel rows, so predicted class ids
     map straight to family rows (no strings)."""
+    cache = getattr(model, "_class_row_tables", None)
+    if cache is None:
+        cache = model._class_row_tables = {}
+    key = fam_names
+    if key in cache:
+        return cache[key]
     cur_f, prev_f, next_f = fam_names
     fams = model.families
     tab = {}
@@ -206,6 +233,7 @@ def class_row_tables(model, fam_names: tuple[str, str, str],
         fam = fams[name]
         rows = np.array([fam.id_of(c) for c in classes], np.int64)
         tab[name] = (rows, fam.id_of(sent) if sent else -1)
+    cache[key] = tab
     return tab
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 
 from morra_spark.operators import features as FT
 from morra_spark.operators.lemmatizer import lemmatize
-from morra_spark.operators.spans import assemble_mentions_and_triples
+from morra_spark.operators.spans import assemble_batch
 from morra_spark.operators.tokenizer import tokenize_one
 
 TOKENS_FIELD = ("array<struct<token_id:int,start:int,len:int,form:string,"
@@ -53,7 +53,9 @@ TRIPLES_ONLY_SCHEMA = f"conv_id string, turn_idx int, triples {TRIPLES_FIELD}"
 
 def _annotate_pdf(pdf: pd.DataFrame, model, triples_only: bool = False) -> pd.DataFrame:
     """Annotate one Arrow batch of turn rows. Pure function of (batch,
-    broadcast model) — unit-testable without Spark."""
+    broadcast model) — unit-testable without Spark. Uses the Arrow-kernel
+    feature path (features_fast, bit-identical ids by parity test) and
+    falls back to the pandas reference path without pyarrow."""
     texts = pdf["text"].astype(str).tolist()
     tok_lists = [tokenize_one(t) for t in texts]
 
@@ -62,83 +64,144 @@ def _annotate_pdf(pdf: pd.DataFrame, model, triples_only: bool = False) -> pd.Da
     np.cumsum(counts, out=starts[1:])
     n = int(starts[-1])
 
-    forms = pd.Series(
-        [f for toks in tok_lists for (_s, _l, f) in toks], dtype=object)
+    forms_list = [f for toks in tok_lists for (_s, _l, f) in toks]
     seq_ids = np.repeat(np.arange(len(counts)), counts)
 
     if n:
-        # POS (A5-A7): static features once, greedy decode across the batch
-        shared = FT.shared_static(forms, seq_ids)
-        pos_feats = FT.pos_static_features(forms, seq_ids, model.dict_tag,
-                                           shared=shared)
-        pos_ids = FT.features_to_ids(model.pos, pos_feats)
-        pos_static = model.pos.static_scores(pos_ids, n)
-        upos = pd.Series(
-            np.array(model.pos.classes, dtype=object)[
-                model.pos.decode_batch(pos_static, starts)],
-            dtype=object)
-        # Lemma (A9): dict-first + suffix rules, plain-lowercase keys
-        lemma = lemmatize(forms.str.lower(), upos, model.lemma_rules)
-        # NER (A11): consumes predicted POS, gazetteer hints
-        ner_feats = FT.ner_static_features(forms, upos, seq_ids, model.gazetteer,
-                                           shared=shared)
-        ner_ids = FT.features_to_ids(model.ner, ner_feats)
-        ner_static = model.ner.static_scores(ner_ids, n)
-        ne = np.array(model.ner.classes, dtype=object)[
-            model.ner.decode_batch(ner_static, starts)]
-        # NER separate + combine (A12): per-type binary margins overrule
-        # the joint decision only on confident disagreement
-        ner_sep = getattr(model, "ner_sep", None)
-        if ner_sep and model.meta.get("ner_mode") == "combine":
-            from morra_spark.operators.ner_combine import (binary_margins,
-                                                           combine_joint_separate)
-
-            ids_per = {t: FT.features_to_ids(m, ner_feats)
-                       for t, m in ner_sep.items()}
-            types, margins = binary_margins(ner_sep, ids_per, starts, n)
-            ne = combine_joint_separate(ne, None, types, margins)
-        # FEATS (A10): per-category perceptrons over the POS cascade
-        feats_sep = getattr(model, "feats_sep", None)
-        if feats_sep and not triples_only:
-            from morra_spark.operators import feats as FE
-
-            fe_static = FE.feats_static_features(shared, upos, seq_ids)
-            fe_ids = {k: FT.features_to_ids(m, fe_static)
-                      for k, m in feats_sep.items()}
-            feats_list = FE.predict_feats_separate(feats_sep, fe_ids, starts, n)
-        else:
-            feats_list = None
-        upos_np = upos.to_numpy(dtype=object)
-        lemma_np = lemma.to_numpy(dtype=object)
+        upos_np, lemma_np, ne, feats_list = _run_cascade(
+            model, forms_list, seq_ids, starts, n, triples_only)
+        tok_starts = np.fromiter(
+            (st for toks in tok_lists for (st, _l, _f) in toks), np.int64, n)
+        tok_lens = np.fromiter(
+            (ln for toks in tok_lists for (_s, ln, _f) in toks), np.int64, n)
+        forms_np = np.array(forms_list, dtype=object)
+        mentions_col, triples_col = assemble_batch(
+            texts, seq_ids, starts, tok_starts, tok_lens,
+            lemma_np, upos_np, ne, forms_np)
     else:
         upos_np = lemma_np = ne = np.empty(0, dtype=object)
         feats_list = None
-
-    tokens_col, mentions_col, triples_col = [], [], []
-    for i, toks in enumerate(tok_lists):
-        s, e = int(starts[i]), int(starts[i + 1])
-        trow = [
-            {"token_id": j, "start": st, "len": ln, "form": f,
-             "lemma": lemma_np[s + j], "upos": upos_np[s + j],
-             "feats": feats_list[s + j] if feats_list is not None else {},
-             "ne": ne[s + j]}
-            for j, (st, ln, f) in enumerate(toks)
-        ]
-        mentions, triples = assemble_mentions_and_triples(trow, texts[i])
-        triples_col.append(triples)
-        if not triples_only:
-            tokens_col.append(trow)
-            mentions_col.append(mentions)
+        mentions_col = [[] for _ in texts]
+        triples_col = [[] for _ in texts]
 
     if triples_only:
         out = pdf[["conv_id", "turn_idx"]].copy()
         out["triples"] = triples_col
         return out
+
+    tokens_col = []
+    for i, toks in enumerate(tok_lists):
+        s = int(starts[i])
+        tokens_col.append([
+            {"token_id": j, "start": st, "len": ln, "form": f,
+             "lemma": lemma_np[s + j], "upos": upos_np[s + j],
+             "feats": feats_list[s + j] if feats_list is not None else {},
+             "ne": ne[s + j]}
+            for j, (st, ln, f) in enumerate(toks)
+        ])
     out = pdf[["conv_id", "turn_idx", "role", "text", "tool", "ts"]].copy()
     out["tokens"] = tokens_col
     out["mentions"] = mentions_col
     out["triples"] = triples_col
     return out
+
+
+try:
+    import pyarrow as _pa  # noqa: F401
+
+    _HAS_ARROW = True
+except ImportError:  # pragma: no cover
+    _HAS_ARROW = False
+
+
+def _run_cascade(model, forms_list: list, seq_ids: np.ndarray,
+                 starts: np.ndarray, n: int, triples_only: bool):
+    """POS → lemma → NER(→combine) → FEATS over one flat token batch.
+    Returns (upos, lemma, ne, feats_list-or-None) object arrays."""
+    classes_pos = model.pos.classes
+    if _HAS_ARROW:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from morra_spark.operators import features_fast as FF
+
+        bf = FF.BatchFeatures(forms_list, seq_ids)
+        pos_ids = FF.pos_feature_ids(model.pos, bf, model.dict_tag)
+        pred = model.pos.decode_batch(model.pos.static_scores(pos_ids, n), starts)
+        upos_np = np.array(classes_pos, dtype=object)[pred]
+        lemma_np = FF.lemmatize_fast(
+            pc.utf8_lower(bf.forms), pa.array(upos_np, pa.string()),
+            model.lemma_rules)
+        tab = FF.class_row_tables(model.ner, ("upos", "pupos", "nupos"),
+                                  classes_pos)
+        ctx = FF.tag_context_ids(tab, pred, seq_ids, ("upos", "pupos", "nupos"))
+        ner_ids = FF.ner_feature_ids(model.ner, bf, ctx, model.gazetteer)
+        ne = np.array(model.ner.classes, dtype=object)[
+            model.ner.decode_batch(model.ner.static_scores(ner_ids, n), starts)]
+
+        ner_sep = getattr(model, "ner_sep", None)
+        if ner_sep and model.meta.get("ner_mode") == "combine":
+            from morra_spark.operators.ner_combine import combine_joint_separate
+
+            types = sorted(ner_sep)
+            M = np.zeros((n, len(types)), np.float32)
+            for j, t in enumerate(types):
+                m = ner_sep[t]
+                tab_m = FF.class_row_tables(m, ("upos", "pupos", "nupos"),
+                                            classes_pos)
+                ctx_m = FF.tag_context_ids(tab_m, pred, seq_ids,
+                                           ("upos", "pupos", "nupos"))
+                ids_m = FF.ner_feature_ids(m, bf, ctx_m, model.gazetteer)
+                st = m.static_scores(ids_m, n)
+                M[:, j] = st[:, m.classes.index(t)] - st[:, m.classes.index("O")]
+            ne = combine_joint_separate(ne, None, types, M)
+
+        feats_sep = getattr(model, "feats_sep", None)
+        if feats_sep and not triples_only:
+            from morra_spark.operators import feats as FE
+
+            fe_ids = {k: FF.feats_feature_ids(m, bf, pred, classes_pos)
+                      for k, m in feats_sep.items()}
+            feats_list = FE.predict_feats_separate(feats_sep, fe_ids, starts, n)
+        else:
+            feats_list = None
+        return upos_np, lemma_np, ne, feats_list
+
+    # ---- pandas reference path (no pyarrow) ----
+    forms = pd.Series(forms_list, dtype=object)
+    shared = FT.shared_static(forms, seq_ids)
+    pos_feats = FT.pos_static_features(forms, seq_ids, model.dict_tag,
+                                       shared=shared)
+    pos_ids = FT.features_to_ids(model.pos, pos_feats)
+    pred = model.pos.decode_batch(model.pos.static_scores(pos_ids, n), starts)
+    upos = pd.Series(np.array(classes_pos, dtype=object)[pred], dtype=object)
+    lemma = lemmatize(forms.str.lower(), upos, model.lemma_rules)
+    ner_feats = FT.ner_static_features(forms, upos, seq_ids, model.gazetteer,
+                                       shared=shared)
+    ner_ids = FT.features_to_ids(model.ner, ner_feats)
+    ne = np.array(model.ner.classes, dtype=object)[
+        model.ner.decode_batch(model.ner.static_scores(ner_ids, n), starts)]
+    ner_sep = getattr(model, "ner_sep", None)
+    if ner_sep and model.meta.get("ner_mode") == "combine":
+        from morra_spark.operators.ner_combine import (binary_margins,
+                                                       combine_joint_separate)
+
+        ids_per = {t: FT.features_to_ids(m, ner_feats)
+                   for t, m in ner_sep.items()}
+        types, margins = binary_margins(ner_sep, ids_per, starts, n)
+        ne = combine_joint_separate(ne, None, types, margins)
+    feats_sep = getattr(model, "feats_sep", None)
+    if feats_sep and not triples_only:
+        from morra_spark.operators import feats as FE
+
+        fe_static = FE.feats_static_features(shared, upos, seq_ids)
+        fe_ids = {k: FT.features_to_ids(m, fe_static)
+                  for k, m in feats_sep.items()}
+        feats_list = FE.predict_feats_separate(feats_sep, fe_ids, starts, n)
+    else:
+        feats_list = None
+    return (upos.to_numpy(dtype=object), lemma.to_numpy(dtype=object),
+            ne, feats_list)
 
 
 def annotate_turns(df: DataFrame, model_bc) -> DataFrame:
