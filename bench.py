@@ -81,17 +81,36 @@ def micro_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = E.queries()
     out: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        out[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damp hypervisor noise bursts
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        out[name] = round(best, 3)
     return out
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                total += os.path.getsize(os.path.join(root, fn))
+            except OSError:
+                pass
+    return total
 
 
 def bench_once(cpus: int, sf_dir: str, n_convs: int, micro: bool = True,
                master: str | None = None) -> dict:
     from morra_spark.session import get_spark
 
+    # 8 MB splits + load_transcripts' hash re-balance when splits < 2x
+    # slots give ~4 even task waves; a swept adaptive split size was
+    # tried and measured WORSE (tiny splits align badly with row groups
+    # and starve the full pipeline), so this stays fixed.
+    mpb = 8 << 20
     # Flagship plan shape is fixed (map-only + explicit broadcasts + one
     # sink exchange): AQE's per-query-stage driver re-planning is pure
     # serial latency here (~2s/run measured) with nothing to re-plan —
@@ -101,7 +120,8 @@ def bench_once(cpus: int, sf_dir: str, n_convs: int, micro: bool = True,
     spark = get_spark(f"bench_{cpus}", master=master or f"local[{cpus}]",
                       shuffle_partitions=cpus,
                       extra_conf={"spark.sql.adaptive.enabled": "false",
-                                  "spark.sql.files.maxPartitionBytes": "8m"})
+                                  "spark.sql.files.maxPartitionBytes": str(mpb),
+                                  "spark.sql.files.openCostInBytes": "131072"})
     if master and "local-cluster" in master:
         # separate executor JVMs -> their Python workers need the package
         # shipped, exactly like a real cluster (spark-submit --py-files)
@@ -187,8 +207,12 @@ def main() -> None:
         # scaling needs a steady-state-sized input: a 100 TB cluster job
         # amortizes startup over hours; locally we amortize over ~1.6M
         # turns so the map-stage compute, not driver overhead, is measured
+        # steady-state-sized: ~5.9M turns. A 100 TB cluster job amortizes
+        # startup over hours; the ~3s/run fixed driver+stage latency must
+        # be noise against the map-stage compute or the ratio measures
+        # overhead, not scaling.
         scaling_convs = max(args.convs, int(os.environ.get(
-            "SPARK_GRAFT_SCALING_CONVS", "100000")))
+            "SPARK_GRAFT_SCALING_CONVS", "400000")))
         # "executor" := 4 pinned cores. N=1 executor (4 cores) vs 4N=4
         # executors (16 cores). Beyond ~16 active cores this VM is
         # memory-bandwidth-bound for ANY process layout (pure-Python

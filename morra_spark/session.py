@@ -40,10 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # big Arrow batches amortize per-batch model-scoring setup in the
-        # tagger stage (weights gather matrices are built once per batch);
-        # measured: 50k-row batches ~2x the 10k-batch stage throughput
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        # Arrow batch size balances per-batch amortization (weight-matrix
+        # setup) against JVM<->Python pipelining: a task's conversion and
+        # compute only overlap across batches, so one giant batch per
+        # task serializes them. Swept 8k/16k/50k on the flagship at 16
+        # cores: 16k wins (257k turns/s vs 216k at 50k, 186k at 8k).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
