@@ -34,6 +34,9 @@ class KGModel:
     # A10: per-UD-category FEATS perceptrons + joint feats-string model
     feats_sep: dict[str, PerceptronModel] | None = None
     feats_joint: PerceptronModel | None = None
+    # A8: backward level-1 POS + level-2 two-pass ensemble
+    pos_rev: PerceptronModel | None = None
+    pos2: PerceptronModel | None = None
     meta: dict = field(default_factory=dict)
 
     def _all_models(self):
@@ -41,8 +44,9 @@ class KGModel:
         yield self.ner
         for d in (self.ner_sep or {}, self.feats_sep or {}):
             yield from d.values()
-        if self.feats_joint is not None:
-            yield self.feats_joint
+        for m in (self.feats_joint, self.pos_rev, self.pos2):
+            if m is not None:
+                yield m
 
     def save(self, path: str) -> None:
         for m in self._all_models():

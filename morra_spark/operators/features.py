@@ -143,6 +143,33 @@ def ner_static_features(forms: pd.Series, upos: pd.Series, seq_ids: np.ndarray,
     }
 
 
+POS2_STATIC = ["form", "suf3", "shape", "first",
+               "f1p", "f1", "f1n", "b1p", "b1", "b1n"]
+POS2_DYNAMIC = ["prev"]
+
+
+def pos2_static_features(shared: dict, fwd: pd.Series, bwd: pd.Series,
+                         seq_ids: np.ndarray) -> dict[str, pd.Series]:
+    """A8 level-2 POS families: the level-1 forward AND backward
+    predictions at i-1/i/i+1 (morra's MorphParser2 consumes both level-1
+    passes, including FUTURE context the greedy level-1 cannot see)."""
+    idx = fwd.index
+    f_np = fwd.to_numpy(dtype=object)
+    b_np = bwd.to_numpy(dtype=object)
+    return {
+        "form": shared["form"],
+        "suf3": shared["suf3"],
+        "shape": shared["shape"],
+        "first": shared["first"],
+        "f1": fwd,
+        "f1p": pd.Series(_shift_with_sentinel(f_np, seq_ids, 1, BOS), index=idx),
+        "f1n": pd.Series(_shift_with_sentinel(f_np, seq_ids, -1, EOS), index=idx),
+        "b1": bwd,
+        "b1p": pd.Series(_shift_with_sentinel(b_np, seq_ids, 1, BOS), index=idx),
+        "b1n": pd.Series(_shift_with_sentinel(b_np, seq_ids, -1, EOS), index=idx),
+    }
+
+
 def features_to_ids(model, feats: dict[str, pd.Series]) -> dict[str, np.ndarray]:
     """Map feature-string Series to weight-row id arrays (OOV → last row)."""
     out = {}

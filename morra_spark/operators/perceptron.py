@@ -96,11 +96,13 @@ class PerceptronModel:
 
     def train(self, sentences: list[list[dict[str, str]]], gold: list[list[str]],
               dynamic: tuple[str, ...] = ("prev", "prev2"),
-              epochs: int = 5, seed: int = 42) -> float:
+              epochs: int = 5, seed: int = 42, reverse: bool = False) -> float:
         """``sentences``: per token a dict family→feature-string (static
         families only). Dynamic prev/prev2 features are derived from
         *predicted* tags during the pass (morra parity). Returns final
-        train accuracy."""
+        train accuracy. ``reverse=True`` trains the backward variant
+        (morra's ``rev=True``): right-to-left decode, "prev" = the tag to
+        the RIGHT."""
         cls_id = {c: i for i, c in enumerate(self.classes)}
         rng = random.Random(seed)
         order = list(range(len(sentences)))
@@ -110,7 +112,10 @@ class PerceptronModel:
             good = total = 0
             for si in order:
                 prev, prev2 = "<S>", "<S>"
-                for tok_feats, g in zip(sentences[si], gold[si]):
+                pairs = list(zip(sentences[si], gold[si]))
+                if reverse:
+                    pairs = pairs[::-1]
+                for tok_feats, g in pairs:
                     feat_ids = {n: self.families[n].id_of(v) for n, v in tok_feats.items()}
                     if "prev" in self.families:
                         feat_ids["prev"] = self.families["prev"].id_of(prev)
@@ -148,8 +153,11 @@ class PerceptronModel:
             s += self.families[name].w[idarr]
         return s
 
-    def decode_batch(self, static: np.ndarray, starts: np.ndarray) -> np.ndarray:
-        """Greedy L→R decode, vectorized across sequences.
+    def decode_batch(self, static: np.ndarray, starts: np.ndarray,
+                     reverse: bool = False) -> np.ndarray:
+        """Greedy decode, vectorized across sequences; L→R by default,
+        R→L with ``reverse=True`` (the backward model's direction — its
+        "prev" families then refer to the token on the RIGHT).
 
         ``static``: (n_tokens, n_classes) static scores, tokens laid out
         sequence-after-sequence; ``starts``: (n_seqs+1,) offsets of each
@@ -183,9 +191,14 @@ class PerceptronModel:
         prev_cls = np.full(n_seqs, -1, np.int64)   # -1 == <S>
         prev2_cls = np.full(n_seqs, -1, np.int64)
         max_len = int(lens.max()) if n_seqs else 0
-        for p in range(max_len):
-            active = lens > p  # sequences still running at position p
-            tok_idx = seq_starts[active] + p
+        for step in range(max_len):
+            if reverse:
+                # position from the END of each sequence: lens-1-step
+                active = lens > step
+                tok_idx = seq_starts[active] + (lens[active] - 1 - step)
+            else:
+                active = lens > step  # sequences still running
+                tok_idx = seq_starts[active] + step
             scores = static[tok_idx]
             if w_prev is not None:
                 scores = scores + w_prev[map_prev[prev_cls[active]]]

@@ -129,6 +129,26 @@ def _run_cascade(model, forms_list: list, seq_ids: np.ndarray,
         bf = FF.BatchFeatures(forms_list, seq_ids)
         pos_ids = FF.pos_feature_ids(model.pos, bf, model.dict_tag)
         pred = model.pos.decode_batch(model.pos.static_scores(pos_ids, n), starts)
+        # A8 two-pass ensemble (opt-in): backward level-1 pass + level-2
+        # model consuming both passes' context (incl. future tags)
+        pos2 = getattr(model, "pos2", None)
+        if pos2 is not None and model.meta.get("pos_mode") == "two_pass":
+            rev_ids = FF.pos_feature_ids(model.pos_rev, bf, model.dict_tag)
+            pred_b = model.pos_rev.decode_batch(
+                model.pos_rev.static_scores(rev_ids, n), starts, reverse=True)
+            p2_ids = {
+                "form": FF._ids_for(pos2.families["form"], bf.fn),
+                "suf3": FF._ids_for(pos2.families["suf3"], bf.suf3),
+                "shape": FF._shape_ids(pos2.families["shape"], bf.forms),
+                "first": FF._first_ids(pos2.families["first"], seq_ids),
+            }
+            ftab = FF.class_row_tables(pos2, ("f1", "f1p", "f1n"), classes_pos)
+            p2_ids.update(FF.tag_context_ids(ftab, pred, seq_ids,
+                                             ("f1", "f1p", "f1n")))
+            btab = FF.class_row_tables(pos2, ("b1", "b1p", "b1n"), classes_pos)
+            p2_ids.update(FF.tag_context_ids(btab, pred_b, seq_ids,
+                                             ("b1", "b1p", "b1n")))
+            pred = pos2.decode_batch(pos2.static_scores(p2_ids, n), starts)
         upos_np = np.array(classes_pos, dtype=object)[pred]
         lemma_np = FF.lemmatize_fast(
             pc.utf8_lower(bf.forms), pa.array(upos_np, pa.string()),

@@ -101,5 +101,24 @@ def run_stage(spark: SparkSession, *, input_df: DataFrame, stage: str,
         fps.unpersist()
 
 
+def lineage_report(spark: SparkSession, ckpt_dir: str) -> DataFrame:
+    """B-A4 metrics rollup over the checkpoint table: row counters by
+    (run_id, stage), by run_id, and grand total — the per-run progress /
+    throughput report the north rule's "per-partition lineage + metrics"
+    mandate asks for. NULL grouping levels are labelled 'ALL'."""
+    ckpt = spark.read.parquet(ckpt_dir)
+    return (ckpt.rollup("run_id", "stage")
+            .agg(F.count(F.lit(1)).alias("n_partitions"),
+                 F.sum("n_in").alias("rows_in"),
+                 F.sum("n_out").alias("rows_out"),
+                 F.min("ts").alias("first_ts"),
+                 F.max("ts").alias("last_ts"))
+            .select(F.coalesce("run_id", F.lit("ALL")).alias("run_id"),
+                    F.coalesce("stage", F.lit("ALL")).alias("stage"),
+                    "n_partitions", "rows_in", "rows_out",
+                    "first_ts", "last_ts")
+            .orderBy("run_id", "stage"))
+
+
 def new_run_id() -> str:
     return uuid.uuid4().hex[:12]

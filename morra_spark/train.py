@@ -98,6 +98,25 @@ def train_models(gold: pd.DataFrame, lex: Lexicon, epochs: int = 5, seed: int = 
     pred_pos = pd.Series(np.array(POS_CLASSES, dtype=object)[pred_pos_ids],
                          index=gold.index)
 
+    # ---- POS level-2 (A8): backward level-1 + two-pass ensemble ----
+    # [PK] morra/morph_parser2.py::MorphParser2 — a rev=True level-1
+    # model plus a second level consuming both passes' predictions
+    pos_rev = PerceptronModel.init(POS_CLASSES, FT.build_vocabs(
+        pos_feats, POS_CLASSES, FT.POS_DYNAMIC))
+    acc_pos_rev = pos_rev.train(sent_feats, gold_pos, epochs=epochs,
+                                seed=seed, reverse=True)
+    rev_static = pos_rev.static_scores(FT.features_to_ids(pos_rev, pos_feats),
+                                       len(gold))
+    pred_bwd = pd.Series(np.array(POS_CLASSES, dtype=object)[
+        pos_rev.decode_batch(rev_static, starts, reverse=True)],
+        index=gold.index)
+    pos2_feats = FT.pos2_static_features(shared, pred_pos, pred_bwd, seq_ids)
+    pos2 = PerceptronModel.init(POS_CLASSES, FT.build_vocabs(
+        pos2_feats, POS_CLASSES, FT.POS2_DYNAMIC))
+    pos2_sent = _to_token_dicts(pos2_feats, starts)
+    acc_pos2 = pos2.train(pos2_sent, gold_pos, dynamic=("prev",),
+                          epochs=epochs, seed=seed)
+
     # ---- NER, joint (A11) ----
     ner_feats = FT.ner_static_features(forms, pred_pos, seq_ids, gazetteer,
                                        shared=shared)
@@ -160,7 +179,10 @@ def train_models(gold: pd.DataFrame, lex: Lexicon, epochs: int = 5, seed: int = 
                     dict_tag=dict_tag, gazetteer=gazetteer,
                     entity_canon=entity_canon, entity_type=dict(lex.entity_type),
                     ner_sep=ner_sep, feats_sep=feats_sep, feats_joint=feats_joint,
+                    pos_rev=pos_rev, pos2=pos2,
                     meta={"train_acc_pos": acc_pos, "train_acc_ne": acc_ne,
+                          "train_acc_pos_rev": acc_pos_rev,
+                          "train_acc_pos2": acc_pos2,
                           "train_acc_ne_sep": acc_sep,
                           "train_acc_feats": acc_feats})
 

@@ -75,3 +75,35 @@ def test_feats_inference_matches_derivation(spark, fixture_dir, model):
         want = gold_feats(r.upos, r.form, r.lemma)
         ok += got == want
     assert ok / len(merged) >= 0.98, ok / len(merged)
+
+
+def test_two_pass_pos_accuracy(spark, fixture_dir, model):
+    """A8: level-2 two-pass POS matches gold ≥ level-1 on fixtures."""
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from morra_spark.operators.tagger import _annotate_pdf
+
+    assert getattr(model, "pos2", None) is not None, "retrain models/kg_model.pkl"
+    assert model.meta["train_acc_pos2"] >= 0.99
+
+    tr = (spark.read.parquet(f"{fixture_dir}/transcripts")
+          .filter(F.col("role") != "tool").limit(300).toPandas())
+    gold = spark.read.parquet(f"{fixture_dir}/gold_tokens").toPandas()
+
+    model.meta["ner_mode"] = None
+    model.meta["pos_mode"] = "two_pass"
+    try:
+        out = _annotate_pdf(tr, model)
+    finally:
+        model.meta.pop("pos_mode", None)
+    rows = []
+    for _, r in out.iterrows():
+        for t in r["tokens"]:
+            rows.append((r["conv_id"], r["turn_idx"], t["token_id"], t["upos"]))
+    pred = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "token_id", "upos2"])
+    merged = pred.merge(gold, on=["conv_id", "turn_idx", "token_id"])
+    assert len(merged) == len(pred)
+    acc = (merged["upos2"] == merged["upos"]).mean()
+    assert acc >= 0.98, acc

@@ -75,3 +75,18 @@ def test_hot_conversation_skew_knob(spark):
     mx = sizes.agg(F.max("count")).collect()[0][0]
     med = sizes.agg(F.expr("percentile_approx(count, 0.5)")).collect()[0][0]
     assert mx > med * 20  # heavy tail present
+
+
+def test_lineage_report(spark, pipeline_out):
+    """B-A4 rollup over the checkpoint table: totals line up."""
+    from morra_spark.plans import checkpoint as CK
+
+    out, res = pipeline_out
+    rep = CK.lineage_report(spark, f"{out}/checkpoint").collect()
+    rows = {(r.run_id, r.stage): r for r in rep}
+    total = rows[("ALL", "ALL")]
+    per_run = rows[(res["run_id"], "ALL")]
+    per_stage = rows[(res["run_id"], "extract_triples")]
+    assert per_stage.rows_out == res["n_triples"]
+    assert total.n_partitions >= per_run.n_partitions >= per_stage.n_partitions
+    assert per_run.rows_out >= res["n_triples"]

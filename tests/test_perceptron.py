@@ -98,3 +98,28 @@ def test_prune_drops_rare_feats_keeps_predictions():
     ids_after = np.array([m.families["f"].id_of(x) for x in ["big", "tiny", "zero", "oov"]])
     after = m.static_scores({"f": ids_after}, 4).argmax(axis=1)
     assert (before == after).all()
+
+
+def test_reverse_decode_uses_right_context():
+    """A8: the backward model's greedy pass must consume the RIGHT
+    neighbor's prediction (decode position order reversed)."""
+    import numpy as np
+
+    from morra_spark.operators.perceptron import Family, PerceptronModel
+
+    # two classes; prev family makes class B follow class B; static makes
+    # the LAST token strongly B, everything else neutral
+    prev_vocab = {"A": 0, "B": 1, "<S>": 2}
+    w_prev = np.array([[0.0, -1.0], [0.0, 5.0], [0.0, 0.0], [0.0, 0.0]],
+                      np.float32)
+    m = PerceptronModel(classes=["A", "B"],
+                        families={"prev": Family(vocab=prev_vocab, w=w_prev)},
+                        bias=np.zeros(2, np.float32))
+    static = np.array([[1.0, 0.0], [1.0, 0.0], [0.0, 3.0]], np.float32)
+    starts = np.array([0, 3])
+    fwd = m.decode_batch(static.copy(), starts)
+    bwd = m.decode_batch(static.copy(), starts, reverse=True)
+    # forward: A A B (prev=A discourages B until static wins at the end)
+    assert fwd.tolist() == [0, 0, 1]
+    # backward: starts at the B end; prev=B (+5) pulls the rest to B
+    assert bwd.tolist() == [1, 1, 1]

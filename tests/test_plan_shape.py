@@ -1,0 +1,76 @@
+"""Physical-plan regression guards (SURVEY.md §4.3): the triple path must
+stay map-only — shuffles only where the plan WANTS them, dictionary joins
+as broadcasts. Catches accidental exchanges before they cost at scale."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _spark_plan(df) -> str:
+    # executedPlan (post-EnsureRequirements) so Exchange nodes are
+    # present; with AQE it prints the initial physical plan, which is
+    # what we assert on (AQE can only merge/coalesce, not add shuffles)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffle_exchanges(plan: str) -> int:
+    # "Exchange hashpartitioning(...)" etc.; BroadcastExchange excluded
+    return len(re.findall(r"(?<!Broadcast)Exchange (hash|range|Single)", plan))
+
+
+def _broadcast_exchanges(plan: str) -> int:
+    return plan.count("BroadcastExchange")
+
+
+def test_triple_path_is_map_only(spark, fixture_dir, model):
+    """scan → mapInPandas → explode → 2 broadcast joins: ZERO shuffle
+    exchanges after the (possible) input re-balance."""
+    from morra_spark.model_artifact import KGModel
+    from morra_spark.operators.tagger import extract_turn_triples
+    from morra_spark.plans import checkpoint as CK
+    from morra_spark.plans.pipeline import entity_candidates_df, extract_triples
+
+    bc = spark.sparkContext.broadcast(model)
+    src = (spark.read.parquet(f"{fixture_dir}/transcripts")
+           .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+           .filter(F.col("role") != "tool"))
+    ann = CK.add_part_key(extract_turn_triples(src, bc), 64)
+    t = extract_triples(ann, entity_candidates_df(spark, model))
+
+    plan = _spark_plan(t)
+    # the only shuffles allowed are the ranking window on the TINY
+    # candidate-dictionary build side (inside the broadcast subtrees);
+    # the big triple stream must never hash-partition on its own keys
+    for stream_key in ("conv_id#", "turn_idx#", "part_key#", "subj#",
+                       "obj#", "text#"):
+        assert f"Exchange hashpartitioning({stream_key}" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan or "PythonMapInArrow" in plan
+
+
+def test_dict_join_is_broadcast_and_pruned(spark, fixture_dir):
+    """Parquet scan under a projection must prune columns (ReadSchema)."""
+    src = spark.read.parquet(f"{fixture_dir}/transcripts") \
+        .select("conv_id", "turn_idx").filter(F.col("turn_idx") > 2)
+    plan = _spark_plan(src)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"conv_id", "turn_idx"}, plan
+    assert "PushedFilters: []" not in plan  # turn_idx predicate pushed down
+
+
+def test_salted_reassembly_two_phase(spark, fixture_dir):
+    """Reassembly must be exactly two aggregation phases (partial per
+    (conv_id, salt), merge per conv_id) — 2 shuffle exchanges."""
+    from morra_spark.operators.reassembly import reassemble_conversations
+
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts")
+    conv = reassemble_conversations(tr, n_salt=8)
+    plan = _spark_plan(conv)
+    assert _shuffle_exchanges(plan) == 2, plan
