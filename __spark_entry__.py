@@ -537,6 +537,17 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprints(_t(spark, sf_dir, "documents"))
 
 
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only): binary media → stub decode →
+    perceptual-hash features → banded near-dup candidates."""
+    from morra_spark.operators.multimodal import (extract_image_features,
+                                                  near_dup_by_phash,
+                                                  synth_media)
+
+    media = synth_media(spark, n=128)
+    return near_dup_by_phash(extract_image_features(media), max_hamming=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hash_agg": q_hash_agg,
@@ -578,6 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "doc_fingerprint": q_doc_fingerprint,
+        "multimodal_phash_dedup": q_multimodal_phash_dedup,
     }
 
 

@@ -1,0 +1,63 @@
+"""Multimodal plumbing: schemas, deterministic stub decode, phash dedup
+recall-by-construction, frame sampling shapes."""
+
+from __future__ import annotations
+
+import pytest
+
+from morra_spark.operators.multimodal import (_decode_image_stub, _phash,
+                                              extract_image_features,
+                                              near_dup_by_phash,
+                                              sample_video_frames, synth_media)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return synth_media(spark, n=64).cache()
+
+
+def test_stub_decoder_deterministic():
+    a = _decode_image_stub(b"payload-1", 32, 24)
+    b = _decode_image_stub(b"payload-1", 32, 24)
+    c = _decode_image_stub(b"payload-2", 32, 24)
+    assert (a == b).all() and a.shape == (24, 32)
+    assert (a != c).any()
+    assert _phash(a) == _phash(b) != _phash(c)
+    with pytest.raises(ValueError):
+        _decode_image_stub(b"", 8, 8)
+
+
+def test_image_features_schema_and_rows(spark, media):
+    f = extract_image_features(media)
+    rows = f.collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(rows) == n_images
+    r = rows[0]
+    assert r.width == 64 and r.height == 48
+    assert 0.0 <= r.mean_luma <= 255.0
+    assert len(r.histogram) == 8 and abs(sum(r.histogram) - 1.0) < 1e-9
+    assert f.schema["phash"].dataType.simpleString() == "bigint"
+
+
+def test_phash_near_dup_finds_byte_duplicates(spark, media):
+    f = extract_image_features(media).cache()
+    pairs = near_dup_by_phash(f, max_hamming=0).collect()
+    # synth_media makes id pairs (8k, 8k+1) byte-identical where both are
+    # images -> identical phash, must all be found
+    expected = {(i, i + 1) for i in range(0, 64, 8)
+                if i % 5 != 0 and (i + 1) % 5 != 0}
+    got = {(r.ma, r.mb) for r in pairs}
+    assert expected <= got
+    assert all(r.hamming == 0 for r in pairs if (r.ma, r.mb) in expected)
+
+
+def test_video_frame_sampling(spark, media):
+    s = sample_video_frames(media, k=4)
+    rows = s.collect()
+    n_videos = media.filter("kind = 'video'").count()
+    assert len(rows) == n_videos * 4
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    for idxs in by_media.values():
+        assert sorted(idxs) == [0, 10, 20, 30]  # evenly spaced over 40
