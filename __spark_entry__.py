@@ -200,6 +200,30 @@ def q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type", "day"))
 
 
+def q_cube_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-A4 cube: all grouping-set combinations over (event_type, role
+    bucket) — the full metrics-report lattice."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "vbucket", F.when(F.col("value") >= 50, "high").otherwise("low"))
+    return (e.cube("event_type", "vbucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value"))
+            .select(F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                    F.coalesce("vbucket", F.lit("ALL")).alias("vbucket"),
+                    "n", "avg_value")
+            .orderBy("event_type", "vbucket"))
+
+
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-W3 bounded frame: centered 5-row moving average per user."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-2, 2))
+    return (e.select("event_id", "user_id",
+                     F.round(F.avg("value").over(w), 4).alias("mavg"))
+            .orderBy("event_id"))
+
+
 def q_collect_list_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-A5 ordered reassembly: per-user event-type sequence (the
     turns-per-conversation reassembly pattern) as a deterministic string."""
@@ -561,6 +585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_agg": q_distinct_agg,
         "hot_keys_topk": q_hot_keys_topk,
         "rollup_metrics": q_rollup_metrics,
+        "cube_metrics": q_cube_metrics,
+        "window_moving_avg": q_window_moving_avg,
         "collect_list_ordered": q_collect_list_ordered,
         "window_lag_gap": q_window_lag_gap,
         "window_rank_argmax": q_window_rank_argmax,
@@ -664,6 +690,21 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
             ORDER BY event_type, day
+        """,
+        "cube_metrics": """
+            WITH e AS (SELECT *, CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS vbucket
+                       FROM events)
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(vbucket, 'ALL') AS vbucket,
+                   COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+            FROM e GROUP BY CUBE(event_type, vbucket)
+            ORDER BY event_type, vbucket
+        """,
+        "window_moving_avg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS mavg
+            FROM events ORDER BY event_id
         """,
         "collect_list_ordered": """
             SELECT user_id, STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS type_seq
