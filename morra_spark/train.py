@@ -195,6 +195,31 @@ def train_models(gold: pd.DataFrame, lex: Lexicon, epochs: int = 5, seed: int = 
     return model
 
 
+def gold_tokens_from_conllu(spark, conllu_dir: str) -> pd.DataFrame:
+    """Train directly from a CoNLL-U corpus (the reference's native
+    training input, [PK] morra BaseParser.load_train_corpus): distributed
+    parse → gold-token rows in the shape ``train_models`` consumes.
+    MISC['NE'] carries the NE label (reference convention); multiword-
+    token range rows (id like '3-4') are skipped, like the reference
+    skips them for tagging."""
+    from pyspark.sql import functions as F
+
+    from morra_spark.sources.conllu import read_conllu
+
+    sents = read_conllu(spark, conllu_dir)
+    tok = (sents.select(
+        F.col("doc_path").alias("conv_id"),
+        F.col("sent_idx").alias("turn_idx"),
+        F.posexplode("tokens").alias("token_id", "t"))
+        .filter(~F.col("t.id").contains("-"))
+        .select("conv_id", "turn_idx", "token_id",
+                F.col("t.form").alias("form"),
+                F.lower(F.col("t.lemma")).alias("lemma"),
+                F.col("t.upos").alias("upos"),
+                F.coalesce(F.element_at("t.misc", "NE"), F.lit("O")).alias("ne")))
+    return tok.toPandas()
+
+
 def main() -> None:
     import argparse
     import os
@@ -207,12 +232,18 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=800)
     ap.add_argument("--epochs", type=int, default=5)
     ap.add_argument("--out", default="models/kg_model.pkl")
+    ap.add_argument("--from-conllu", default=None, metavar="DIR",
+                    help="train from a CoNLL-U corpus dir instead of the "
+                         "synthetic grammar (reference-native input)")
     args = ap.parse_args()
 
     spark = get_spark("train")
-    with tempfile.TemporaryDirectory() as td:
-        write_fixtures(spark, td, args.convs, seed=7, shuffle_rows=False)
-        gold = spark.read.parquet(f"{td}/gold_tokens").toPandas()
+    if args.from_conllu:
+        gold = gold_tokens_from_conllu(spark, args.from_conllu)
+    else:
+        with tempfile.TemporaryDirectory() as td:
+            write_fixtures(spark, td, args.convs, seed=7, shuffle_rows=False)
+            gold = spark.read.parquet(f"{td}/gold_tokens").toPandas()
     model = train_models(gold, Lexicon(seed=7), epochs=args.epochs)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     model.save(args.out)

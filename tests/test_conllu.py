@@ -55,3 +55,32 @@ def test_spark_read_write_round_trip(spark, tmp_path):
     assert back.count() == 4
     assert {r.sent_id for r in back.select("sent_id").collect()} == \
            {"s1", "s2", "s3", "s4"}
+
+
+def test_train_from_conllu_corpus(spark, tmp_path, model):
+    """Reference-native flow: export annotated turns to CoNLL-U, read the
+    corpus back, and produce gold-token rows train_models() can consume —
+    round-trip through the reference's own file format."""
+    import pyspark.sql.functions as F
+
+    from morra_spark.operators.tagger import annotate_turns
+    from morra_spark.sources.conllu import annotated_to_conllu_rows, write_conllu
+    from morra_spark.train import gold_tokens_from_conllu
+    from morra_spark.fixtures import gen_full
+
+    src = gen_full(spark, 20, seed=11).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts") \
+        .filter(F.col("role") != "tool")
+    ann = annotate_turns(src, spark.sparkContext.broadcast(model))
+    corpus = str(tmp_path / "corpus")
+    write_conllu(annotated_to_conllu_rows(ann), corpus)
+
+    gold = gold_tokens_from_conllu(spark, corpus)
+    assert len(gold) > 100
+    assert set(gold.columns) == {"conv_id", "turn_idx", "token_id",
+                                 "form", "lemma", "upos", "ne"}
+    assert gold["upos"].isin(
+        ["ADJ", "ADP", "DET", "NOUN", "PROPN", "PUNCT", "VERB"]).all()
+    assert (gold["ne"] != "").all()
+    # NE labels survived the MISC['NE'] round trip
+    assert (gold["ne"] != "O").any()
