@@ -422,6 +422,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("da", "db"))
 
 
+def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup materializer: lowest-doc_id survivor per distinct
+    text, duplicated input (union with itself) to force real collisions."""
+    from morra_spark.operators.dedup import dedup_exact_keep_first
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    shifted = d.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    return (dedup_exact_keep_first(d.unionByName(shifted))
+            .select("doc_id", "source")
+            .orderBy("doc_id"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup (rows-only: Spark-seeded hyperplanes):
+    duplicate the vectors under shifted ids so true near-dups exist."""
+    from morra_spark.operators.similarity import embedding_near_dup
+
+    e = _t(spark, sf_dir, "embeddings")
+    dup = e.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    return embedding_near_dup(e.unionByName(dup), threshold=0.999)
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search baseline: brute-force cosine top-k against the
     min-vec_id query vector, double-precision sequential dot product."""
@@ -603,8 +625,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_json_extract": q_map_json_extract,
         "text_quality": q_text_quality,
         "dedup_exact": q_dedup_exact,
+        "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "langid_heuristic": q_langid_heuristic,
         # rows-only (no oracle entry):
         "kg_annotate_documents": q_kg_annotate_documents,
@@ -808,6 +832,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct
             FROM documents GROUP BY source ORDER BY source
+        """,
+        "dedup_exact_keep": """
+            WITH u AS (
+              SELECT doc_id, text, source FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text, source FROM documents),
+            r AS (SELECT doc_id, source,
+                         ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn
+                  FROM u)
+            SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id
         """,
         "dedup_ngram_jaccard": """
             WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words

@@ -107,6 +107,21 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
+    """Exact-dedup materializer: one survivor per distinct text, the
+    lowest doc_id (deterministic). A ranking window over the text key —
+    at scale the window's hash partitioning distributes by text, so
+    mass-duplicate texts each land on a single partition but remain
+    bounded by their own duplicate count (salt if a single text
+    dominates)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (docs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn"))
+
+
 def doc_fingerprints(docs: DataFrame, n: int = 5) -> DataFrame:
     """(doc_id, fp_min, fp_full): winnowing-style min-shingle rolling-hash
     fingerprint + whole-text hash, for cheap containment/exact checks."""

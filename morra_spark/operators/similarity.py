@@ -47,6 +47,39 @@ def lsh_bucket_stats(emb: DataFrame, n_planes: int = 8) -> DataFrame:
             .orderBy("bucket"))
 
 
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
+                       n_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH hyperplane buckets
+    prune the candidate space (identical/near vectors share a bucket
+    with high probability), exact double-precision cosine verifies
+    within buckets. Returns (va, vb, cosine) with cosine ≥ threshold.
+
+    At 100 TB scale the bucket join is the only shuffle and its key is
+    hash-distributed; the quadratic exact check runs per bucket, bounded
+    by bucket occupancy (monitored via ``lsh_bucket_stats``)."""
+    dim = len(emb.select("embedding").first()[0])
+    b = lsh_bucket_ids(emb, n_planes=n_planes, dim=dim) \
+        .select("vec_id", "embedding", "bucket")
+    a_side = b.alias("a")
+    b_side = b.alias("b")
+    pairs = (a_side.join(b_side, (F.col("a.bucket") == F.col("b.bucket"))
+                         & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("va"),
+                     F.col("b.vec_id").alias("vb"),
+                     F.col("a.embedding").alias("ea"),
+                     F.col("b.embedding").alias("eb")))
+    dot = F.aggregate(F.zip_with("ea", "eb",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (pairs.withColumn("cosine", dot / (norm("ea") * norm("eb")))
+            .filter(F.col("cosine") >= threshold)
+            .select("va", "vb", F.round("cosine", 4).alias("cosine"))
+            .orderBy("va", "vb"))
+
+
 def cosine_topk(emb: DataFrame, query: DataFrame, k: int = 20,
                 vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k of ``emb`` against a 1-row ``query(q)`` frame —

@@ -71,3 +71,32 @@ def test_lsh_buckets_group_identical_vectors(spark):
          lsh_bucket_ids(emb, n_planes=6, dim=16).collect()}
     assert len({b[i] for i in range(4)}) == 1  # identical vectors -> same bucket
     assert b[9] != b[0]  # antipodal vector -> different bucket
+
+
+def test_dedup_exact_keep_first(spark, docs):
+    from pyspark.sql import functions as F
+
+    from morra_spark.operators.dedup import dedup_exact_keep_first
+
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 100)
+    out = dedup_exact_keep_first(docs.unionByName(dup)).collect()
+    ids = sorted(r.doc_id for r in out)
+    # docs 0 and 1 share text -> one survivor (id 0); others keep lowest id
+    assert ids == [0, 2, 3, 4]
+
+
+def test_embedding_near_dup_finds_duplicated_vectors(spark):
+    from pyspark.sql import functions as F
+
+    from morra_spark.operators.similarity import embedding_near_dup
+
+    rows = [(i, [float((i * 7 + j) % 13) + 1.0 for j in range(16)], 0)
+            for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    both = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 100))
+    pairs = {(r.va, r.vb): r.cosine
+             for r in embedding_near_dup(both, threshold=0.9999).collect()}
+    # every (i, i+100) exact duplicate must be found with cosine ~1
+    for i in range(12):
+        assert (i, i + 100) in pairs, pairs
+        assert abs(pairs[(i, i + 100)] - 1.0) < 1e-3
