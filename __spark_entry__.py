@@ -393,19 +393,35 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+NGRAM_DF_CAP = 100  # drop shingles shared by more docs: a ubiquitous
+# trigram is a quadratic hot key in the inverted-index self-join. The cap
+# is mirrored in the DuckDB oracle; at sf0.01/sf0.1 the max observed df is
+# 7/25, so results are unchanged locally while the guard is real at scale.
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: word-3-gram Jaccard via inverted-index
-    self-join (the scalable exact-verification stage behind MinHash)."""
+    self-join with a shingle document-frequency cap. The LSH-pruned form
+    (exact-score only MinHash candidates) is
+    ``morra_spark.operators.dedup.verify_lsh_candidates``; this standalone
+    inverted-index form is the SQL-oracled one."""
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim(F.col("text")), " ").alias("words"))
     w = F.col("words")
     # words is a projected column, not an inline split: higher-order
-    # lambdas get no CSE, an inline expression would re-split per element
+    # lambdas get no CSE, an inline expression would re-split per element.
+    # Index domain gated on size >= 3: short docs emit no shingles instead
+    # of tripping ANSI INVALID_ARRAY_INDEX via element_at past the end.
+    idxs = F.when(F.size(w) >= 3, F.sequence(F.lit(0), F.size(w) - 3)) \
+        .otherwise(F.array().cast("array<int>"))
     tris = F.transform(
-        F.sequence(F.lit(0), F.size(w) - 3),
+        idxs,
         lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
                               F.element_at(w, i + 2), F.element_at(w, i + 3)))
-    grams = (d.select("doc_id", F.explode(tris).alias("tri")).distinct())
+    raw = (d.select("doc_id", F.explode(tris).alias("tri")).distinct())
+    wtri = Window.partitionBy("tri")
+    grams = (raw.withColumn("df", F.count(F.lit(1)).over(wtri))
+             .filter(F.col("df") <= NGRAM_DF_CAP).drop("df"))
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (a.join(b, (F.col("a.tri") == F.col("b.tri"))
@@ -849,9 +865,11 @@ def oracle_sql() -> dict[str, str]:
             g AS (SELECT doc_id,
                          UNNEST(GENERATE_SERIES(1, GREATEST(LEN(words) - 2, 0))) AS i,
                          words FROM w),
-            tg AS (SELECT DISTINCT doc_id,
+            tg0 AS (SELECT DISTINCT doc_id,
                           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS tri
                    FROM g),
+            tg AS (SELECT doc_id, tri FROM tg0
+                   QUALIFY COUNT(*) OVER (PARTITION BY tri) <= 100),
             sizes AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY doc_id),
             pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
                       FROM tg a JOIN tg b ON a.tri = b.tri AND a.doc_id < b.doc_id

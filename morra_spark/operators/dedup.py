@@ -9,8 +9,11 @@ tier limited only by the shuffle on (band_id, band_hash) /
 (prefix bucket), both of which are high-cardinality and skew-free by
 construction (hash-distributed keys).
 
-Exact n-gram-Jaccard verification of the LSH candidates lives in
-``__spark_entry__.q_dedup_ngram_jaccard`` (SQL-expressible, oracle-checked).
+Exact n-gram-Jaccard verification of the LSH candidates is
+``verify_lsh_candidates`` (cost bounded by the candidate pairs); the
+standalone inverted-index form — with a shingle document-frequency cap
+against hot-shingle blowup — is ``__spark_entry__.q_dedup_ngram_jaccard``
+(SQL-expressible, oracle-checked).
 """
 
 from __future__ import annotations
@@ -26,12 +29,19 @@ def _word_shingles(df: DataFrame, text_col: str = "text", n: int = 3):
     lambda: expressions referenced inside ``transform`` lambdas are not
     common-subexpression-eliminated, so an inline ``split()`` would re-split
     the text once per element access (O(len²) per doc).
+
+    Documents shorter than ``n`` words emit NO shingles: the index domain
+    is gated on ``size(words) >= n`` so ``element_at`` never reads past the
+    array end (Spark 4 ANSI mode turns that into a job-aborting
+    INVALID_ARRAY_INDEX instead of a null).
     """
     words_df = df.select(
         "doc_id", F.split(F.trim(F.col(text_col)), " ").alias("words"))
     w = F.col("words")
+    idxs = F.when(F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)) \
+        .otherwise(F.array().cast("array<int>"))
     tris = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - n, F.lit(0))),
+        idxs,
         lambda i: F.concat_ws(
             " ", *[F.element_at(w, i + j + 1) for j in range(n)]))
     return words_df.select("doc_id", F.explode(tris).alias("tri")).distinct()
@@ -79,6 +89,44 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32,
             .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
             .agg(F.count(F.lit(1)).alias("n_shared_bands"))
             .orderBy("da", "db"))
+
+
+def verify_lsh_candidates(pairs: DataFrame, docs: DataFrame, n: int = 3,
+                          threshold: float = 0.0) -> DataFrame:
+    """Exact word-n-gram Jaccard scores for LSH candidate pairs ONLY.
+
+    The production cascade is ``minhash_lsh_pairs`` → this: shingles are
+    computed just for docs that appear in a candidate pair (semi-join),
+    then each pair's intersection is assembled by routing the left doc's
+    shingles through the pair list and matching the right doc's shingles
+    on (db, tri) — every intermediate is bounded by |candidate pairs| ×
+    |shingles per doc|, never by the corpus-wide inverted index, so no
+    hot-shingle quadratic blowup is possible here regardless of how
+    common any shingle is.
+
+    Returns (da, db, jaccard ≥ threshold). Candidate pairs sharing no
+    shingle at all (possible via band-hash collisions) drop out (their
+    Jaccard is 0).
+    """
+    p = pairs.select("da", "db")
+    cand_docs = (p.select(F.col("da").alias("doc_id"))
+                 .unionByName(p.select(F.col("db").alias("doc_id")))
+                 .distinct())
+    g = _word_shingles(docs, n=n).join(cand_docs, "doc_id", "left_semi")
+    sizes = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ga = g.select(F.col("doc_id").alias("da"), "tri")
+    gb = g.select(F.col("doc_id").alias("db"), "tri")
+    inter = (p.join(ga, "da")
+             .join(gb, ["db", "tri"])
+             .groupBy("da", "db")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (inter.join(sa, "da").join(sb, "db")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
+            .filter(F.col("jaccard") >= threshold)
+            .select("da", "db", "jaccard"))
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:

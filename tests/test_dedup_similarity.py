@@ -100,3 +100,72 @@ def test_embedding_near_dup_finds_duplicated_vectors(spark):
     for i in range(12):
         assert (i, i + 100) in pairs, pairs
         assert abs(pairs[(i, i + 100)] - 1.0) < 1e-3
+
+
+def test_short_docs_no_ansi_crash(spark):
+    """Docs with fewer words than the shingle width must flow through the
+    whole shingle family without tripping ANSI INVALID_ARRAY_INDEX
+    (Spark 4 default) — they simply contribute no shingles."""
+    from morra_spark.operators.dedup import (_word_shingles, doc_fingerprints,
+                                             minhash_lsh_pairs)
+
+    rows = [(0, "only two"), (1, "one"), (2, ""),
+            (3, "alpha beta gamma delta epsilon"),
+            (4, "alpha beta gamma delta epsilon")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    tris = _word_shingles(d, n=3).collect()
+    assert all(r.doc_id in (3, 4) for r in tris)
+    pairs = {(r.da, r.db) for r in minhash_lsh_pairs(d).collect()}
+    assert pairs == {(3, 4)}  # short docs never pair, dup pair survives
+    fp = {r.doc_id: r.fp_min for r in doc_fingerprints(d, n=5).collect()}
+    assert fp[0] is None and fp[3] is not None  # no 5-gram -> null fp_min
+
+
+def test_ngram_jaccard_query_short_docs(spark, tmp_path):
+    """The oracled inverted-index query must survive sub-3-word docs
+    (ADVICE r1: unguarded sequence(0, size-3) crashed under ANSI)."""
+    import __spark_entry__ as E
+
+    rows = [(0, "a"), (1, "x y"), (2, "p q r s t u"), (3, "p q r s t u")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    d.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = E.q_dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    assert [(r.da, r.db) for r in out] == [(2, 3)]
+    assert out[0].jaccard == 1.0
+
+
+def test_ngram_df_cap_bounds_hot_shingle(spark, tmp_path):
+    """A shingle present in EVERY doc is dropped by the df cap before the
+    self-join: the quadratic bucket never materializes. With 60 docs all
+    sharing one hot trigram and otherwise disjoint text, the capped join
+    yields zero pairs (cap < 60), while uncapped it would yield C(60,2)."""
+    import __spark_entry__ as E
+
+    hot = "the same tri"
+    rows = [(i, f"{hot} unique{i}a unique{i}b unique{i}c") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    d.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    old = E.NGRAM_DF_CAP
+    try:
+        E.NGRAM_DF_CAP = 30
+        assert E.q_dedup_ngram_jaccard(spark, str(tmp_path)).count() == 0
+        E.NGRAM_DF_CAP = 100
+        n_uncapped = E.q_dedup_ngram_jaccard(spark, str(tmp_path)).count()
+        assert n_uncapped == 60 * 59 // 2
+    finally:
+        E.NGRAM_DF_CAP = old
+
+
+def test_verify_lsh_candidates_scores_only_candidates(spark, docs):
+    from morra_spark.operators.dedup import (minhash_lsh_pairs,
+                                             verify_lsh_candidates)
+
+    cands = minhash_lsh_pairs(docs)
+    scored = {(r.da, r.db): r.jaccard
+              for r in verify_lsh_candidates(cands, docs).collect()}
+    assert scored[(0, 1)] == 1.0            # exact dup
+    assert 0 < scored[(0, 2)] < 1.0         # near dup
+    assert all(da in (0, 1, 2) and db in (0, 1, 2) for da, db in scored)
+    # verify stage must agree with the standalone inverted-index jaccard
+    full = {(0, 1): 1.0}
+    assert scored[(0, 1)] == full[(0, 1)]
