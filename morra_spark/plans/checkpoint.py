@@ -5,12 +5,16 @@ counters to a checkpoint table so the pipeline resumes idempotently
 mid-run"); no analogue exists in the reference (SURVEY.md §2 B-S3/J5/J3).
 
 Design: every stage's output is partitioned by ``part_key =
-pmod(xxhash64(conv_id), P)``. A stage run appends one checkpoint row per
-part_key with row counters and an input fingerprint. Resume = read the
-checkpoint, take the latest status per (stage, part_key) **as-of now**
-(window row_number — B-J5), and anti-join (B-J3) the done part_keys out
-of the input before recomputing; finished partitions are never reread or
-rewritten, so re-running a completed run is a no-op.
+pmod(xxhash64(conv_id), P)``. A stage run commits data via DYNAMIC
+PARTITION OVERWRITE, then appends one checkpoint row per part_key with
+row counters and an input fingerprint. Resume = read the checkpoint,
+take the latest status per (stage, part_key) **as-of now** (window
+row_number — B-J5), and anti-join (B-J3) the done part_keys out of the
+input before recomputing; finished partitions are never reread or
+rewritten, and a part_key that crashed between its data write and its
+checkpoint row is *replaced* (not double-appended) on resume, so
+re-running at any interruption point converges to the uninterrupted
+output. Re-running a completed run is a no-op.
 
 The fingerprint is an order-insensitive xxhash64-xor over the
 partition's input rows — cheap (one shuffle-free aggregate over data the
@@ -77,23 +81,42 @@ def write_checkpoint(spark: SparkSession, ckpt_dir: str, run_id: str, stage: str
 def run_stage(spark: SparkSession, *, input_df: DataFrame, stage: str,
               run_id: str, out_dir: str, ckpt_dir: str,
               transform) -> None:
-    """Execute one resumable stage.
+    """Execute one resumable stage, idempotent across mid-stage crashes.
 
-    ``input_df`` must already carry ``part_key``. ``transform(df) -> df``
-    must preserve ``part_key``. Completed part_keys (per checkpoint) are
-    anti-joined away; output is appended partitioned by part_key.
+    ``input_df`` must already carry ``part_key``; ``transform(df) -> df``
+    must preserve ``part_key`` and be deterministic given its input
+    partition (the pipeline stages are). Completed part_keys (per
+    checkpoint) are anti-joined away.
+
+    Crash-safety contract: output is written with DYNAMIC PARTITION
+    OVERWRITE (only the part_key directories present in this run's output
+    are replaced; finished partitions are untouched). Data lands BEFORE
+    the checkpoint row, so a crash between the two leaves a partition
+    with data but no 'done' record — the resume then re-runs that
+    part_key and *replaces* its directory with identical content instead
+    of appending a duplicate. Re-running a completed run is a no-op.
+
+    Counters: ``n_out`` comes from reading back ONLY the partitions this
+    run just wrote (explicit ``part_key`` filter → partition pruning to
+    those directories; the count aggregates parquet footer row counts —
+    no historical output is ever rescanned, unlike a bare
+    ``read.parquet(out_dir)`` which at 100 TB would re-read every byte
+    ever written on every stage run).
     """
     done = read_done_parts(spark, ckpt_dir, run_id, stage)
     pending = input_df.join(done, "part_key", "left_anti")
 
     fps = partition_fingerprints(pending).persist()
     try:
-        if fps.limit(1).count() == 0:
+        pending_keys = [r.part_key for r in fps.select("part_key").collect()]
+        if not pending_keys:
             return  # everything done — resume is a no-op
         out = transform(pending)
-        out.write.mode("append").partitionBy("part_key").parquet(out_dir)
-        written = spark.read.parquet(out_dir).join(
-            fps.select("part_key"), "part_key", "left_semi")
+        (out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part_key").parquet(out_dir))
+        written = spark.read.parquet(out_dir).filter(
+            F.col("part_key").isin(pending_keys))
         n_out = written.groupBy("part_key").agg(F.count(F.lit(1)).alias("n_out"))
         stats = fps.join(n_out, "part_key", "left").fillna(0, subset=["n_out"])
         write_checkpoint(spark, ckpt_dir, run_id, stage, stats)
