@@ -155,15 +155,21 @@ def q_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B-J6 skew-salted join: big side salted by row-hash, small side
-    exploded over the salt domain; result ≡ the plain join (the oracle)."""
+    """B-J6 skew-salted SHUFFLE join — the real pattern for when the
+    skewed side's partner does NOT fit in a broadcast: the probe side is
+    salted by row-hash so one hot join key spreads over k shuffle
+    partitions, the other side is exploded over the salt domain, and the
+    join runs as a sort-merge join on (key, salt) (``hint('merge')``
+    keeps it off the broadcast path). Result ≡ the plain join (the
+    oracle). Salting a broadcast join would be pointless — a
+    BroadcastHashJoin has no probe-side shuffle partition to split."""
     li, p = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "part")
     k = 8
     lis = li.withColumn(
         "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(k)).cast("int"))
     ps = (p.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1))))
           .withColumn("salt", F.col("salt").cast("int")))
-    j = lis.join(F.broadcast(ps), (lis.l_partkey == ps.p_partkey)
+    j = lis.join(ps.hint("merge"), (lis.l_partkey == ps.p_partkey)
                  & (lis.salt == ps.salt))
     return (j.groupBy("p_brand")
             .agg(F.count(F.lit(1)).alias("n_lines"),

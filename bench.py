@@ -82,11 +82,17 @@ def micro_queries(spark, sf_dir: str) -> dict[str, float]:
     out: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):  # best-of-2: damp hypervisor noise bursts
+        # 1 untimed warmup + best-of-2 timed: the first execution of each
+        # query shape pays one-off JIT/codegen + broadcast-build costs
+        # (measured 8.5s cold vs 1.2s warm for broadcast_join_dim) that a
+        # long-running 100 TB job amortizes to zero — steady state is the
+        # scale-relevant signal.
+        for rep in range(3):
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            if rep > 0:
+                best = min(best, time.time() - t0)
         out[name] = round(best, 3)
     return out
 

@@ -74,3 +74,19 @@ def test_salted_reassembly_two_phase(spark, fixture_dir):
     conv = reassemble_conversations(tr, n_salt=8)
     plan = _spark_plan(conv)
     assert _shuffle_exchanges(plan) == 2, plan
+
+
+def test_salted_skew_join_is_sort_merge_on_salt(spark):
+    """B-J6 demo must salt a SHUFFLE join: SortMergeJoin keyed on
+    (join key, salt), zero broadcast of the exploded side (VERDICT r1:
+    salting a broadcast join splits nothing and 8x-explodes the build)."""
+    import __spark_entry__ as E
+
+    df = E.q_salted_skew_join(spark, "/root/testdata/sf0.001")
+    plan = _spark_plan(df)
+    assert "SortMergeJoin" in plan, plan
+    m = re.search(r"SortMergeJoin \[([^\]]*)\], \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "l_partkey#" in m.group(1) and "salt#" in m.group(1), plan
+    assert "p_partkey#" in m.group(2) and "salt#" in m.group(2), plan
+    assert "BroadcastHashJoin" not in plan, plan
