@@ -457,13 +457,17 @@ def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup (rows-only: Spark-seeded hyperplanes):
-    duplicate the vectors under shifted ids so true near-dups exist."""
+    """Embedding-cosine near-dup: multi-table LSH + exact verify, against
+    a brute-force all-pairs DuckDB oracle. Duplicating the vectors under
+    shifted ids plants true near-dups (cosine 1.0); the max cosine among
+    distinct vectors in this data is ~0.51, so at threshold 0.999 the LSH
+    cascade provably reaches full recall (identical vectors share every
+    bucket deterministically) and must equal the brute-force answer."""
     from morra_spark.operators.similarity import embedding_near_dup
 
     e = _t(spark, sf_dir, "embeddings")
     dup = e.withColumn("vec_id", F.col("vec_id") + 1_000_000)
-    return embedding_near_dup(e.unionByName(dup), threshold=0.999)
+    return embedding_near_dup(e.unionByName(dup), threshold=0.999, dim=64)
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,7 +599,7 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANN; rows-only)."""
     from morra_spark.operators.similarity import lsh_bucket_stats
 
-    return lsh_bucket_stats(_t(spark, sf_dir, "embeddings"))
+    return lsh_bucket_stats(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,7 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup": q_embedding_near_dup,  # oracled since r2
         "langid_heuristic": q_langid_heuristic,
         # rows-only (no oracle entry):
         "kg_annotate_documents": q_kg_annotate_documents,
@@ -900,6 +904,23 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings, q)
             SELECT vec_id, label, ROUND(c, 4) AS cosine
             FROM s ORDER BY c DESC, vec_id LIMIT 20
+        """,
+        "embedding_near_dup": """
+            WITH u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings),
+            p AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb,
+                     LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(a.embedding)),
+                       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                      * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+              FROM u a JOIN u b ON a.vec_id < b.vec_id)
+            SELECT va, vb, ROUND(c, 4) AS cosine
+            FROM p WHERE c >= 0.999 ORDER BY va, vb
         """,
         "langid_heuristic": """
             WITH w AS (SELECT doc_id, lang, STRING_SPLIT(TRIM(text), ' ') AS words
