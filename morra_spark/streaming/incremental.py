@@ -11,10 +11,14 @@ Design points for 10^12-turn scale:
 * watermark on ``ts`` bounds all windowed state; late turns beyond the
   watermark are dropped (and counted) rather than growing state forever;
 * stateful dedup uses ``dropDuplicatesWithinWatermark`` on
-  (conv_id, turn_idx) so replayed files don't double-emit triples;
-* ``foreachBatch`` reuses the batch writer → one code path for the sink,
-  and Structured Streaming's own checkpoint dir gives exactly-once
-  per-micro-batch re-execution semantics on restart.
+  (conv_id, turn_idx) so replayed INPUT files don't double-emit triples;
+* the SINK side is made idempotent separately (input dedup cannot help
+  when a micro-batch retries after a partial write): each micro-batch
+  writes to its own ``batch_id=<id>`` directory with mode=overwrite, so
+  a re-executed batch replaces its previous (possibly partial) output
+  instead of appending a second copy. Structured Streaming re-runs a
+  failed batch under the SAME batch_id, which is exactly the key the
+  sink overwrites on — together this gives end-to-end exactly-once.
 
 All entry points accept a built DataFrame so unit tests can drive them
 with ``trigger(availableNow=True)`` on a file source.
@@ -76,6 +80,28 @@ def sessionized_conversations(stream: DataFrame, gap: str = "30 minutes",
                     F.col("s.end").alias("s_end"), "n_turns"))
 
 
+def make_batch_writer(out_dir: str, candidates):
+    """Idempotent-per-micro-batch triple sink for ``foreachBatch``.
+
+    Output layout: ``{out_dir}/triples/batch_id=<id>/part_key=<k>/...`` —
+    the batch_id directory is OVERWRITTEN wholesale, so a batch retried
+    after a partial write (executor loss, job restart mid-commit)
+    replaces its own output rather than double-appending. Readers load
+    ``{out_dir}/triples`` and see batch_id as a partition column.
+    """
+    from pyspark.sql import DataFrame
+
+    from morra_spark.plans.pipeline import extract_triples
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract_triples(batch_df, candidates)
+        (out.repartition("part_key")
+            .write.mode("overwrite").partitionBy("part_key")
+            .parquet(f"{out_dir}/triples/batch_id={batch_id}"))
+
+    return write_batch
+
+
 def start_incremental_pipeline(spark: SparkSession, *, transcripts_path: str,
                                out_dir: str, model_path: str,
                                checkpoint_location: str,
@@ -90,7 +116,7 @@ def start_incremental_pipeline(spark: SparkSession, *, transcripts_path: str,
     from morra_spark.model_artifact import KGModel
     from morra_spark.operators.tagger import annotate_turns
     from morra_spark.plans import checkpoint as CK
-    from morra_spark.plans.pipeline import entity_candidates_df, extract_triples
+    from morra_spark.plans.pipeline import entity_candidates_df
 
     model = KGModel.load(model_path)
     model_bc = spark.sparkContext.broadcast(model)
@@ -99,11 +125,7 @@ def start_incremental_pipeline(spark: SparkSession, *, transcripts_path: str,
     stream = dedup_turns(read_transcript_stream(spark, transcripts_path))
     annotated = CK.add_part_key(annotate_turns(stream, model_bc), n_parts)
 
-    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract_triples(batch_df, candidates)
-        (out.repartition("part_key")
-            .write.mode("append").partitionBy("part_key")
-            .parquet(f"{out_dir}/triples"))
+    write_batch = make_batch_writer(out_dir, candidates)
 
     writer = (annotated.writeStream
               .option("checkpointLocation", checkpoint_location)

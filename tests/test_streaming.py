@@ -78,3 +78,29 @@ def test_incremental_pipeline_matches_batch(spark, fixture_dir, stream_src,
     gold = spark.read.parquet(f"{fixture_dir}/gold_triples")
     n_stream = streamed.count()
     assert n_stream == gold.count()
+
+
+def test_batch_retry_does_not_duplicate(spark, fixture_dir, model, tmp_path):
+    """ADVICE r1: foreachBatch + blind append double-wrote when a
+    micro-batch retried after a partial write. The sink is keyed by
+    batch_id and overwrites: re-invoking the SAME batch_id (what
+    Structured Streaming does on retry) must leave the output unchanged;
+    a NEW batch_id appends."""
+    from morra_spark.plans import checkpoint as CK
+    from morra_spark.operators.tagger import annotate_turns
+    from morra_spark.plans.pipeline import entity_candidates_df
+    from morra_spark.streaming.incremental import make_batch_writer
+
+    bc = spark.sparkContext.broadcast(model)
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts") \
+        .filter(F.col("role") != "tool")
+    ann = CK.add_part_key(annotate_turns(tr, bc), 16)
+    out = str(tmp_path / "retry_out")
+    write_batch = make_batch_writer(out, entity_candidates_df(spark, model))
+
+    write_batch(ann, 0)
+    n1 = spark.read.parquet(f"{out}/triples").count()
+    write_batch(ann, 0)  # retry of the same micro-batch
+    assert spark.read.parquet(f"{out}/triples").count() == n1
+    write_batch(ann, 1)  # genuinely new batch
+    assert spark.read.parquet(f"{out}/triples").count() == 2 * n1
