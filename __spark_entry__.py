@@ -62,10 +62,11 @@ def entry(spark: SparkSession) -> DataFrame:
     model = KGModel.load(MODEL_PATH)
     model_bc = spark.sparkContext.broadcast(model)
     docs = _docs_as_transcripts(_t(spark, "/root/testdata/sf0.001", "documents"))
-    src = docs.unionByName(_synthetic_transcripts(spark)) \
-              .filter(F.col("role") != "tool")
-    ann = CK.add_part_key(extract_turn_triples(src, model_bc), 64)
-    triples = extract_triples(ann, entity_candidates_df(spark, model))
+    src = docs.unionByName(_synthetic_transcripts(spark))
+    content = src.filter(F.col("role") != "tool")
+    ann = CK.add_part_key(extract_turn_triples(content, model_bc), 64)
+    triples = extract_triples(ann, entity_candidates_df(spark, model),
+                              turns=src)
     return (triples.groupBy("subj", "pred", "obj")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "subj", "pred", "obj")
@@ -141,6 +142,24 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("b.event_id").alias("b_id"),
                     F.col("a.user_id").alias("user_id"))
             .orderBy("a_id", "b_id"))
+
+
+def q_tool_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KG tool-turn alignment shape (B-W1 window form of B-J4; the
+    same operator `pipeline.tool_candidate_triples` uses): each
+    'tool-result' event (type = purchase) is attributed to the latest
+    PRECEDING non-purchase event of the same user — ordering window,
+    filtered to the tool-like rows."""
+    e = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    inv = F.last(F.when(F.col("event_type") != "purchase", F.col("event_id")),
+                 ignorenulls=True).over(w)
+    return (e.withColumn("invoking_id", inv)
+            .filter((F.col("event_type") == "purchase")
+                    & F.col("invoking_id").isNotNull())
+            .select("event_id", "user_id", "invoking_id")
+            .orderBy("event_id"))
 
 
 def q_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,10 +556,11 @@ def q_kg_flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morra_spark.plans.pipeline import entity_candidates_df, extract_triples
 
     model = KGModel.load(MODEL_PATH)
-    src = _synthetic_transcripts(spark, 120).filter(F.col("role") != "tool")
+    src = _synthetic_transcripts(spark, 120)
+    content = src.filter(F.col("role") != "tool")
     ann = CK.add_part_key(
-        extract_turn_triples(src, spark.sparkContext.broadcast(model)), 64)
-    t = extract_triples(ann, entity_candidates_df(spark, model))
+        extract_turn_triples(content, spark.sparkContext.broadcast(model)), 64)
+    t = extract_triples(ann, entity_candidates_df(spark, model), turns=src)
     return (t.groupBy("subj", "pred", "obj").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "subj", "pred", "obj").limit(50))
 
@@ -628,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "range_join": q_range_join,
+        "tool_alignment": q_tool_alignment,
         "asof_latest": q_asof_latest,
         "salted_skew_join": q_salted_skew_join,
         "distinct_agg": q_distinct_agg,
@@ -713,6 +734,18 @@ def oracle_sql() -> dict[str, str]:
               ON a.user_id = b.user_id
              AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1800 SECONDS
             ORDER BY a_id, b_id
+        """,
+        "tool_alignment": """
+            SELECT event_id, user_id, invoking_id
+            FROM (SELECT event_id, user_id, event_type,
+                         LAST_VALUE(CASE WHEN event_type != 'purchase'
+                                         THEN event_id END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS invoking_id
+                  FROM events)
+            WHERE event_type = 'purchase' AND invoking_id IS NOT NULL
+            ORDER BY event_id
         """,
         "asof_latest": """
             SELECT user_id, event_id, event_type, ROUND(value, 4) AS last_value

@@ -64,9 +64,10 @@ def run_flagship(spark, transcripts_path: str) -> tuple[float, int]:
     bc = spark.sparkContext.broadcast(model)
     src = load_transcripts(spark, transcripts_path)
     t0 = time.time()
-    slim = src.filter(F.col("role") != "tool")
-    ann = CK.add_part_key(extract_turn_triples(slim, bc), 64)
-    triples = extract_triples(ann, entity_candidates_df(spark, model))
+    content = src.filter(F.col("role") != "tool")
+    ann = CK.add_part_key(extract_turn_triples(content, bc), 64)
+    triples = extract_triples(ann, entity_candidates_df(spark, model),
+                              turns=src)
     n = triples.count()
     return time.time() - t0, n
 

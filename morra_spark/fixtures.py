@@ -79,14 +79,23 @@ def _gen_conversation(lex: Lexicon, conv_i: int, seed: int, hot_frac: float,
         turn_idx += 1
         if gapped and rng.random() < 0.15:
             turn_idx += 1  # 2% of convs get gapped indices (gap detection)
-        # 15% tool turns inserted after assistant turns
+        # 15% tool turns inserted after assistant turns. Gold for the
+        # tool-turn alignment operator: the tool use is attributed to the
+        # invoking turn's subject — the lexicographically smallest subj
+        # among that turn's triples (order-independent, so the pipeline
+        # can derive it from its own extraction without relying on
+        # intra-turn triple order). No invoking triples -> no gold.
         if role == "assistant" and rng.random() < 0.15:
             ts += rng.uniform(5.0, 90.0)
+            tool_name = rng.choice(_TOOLS)
+            g_tool = ([{"subj": min(s for s, _p, _o in triples),
+                        "pred": "used_tool", "obj": tool_name}]
+                      if triples else [])
             yield {
                 "conv_id": conv_id, "turn_idx": turn_idx, "role": "tool",
-                "text": tool_turn_text(rng), "tool": rng.choice(_TOOLS),
+                "text": tool_turn_text(rng), "tool": tool_name,
                 "ts": pd.Timestamp(int(ts * 1e6), unit="us", tz="UTC"),
-                "g_tokens": [], "g_triples": [],
+                "g_tokens": [], "g_triples": g_tool,
             }
             turn_idx += 1
             if gapped and rng.random() < 0.15:

@@ -86,8 +86,67 @@ def link_endpoints(triples: DataFrame, candidates: DataFrame) -> DataFrame:
     return triples
 
 
-def extract_triples(ann: DataFrame, candidates: DataFrame) -> DataFrame:
-    """turns_annotated → linked, canonicalized triple rows."""
+TOOL_PRED = "used_tool"
+
+
+def tool_candidate_triples(turns: DataFrame, ann: DataFrame,
+                           n_parts: int = 64) -> DataFrame:
+    """Tool-turn alignment → (subj, 'used_tool', tool_name) candidates.
+
+    Each ``role='tool'`` turn is attributed to its INVOKING turn — the
+    nearest preceding non-tool turn of the same conversation — and emits
+    one candidate triple at the tool turn's (conv_id, turn_idx). The
+    subject is the lexicographically smallest subj among the invoking
+    turn's extracted triples (order-independent, so stable under any
+    intra-turn extraction order and equal to the fixtures' gold rule);
+    tool turns whose invoking turn yielded no triples emit nothing.
+
+    Spark-first shape: a range join of tool turns against content turns
+    would work (B-J4 — the oracled ``range_join``/``tool_alignment``
+    queries prove that plan), but same-table alignment is cheaper as ONE
+    ordering window over (conv_id, turn_idx) on a narrow projection
+    (SURVEY §2 B-W1): no join, a single slim shuffle, and window state
+    is one struct per row, so hot conversations cannot OOM it.
+    """
+    first = ann
+    if "role" in first.columns:
+        first = first.filter(F.col("role") != "tool")
+    inv_min = F.array_min(F.transform(
+        "triples", lambda t: F.struct(t["subj"].alias("inv_subj"),
+                                      t["subj_ne"].alias("inv_subj_ne"))))
+    first = (first.filter(F.size("triples") > 0)
+             .select("conv_id", "turn_idx", inv_min.alias("m"))
+             .select("conv_id", "turn_idx", "m.inv_subj", "m.inv_subj_ne"))
+    seq = (turns.select("conv_id", "turn_idx", "role", "tool")
+           .join(first, ["conv_id", "turn_idx"], "left"))
+    w = (Window.partitionBy("conv_id").orderBy("turn_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    inv = F.last(F.when(F.col("role") != "tool",
+                        F.struct("inv_subj", "inv_subj_ne")),
+                 ignorenulls=True).over(w)
+    tool_rows = (seq.withColumn("inv", inv)
+                 .filter((F.col("role") == "tool")
+                         & F.col("tool").isNotNull()
+                         & F.col("inv.inv_subj").isNotNull())
+                 .select("conv_id", "turn_idx",
+                         F.col("inv.inv_subj").alias("subj"),
+                         F.lit(TOOL_PRED).alias("pred"),
+                         F.col("tool").alias("obj"),
+                         F.col("inv.inv_subj_ne").alias("subj_ne"),
+                         F.lit("Tool").alias("obj_ne")))
+    return CK.add_part_key(tool_rows, n_parts)
+
+
+def extract_triples(ann: DataFrame, candidates: DataFrame,
+                    turns: DataFrame | None = None,
+                    n_parts: int = 64) -> DataFrame:
+    """turns_annotated → linked, canonicalized triple rows.
+
+    With ``turns`` (the raw transcript rows including tool turns), the
+    tool-turn alignment branch contributes (subj, 'used_tool', tool)
+    candidates, unioned BEFORE linking so tool-use subjects canonicalize
+    through the same broadcast dictionary as everything else.
+    """
     t = ann
     if "role" in t.columns:
         t = t.filter(F.col("role") != "tool")
@@ -95,6 +154,8 @@ def extract_triples(ann: DataFrame, candidates: DataFrame) -> DataFrame:
                   F.explode("triples").alias("t"))
          .select("conv_id", "turn_idx", "part_key",
                  "t.subj", "t.pred", "t.obj", "t.subj_ne", "t.obj_ne"))
+    if turns is not None:
+        t = t.unionByName(tool_candidate_triples(turns, ann, n_parts))
     return link_endpoints(t, candidates)
 
 
@@ -121,10 +182,12 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
         # role filter runs JVM-side BEFORE the Python stage; the slim
         # triples-only schema keeps token/mention arrays out of the
         # Arrow transfer entirely (they are recomputable, not needed by
-        # the triple sink)
-        src_slim = pending.drop("part_key").filter(F.col("role") != "tool")
-        ann = CK.add_part_key(extract_turn_triples(src_slim, model_bc), n_parts)
-        out = extract_triples(ann, candidates)
+        # the triple sink). Tool turns skip annotation but feed the
+        # alignment branch (used_tool triples).
+        src_all = pending.drop("part_key")
+        content = src_all.filter(F.col("role") != "tool")
+        ann = CK.add_part_key(extract_turn_triples(content, model_bc), n_parts)
+        out = extract_triples(ann, candidates, turns=src_all, n_parts=n_parts)
         # hot-conversation salting for the sink: part_key alone would put a
         # 10^6-turn conversation's triples in one write task; spreading by
         # turn_idx-hash salt inside repartition keeps tasks bounded while

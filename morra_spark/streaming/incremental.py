@@ -88,13 +88,19 @@ def make_batch_writer(out_dir: str, candidates):
     after a partial write (executor loss, job restart mid-commit)
     replaces its own output rather than double-appending. Readers load
     ``{out_dir}/triples`` and see batch_id as a partition column.
+
+    Tool turns are aligned WITHIN the micro-batch (the annotated batch is
+    passed as both ``ann`` and ``turns``); a tool turn whose invoking
+    turn landed in an earlier batch emits nothing — cross-batch
+    alignment would need ``applyInPandasWithState`` keyed on conv_id,
+    documented as the streaming tier's known scope cut.
     """
     from pyspark.sql import DataFrame
 
     from morra_spark.plans.pipeline import extract_triples
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract_triples(batch_df, candidates)
+        out = extract_triples(batch_df, candidates, turns=batch_df)
         (out.repartition("part_key")
             .write.mode("overwrite").partitionBy("part_key")
             .parquet(f"{out_dir}/triples/batch_id={batch_id}"))

@@ -49,13 +49,22 @@ def test_ts_strictly_increasing_within_conv(spark, fixture_dir):
     assert bad == 0
 
 
-def test_tool_turns_have_tool_and_no_gold(spark, fixture_dir):
+def test_tool_turns_have_tool_and_used_tool_gold(spark, fixture_dir):
     tr = spark.read.parquet(f"{fixture_dir}/transcripts")
     assert tr.filter((F.col("role") == "tool") & F.col("tool").isNull()).count() == 0
     assert tr.filter((F.col("role") != "tool") & F.col("tool").isNotNull()).count() == 0
+    # tool turns carry gold exactly through the alignment rule: only
+    # used_tool triples, object = the turn's tool name, and only for
+    # tool turns whose invoking turn produced triples
     gold = spark.read.parquet(f"{fixture_dir}/gold_triples")
-    tools = tr.filter(F.col("role") == "tool").select("conv_id", "turn_idx")
-    assert gold.join(tools, ["conv_id", "turn_idx"], "left_semi").count() == 0
+    tools = tr.filter(F.col("role") == "tool") \
+        .select("conv_id", "turn_idx", "tool")
+    at_tool = gold.join(tools, ["conv_id", "turn_idx"])
+    assert at_tool.count() > 0
+    assert at_tool.filter(F.col("pred") != "used_tool").count() == 0
+    assert at_tool.filter(F.col("obj") != F.col("tool")).count() == 0
+    assert gold.filter(F.col("pred") == "used_tool") \
+        .join(tools, ["conv_id", "turn_idx"], "left_anti").count() == 0
 
 
 def test_gold_offsets_slice_text_exactly(spark, fixture_dir):

@@ -166,9 +166,26 @@ def test_turn_order_window_detects_gaps(spark, fixture_dir):
     assert with_turn_order(gappy).filter(F.col("turn_gap")).count() > 0
 
 
-def test_tool_turns_produce_no_triples(spark, pipeline_out, fixture_dir):
+def test_tool_turns_emit_only_used_tool_triples(spark, pipeline_out, fixture_dir):
+    """Tool turns contribute to the KG exactly through the alignment
+    branch: every triple at a tool turn's (conv_id, turn_idx) has
+    pred='used_tool', and the set matches gold exactly (subject = the
+    invoking turn's min-subj, object = the tool name)."""
     out, _ = pipeline_out
     pred = spark.read.parquet(f"{out}/triples")
-    tools = spark.read.parquet(f"{fixture_dir}/transcripts") \
-        .filter(F.col("role") == "tool").select("conv_id", "turn_idx")
-    assert pred.join(tools, ["conv_id", "turn_idx"], "left_semi").count() == 0
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts")
+    tools = tr.filter(F.col("role") == "tool").select("conv_id", "turn_idx")
+    at_tool = pred.join(tools, ["conv_id", "turn_idx"], "left_semi")
+    assert at_tool.count() > 0
+    assert at_tool.filter(F.col("pred") != "used_tool").count() == 0
+    assert at_tool.filter(F.col("obj_ne") != "Tool").count() == 0
+
+    gold = spark.read.parquet(f"{fixture_dir}/gold_triples") \
+        .filter(F.col("pred") == "used_tool")
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    a, b = at_tool.select(cols), gold.select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # some tool turns follow triple-less turns -> fewer gold rows than
+    # tool turns; both sides must agree on those skips (checked by the
+    # set equality above), and they must actually occur in the fixture
+    assert gold.count() < tools.count()
