@@ -10,8 +10,11 @@ code and the DuckDB SQL; aggregates over doubles are rounded so the
 driver's value-hash is stable across engines.
 
 KG-pipeline stages that are not SQL-expressible (perceptron tagging via
-mapInPandas, minhash banding with Spark-specific xxhash64) have
-``queries()`` entries only → driver records the rows-only check.
+mapInPandas, xxhash64 fast paths, float-hyperplane LSH, stub media
+decode) have ``queries()`` entries only → driver records the rows-only
+check. The minhash/simhash/fingerprint cascades are oracled through
+their ``portable=True`` md5-hash variants (bit-identical in DuckDB);
+xxhash64 remains the benched production family.
 """
 
 from __future__ import annotations
@@ -600,18 +603,28 @@ def q_kg_text_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidate pairs on documents (Spark xxhash64 — not
-    portable to DuckDB, rows-only)."""
+    """MinHash+LSH candidate pairs on documents, portable md5 hash family
+    — the ENTIRE cascade (shingle → 32 min-hashes → 8 bands → bucket
+    self-join) is replayed by the DuckDB oracle, value-hash-checked."""
+    from morra_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), portable=True)
+
+
+def q_dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same cascade with the production xxhash64 family (JVM-fast, not
+    DuckDB-replayable → rows-only). This is the variant bench times."""
     from morra_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup buckets on documents (rows-only)."""
+    """SimHash signatures + prefix16 buckets on documents, portable md5
+    word-hash family, oracle-checked bit-for-bit in DuckDB."""
     from morra_spark.operators.dedup import simhash_signatures
 
-    return simhash_signatures(_t(spark, sf_dir, "documents"))
+    return simhash_signatures(_t(spark, sf_dir, "documents"), portable=True)
 
 
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -623,10 +636,11 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting: per-doc min-shingle rolling hash (rows-only)."""
+    """Document fingerprinting: per-doc min-5-shingle hash + whole-text
+    hash, portable md5 family, oracle-checked in DuckDB."""
     from morra_spark.operators.dedup import doc_fingerprints
 
-    return doc_fingerprints(_t(spark, sf_dir, "documents"))
+    return doc_fingerprints(_t(spark, sf_dir, "documents"), portable=True)
 
 
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,15 +691,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,  # oracled since r2
         "langid_heuristic": q_langid_heuristic,
-        # rows-only (no oracle entry):
+        # oracled via the portable md5 hash family (since r2):
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        # rows-only (no oracle entry — perceptron decode, Spark-hash
+        # fast paths, float hyperplane LSH, stub media decode):
         "kg_annotate_documents": q_kg_annotate_documents,
         "kg_flagship_triples": q_kg_flagship_triples,
         "kg_mention_spans": q_kg_mention_spans,
         "kg_text_fidelity": q_kg_text_fidelity,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
+        "dedup_minhash_lsh_fast": q_dedup_minhash_lsh_fast,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
-        "doc_fingerprint": q_doc_fingerprint,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
     }
 
@@ -937,6 +954,71 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings, q)
             SELECT vec_id, label, ROUND(c, 4) AS cosine
             FROM s ORDER BY c DESC, vec_id LIMIT 20
+        """,
+        "dedup_minhash_lsh": """
+            WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(words) - 2, 0))) AS i,
+                         words FROM w),
+            tg AS (SELECT DISTINCT doc_id,
+                          words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS tri
+                   FROM g),
+            seeded AS (SELECT doc_id, tri, k
+                       FROM tg, (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS k)),
+            mh AS (SELECT doc_id, k,
+                          MIN(CAST('0x' || SUBSTRING(MD5(k || ':' || tri), 1, 15)
+                                   AS BIGINT)) AS mh
+                   FROM seeded GROUP BY doc_id, k),
+            bands AS (SELECT doc_id, k // 4 AS band_id,
+                             STRING_AGG(CAST(mh AS VARCHAR), ',' ORDER BY k) AS band_key
+                      FROM mh GROUP BY doc_id, k // 4),
+            pairs AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                             COUNT(*) AS n_shared_bands
+                      FROM bands a JOIN bands b
+                        ON a.band_id = b.band_id AND a.band_key = b.band_key
+                       AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT da, db, n_shared_bands FROM pairs ORDER BY da, db
+        """,
+        "dedup_simhash": """
+            WITH wd AS (SELECT doc_id,
+                               UNNEST(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' '))) AS word
+                        FROM documents),
+            h AS (SELECT doc_id,
+                         CAST('0x' || SUBSTRING(MD5(word), 1, 15) AS BIGINT) AS h
+                  FROM wd),
+            b AS (SELECT doc_id, j,
+                         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                  FROM h, (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS j)
+                  GROUP BY doc_id, j),
+            sim AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN s >= 0
+                                         THEN CAST(1 AS BIGINT) << j
+                                         ELSE 0 END) AS BIGINT) AS simhash
+                    FROM b GROUP BY doc_id)
+            SELECT doc_id, simhash,
+                   CAST(simhash >> 16 AS BIGINT) AS prefix16
+            FROM sim ORDER BY doc_id
+        """,
+        "doc_fingerprint": """
+            WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(words) - 4, 0))) AS i,
+                         words FROM w),
+            tg AS (SELECT DISTINCT doc_id,
+                          words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                                   || ' ' || words[i+3] || ' ' || words[i+4] AS tri
+                   FROM g),
+            mins AS (SELECT doc_id,
+                            MIN(CAST('0x' || SUBSTRING(MD5(tri), 1, 15) AS BIGINT)) AS fp_min
+                     FROM tg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST('0x' || SUBSTRING(MD5(d.text), 1, 15) AS BIGINT) AS fp_full,
+                   mins.fp_min
+            FROM documents d LEFT JOIN mins ON d.doc_id = mins.doc_id
+            ORDER BY d.doc_id
         """,
         "embedding_near_dup": """
             WITH u AS (

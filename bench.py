@@ -78,7 +78,7 @@ def micro_queries(spark, sf_dir: str) -> dict[str, float]:
 
     names = ["hash_agg", "sortmerge_join", "broadcast_join_dim",
              "salted_skew_join", "window_lag_gap", "sessionize",
-             "dedup_minhash_lsh", "ann_cosine_topk"]
+             "dedup_minhash_lsh_fast", "ann_cosine_topk"]
     qs = E.queries()
     out: dict[str, float] = {}
     for name in names:

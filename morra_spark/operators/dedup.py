@@ -47,17 +47,32 @@ def _word_shingles(df: DataFrame, text_col: str = "text", n: int = 3):
     return words_df.select("doc_id", F.explode(tris).alias("tri")).distinct()
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = 32) -> DataFrame:
+def _portable_hash60(col):
+    """Engine-portable 60-bit hash: the decimal value of the first 15 hex
+    chars of md5. Slower than xxhash64 (the default fast path) but
+    bit-identical in ANY engine with md5 — the ``portable=True`` variants
+    use it so the DuckDB oracle can replay the exact algorithm and the
+    driver gate upgrades these operators from rows-only to value-hashed.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
+                       portable: bool = False) -> DataFrame:
     """(doc_id, sig: array<long>) — k independent min-hashes per doc.
 
-    Each hash family is ``xxhash64(seed_i, shingle)``; the k families are
-    evaluated in one pass by exploding the seed domain (k small), then a
-    single partial-aggregating groupBy takes the per-family min.
+    Each hash family is ``xxhash64(seed_i, shingle)`` (or the portable
+    md5-based family); the k families are evaluated in one pass by
+    exploding the seed domain (k small), then a single
+    partial-aggregating groupBy takes the per-family min.
     """
     grams = _word_shingles(docs)
-    seeded = (grams.withColumn(
+    seeded = grams.withColumn(
         "i", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
-        .withColumn("h", F.xxhash64("i", "tri")))
+    h = (_portable_hash60(F.concat(F.col("i").cast("string"), F.lit(":"),
+                                   F.col("tri")))
+         if portable else F.xxhash64("i", "tri"))
+    seeded = seeded.withColumn("h", h)
     return (seeded.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
             .groupBy("doc_id")
             .agg(F.transform(
@@ -66,7 +81,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32) -> DataFrame:
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32,
-                      bands: int = 8) -> DataFrame:
+                      bands: int = 8, portable: bool = False) -> DataFrame:
     """Candidate near-duplicate pairs (da, db, n_shared_bands).
 
     Signature is cut into ``bands`` bands of r = k/bands rows; docs
@@ -74,13 +89,20 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32,
     pairs. Shuffle keys are (band_id, band_hash) — uniformly distributed,
     so the self-join never sees a hot key unless actual mass-duplicates
     exist (which is exactly the output).
+
+    ``portable=True`` uses the md5 hash family and the band's raw
+    value-string as the bucket key (exact equality, no re-hash), making
+    the whole cascade replayable in DuckDB.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes)
+    sig = minhash_signatures(docs, num_hashes, portable=portable)
+    band_slice = F.slice("sig", F.col("band_id") * r + 1, r)
+    band_key = (F.concat_ws(",", F.transform(band_slice,
+                                             lambda x: x.cast("string")))
+                if portable else F.xxhash64(band_slice))
     banded = (sig.withColumn(
         "band_id", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
-        .withColumn("band_hash",
-                    F.xxhash64(F.slice("sig", F.col("band_id") * r + 1, r)))
+        .withColumn("band_hash", band_key)
         .select("doc_id", "band_id", "band_hash"))
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -129,7 +151,8 @@ def verify_lsh_candidates(pairs: DataFrame, docs: DataFrame, n: int = 3,
             .select("da", "db", "jaccard"))
 
 
-def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
+def simhash_signatures(docs: DataFrame, bits: int = 32,
+                       portable: bool = False) -> DataFrame:
     """(doc_id, simhash, prefix16) — SimHash over word hashes.
 
     Per bit j: sum of ±1 contributions of each distinct word's hash bit,
@@ -139,7 +162,8 @@ def simhash_signatures(docs: DataFrame, bits: int = 32) -> DataFrame:
     words = (docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(F.trim(F.col("text")), " "))).alias("w"))
-        .withColumn("h", F.xxhash64("w")))
+        .withColumn("h", _portable_hash60(F.col("w")) if portable
+                    else F.xxhash64("w")))
     bit_sums = [
         F.sum(F.when(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(1) == 1,
                      1).otherwise(-1)).alias(f"b{j}")
@@ -170,10 +194,12 @@ def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
             .drop("rn"))
 
 
-def doc_fingerprints(docs: DataFrame, n: int = 5) -> DataFrame:
+def doc_fingerprints(docs: DataFrame, n: int = 5,
+                     portable: bool = False) -> DataFrame:
     """(doc_id, fp_min, fp_full): winnowing-style min-shingle rolling-hash
     fingerprint + whole-text hash, for cheap containment/exact checks."""
-    grams = _word_shingles(docs, n=n).withColumn("h", F.xxhash64("tri"))
+    h = _portable_hash60 if portable else F.xxhash64
+    grams = _word_shingles(docs, n=n).withColumn("h", h(F.col("tri")))
     mins = grams.groupBy("doc_id").agg(F.min("h").alias("fp_min"))
-    full = docs.select("doc_id", F.xxhash64("text").alias("fp_full"))
+    full = docs.select("doc_id", h(F.col("text")).alias("fp_full"))
     return full.join(mins, "doc_id", "left").orderBy("doc_id")
