@@ -32,7 +32,11 @@ import pyarrow.compute as pc
 
 from morra_spark.operators.features import BOS, EOS
 
-_DIGITS = r"\d+"
+# Unicode-aware RE2 classes, matching the Python reference path's
+# behavior (Python \d == \p{Nd}; Python \w ~= [\p{L}\p{N}_]): RE2's
+# bare \d/\w are ASCII-only, which made the two inference paths diverge
+# on non-ASCII text (ADVICE r1: 'ёлка' shaped as punct in the fast path)
+_DIGITS = r"\p{Nd}+"
 
 
 def _family_values(fam) -> pa.Array:
@@ -99,8 +103,8 @@ def _shift_ids(ids: np.ndarray, seq_ids: np.ndarray, k: int,
 def _shape_ids(fam, forms: pa.Array) -> np.ndarray:
     """shape ∈ {digit,punct,upper,cap,lower} — same precedence as
     features._shape, via RE2 kernels."""
-    is_digit = pc.match_substring_regex(forms, r"^\d+$")
-    is_punct = pc.match_substring_regex(forms, r"^[^\w\s]+$")
+    is_digit = pc.match_substring_regex(forms, r"^\p{Nd}+$")
+    is_punct = pc.match_substring_regex(forms, r"^[^\p{L}\p{N}_\s]+$")
     all_upper = pc.match_substring_regex(forms, r"^[A-Z0-9']+$")
     cap_first = pc.match_substring_regex(forms, r"^[A-Z]")
     lab = np.select(

@@ -24,6 +24,11 @@ def batch(model):
     rng = random.Random(9)
     texts = [gen_turn_text(lex, rng)[0] for _ in range(300)]
     texts += ["", "X1 9000 42", "ALL'CAPS UPPER99", "...", "a"]
+    # unicode edge text (ADVICE r1): cyrillic incl. ё, unicode digits,
+    # unicode punctuation, superscripts, combining marks, mixed scripts
+    texts += ["ёлка Ёлка ЁЛКА жюри", "١٢٣ ٤٥ 42", "«кавычки» — тире…",
+              "x² y³ µ§", "áb c̈d", "日本語 テスト",
+              "emoji 🙂 mix42ёz"]
     tok_lists = [tokenize_one(t) for t in texts]
     forms_list = [f for toks in tok_lists for (_s, _l, f) in toks]
     counts = np.array([len(t) for t in tok_lists])
