@@ -189,3 +189,24 @@ def test_tool_turns_emit_only_used_tool_triples(spark, pipeline_out, fixture_dir
     # tool turns; both sides must agree on those skips (checked by the
     # set equality above), and they must actually occur in the fixture
     assert gold.count() < tools.count()
+
+
+def test_chunked_reassembly_concatenates_to_exact_order(spark, fixture_dir):
+    """Bounded-state chunked reassembly: every chunk <= chunk_size, and
+    concatenating chunks in (conv_id, chunk_id) order reproduces the
+    unchunked per-conversation turn order exactly."""
+    from morra_spark.operators.reassembly import (
+        reassemble_conversations, reassemble_conversations_chunked)
+
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts")
+    chunked = reassemble_conversations_chunked(tr, chunk_size=4)
+    assert chunked.filter(F.col("n_turns") > 4).count() == 0
+
+    glued = (chunked
+             .groupBy("conv_id")
+             .agg(F.flatten(F.sort_array(F.collect_list(
+                 F.struct("chunk_id", "turns"))).turns).alias("turns")))
+    full = reassemble_conversations(tr).select("conv_id", "turns")
+    j = glued.withColumnRenamed("turns", "turns_c").join(full, "conv_id")
+    assert j.filter(F.col("turns_c") != F.col("turns")).count() == 0
+    assert j.count() == full.count()
