@@ -58,7 +58,8 @@ def entry(spark: SparkSession) -> DataFrame:
     +spans+triples, map-only) → broadcast entity linking → canonical
     (subj, pred, obj) counts, top-k. Driver checks rows > 0."""
     from morra_spark.model_artifact import KGModel
-    from morra_spark.plans.pipeline import entity_candidates_df, extract_triples
+    from morra_spark.plans.pipeline import (entity_candidates_df,
+                                            extract_triples_with_tools)
     from morra_spark.operators.tagger import extract_turn_triples
     from morra_spark.plans import checkpoint as CK
 
@@ -68,8 +69,8 @@ def entry(spark: SparkSession) -> DataFrame:
     src = docs.unionByName(_synthetic_transcripts(spark))
     content = src.filter(F.col("role") != "tool")
     ann = CK.add_part_key(extract_turn_triples(content, model_bc), 64)
-    triples = extract_triples(ann, entity_candidates_df(spark, model),
-                              turns=src)
+    triples = extract_triples_with_tools(
+        ann, entity_candidates_df(spark, model), src, 64)
     return (triples.groupBy("subj", "pred", "obj")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "subj", "pred", "obj")
@@ -149,7 +150,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_tool_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KG tool-turn alignment shape (B-W1 window form of B-J4; the
-    same operator `pipeline.tool_candidate_triples` uses): each
+    same operator `pipeline.tool_triples_from_extracted` uses): each
     'tool-result' event (type = purchase) is attributed to the latest
     PRECEDING non-purchase event of the same user — ordering window,
     filtered to the tool-like rows."""
@@ -556,14 +557,16 @@ def q_kg_flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morra_spark.model_artifact import KGModel
     from morra_spark.operators.tagger import extract_turn_triples
     from morra_spark.plans import checkpoint as CK
-    from morra_spark.plans.pipeline import entity_candidates_df, extract_triples
+    from morra_spark.plans.pipeline import (entity_candidates_df,
+                                            extract_triples_with_tools)
 
     model = KGModel.load(MODEL_PATH)
     src = _synthetic_transcripts(spark, 120)
     content = src.filter(F.col("role") != "tool")
     ann = CK.add_part_key(
         extract_turn_triples(content, spark.sparkContext.broadcast(model)), 64)
-    t = extract_triples(ann, entity_candidates_df(spark, model), turns=src)
+    t = extract_triples_with_tools(ann, entity_candidates_df(spark, model),
+                                   src, 64)
     return (t.groupBy("subj", "pred", "obj").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), "subj", "pred", "obj").limit(50))
 

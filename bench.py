@@ -58,7 +58,8 @@ def run_flagship(spark, transcripts_path: str) -> tuple[float, int]:
     from morra_spark.operators.tagger import extract_turn_triples
     from morra_spark.plans import checkpoint as CK
     from morra_spark.plans.pipeline import (entity_candidates_df,
-                                            extract_triples, load_transcripts)
+                                            extract_triples_with_tools,
+                                            load_transcripts)
 
     model = KGModel.load(MODEL_PATH)
     bc = spark.sparkContext.broadcast(model)
@@ -66,10 +67,14 @@ def run_flagship(spark, transcripts_path: str) -> tuple[float, int]:
     t0 = time.time()
     content = src.filter(F.col("role") != "tool")
     ann = CK.add_part_key(extract_turn_triples(content, bc), 64)
-    triples = extract_triples(ann, entity_candidates_df(spark, model),
-                              turns=src)
+    triples = extract_triples_with_tools(
+        ann, entity_candidates_df(spark, model), src, 64)
     n = triples.count()
-    return time.time() - t0, n
+    sec = time.time() - t0
+    # the annotate cache backing the two-branch union is per-run state:
+    # drop it so repeated timed runs measure from cold each time
+    spark.catalog.clearCache()
+    return sec, n
 
 
 def micro_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -181,7 +186,13 @@ def bench_once_pinned(n_executors: int, sf_dir: str, n_convs: int,
            "--convs", str(n_convs),
            "--master", f"local-cluster[{n_executors},{exec_cores},8192]"]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{total + driver_slack - 1}"] + cmd
+        # pin to the TOP of the core range: cores 0-3 host the system
+        # daemons on this box, and including them skews the smaller run
+        # disproportionately (its share of noisy cores is higher). Both
+        # layouts get fully dedicated cores + the same driver allowance.
+        ncpu = os.cpu_count() or 32
+        lo_core = max(0, ncpu - total - driver_slack)
+        cmd = ["taskset", "-c", f"{lo_core}-{ncpu - 1}"] + cmd
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_HOME=os.environ.get("SPARK_HOME", "/opt/spark"))
     out = subprocess.run(cmd, capture_output=True, text=True, env=env,

@@ -89,33 +89,40 @@ def link_endpoints(triples: DataFrame, candidates: DataFrame) -> DataFrame:
 TOOL_PRED = "used_tool"
 
 
-def tool_candidate_triples(turns: DataFrame, ann: DataFrame,
-                           n_parts: int = 64) -> DataFrame:
-    """Tool-turn alignment → (subj, 'used_tool', tool_name) candidates.
+def tool_triples_from_extracted(extracted: DataFrame, turns: DataFrame,
+                                n_parts: int = 64) -> DataFrame:
+    """Tool-turn alignment → (subj, 'used_tool', tool_name) triples.
 
     Each ``role='tool'`` turn is attributed to its INVOKING turn — the
     nearest preceding non-tool turn of the same conversation — and emits
-    one candidate triple at the tool turn's (conv_id, turn_idx). The
-    subject is the lexicographically smallest subj among the invoking
+    one triple at the tool turn's (conv_id, turn_idx). The subject is
+    the lexicographically smallest canonical subj among the invoking
     turn's extracted triples (order-independent, so stable under any
     intra-turn extraction order and equal to the fixtures' gold rule);
     tool turns whose invoking turn yielded no triples emit nothing.
 
+    ``extracted`` MUST be materialized or cached content triples (the
+    stage-1 parquet output in the production pipeline, a persisted
+    DataFrame in count-only paths): consuming the live annotation
+    DataFrame here would duplicate the whole perceptron cascade in the
+    physical plan — r2's first wiring did exactly that (2× MapInPandas,
+    scaling collapsed to 0.26) — and Catalyst would even broadcast the
+    Python-stage output. Subjects are already canonical (post-link), so
+    no second linking pass is needed.
+
     Spark-first shape: a range join of tool turns against content turns
     would work (B-J4 — the oracled ``range_join``/``tool_alignment``
     queries prove that plan), but same-table alignment is cheaper as ONE
-    ordering window over (conv_id, turn_idx) on a narrow projection
-    (SURVEY §2 B-W1): no join, a single slim shuffle, and window state
-    is one struct per row, so hot conversations cannot OOM it.
+    ordering window over (conv_id, turn_idx) on narrow projections
+    (SURVEY §2 B-W1): per-turn min-subj is a slim groupBy over the
+    already-materialized triple columns, and window state is one struct
+    per row, so hot conversations cannot OOM it.
     """
-    first = ann
-    if "role" in first.columns:
-        first = first.filter(F.col("role") != "tool")
-    inv_min = F.array_min(F.transform(
-        "triples", lambda t: F.struct(t["subj"].alias("inv_subj"),
-                                      t["subj_ne"].alias("inv_subj_ne"))))
-    first = (first.filter(F.size("triples") > 0)
-             .select("conv_id", "turn_idx", inv_min.alias("m"))
+    first = (extracted.filter(F.col("pred") != TOOL_PRED)
+             .groupBy("conv_id", "turn_idx")
+             .agg(F.min(F.struct(F.col("subj").alias("inv_subj"),
+                                 F.col("subj_ne").alias("inv_subj_ne")))
+                  .alias("m"))
              .select("conv_id", "turn_idx", "m.inv_subj", "m.inv_subj_ne"))
     seq = (turns.select("conv_id", "turn_idx", "role", "tool")
            .join(first, ["conv_id", "turn_idx"], "left"))
@@ -137,16 +144,10 @@ def tool_candidate_triples(turns: DataFrame, ann: DataFrame,
     return CK.add_part_key(tool_rows, n_parts)
 
 
-def extract_triples(ann: DataFrame, candidates: DataFrame,
-                    turns: DataFrame | None = None,
-                    n_parts: int = 64) -> DataFrame:
-    """turns_annotated → linked, canonicalized triple rows.
-
-    With ``turns`` (the raw transcript rows including tool turns), the
-    tool-turn alignment branch contributes (subj, 'used_tool', tool)
-    candidates, unioned BEFORE linking so tool-use subjects canonicalize
-    through the same broadcast dictionary as everything else.
-    """
+def extract_triples(ann: DataFrame, candidates: DataFrame) -> DataFrame:
+    """turns_annotated → linked, canonicalized content triple rows
+    (map-only + broadcast joins; tool-turn triples are a separate
+    downstream stage — ``tool_triples_from_extracted``)."""
     t = ann
     if "role" in t.columns:
         t = t.filter(F.col("role") != "tool")
@@ -154,9 +155,65 @@ def extract_triples(ann: DataFrame, candidates: DataFrame,
                   F.explode("triples").alias("t"))
          .select("conv_id", "turn_idx", "part_key",
                  "t.subj", "t.pred", "t.obj", "t.subj_ne", "t.obj_ne"))
-    if turns is not None:
-        t = t.unionByName(tool_candidate_triples(turns, ann, n_parts))
     return link_endpoints(t, candidates)
+
+
+def extract_triples_with_tools(ann: DataFrame, candidates: DataFrame,
+                               turns: DataFrame,
+                               n_parts: int = 64) -> DataFrame:
+    """Content triples ∪ tool-alignment triples in ONE pass — for paths
+    that never materialize stage 1 (entry(), bench, flagship query).
+
+    The exploded content stream is unioned with one skeleton row per raw
+    turn (subj null) and a single ordering window over conv_id fills the
+    tool subjects: rows sort (turn_idx ASC, subj DESC NULLS FIRST,
+    subj_ne DESC NULLS FIRST), so the LAST content-turn row strictly
+    before a tool row is the lexicographically-smallest (subj, subj_ne)
+    of the nearest preceding content turn — or that turn's null blocker
+    skeleton when it emitted no triples (then the tool turn emits
+    nothing). Same rule as ``tool_triples_from_extracted`` and the
+    fixtures' gold, without any per-turn aggregation.
+
+    Plan cost: the annotation cascade appears exactly ONCE (the union's
+    two branches are the Python stage and a raw-input projection — r2's
+    first wiring consumed the live annotation twice, doubling the
+    perceptron work and collapsing scaling to 0.26), plus one shuffle of
+    the narrow exploded stream for the window. The production pipeline
+    avoids even that shuffle by aligning against the materialized
+    stage-1 parquet (run_pipeline's stage 2).
+    """
+    content = extract_triples(ann, candidates) \
+        .withColumn("is_tool", F.lit(False))
+    # one skeleton row per RAW turn: tool turns are the rows to align;
+    # content turns act as BLOCKERS — a triple-less invoking turn must
+    # yield "no subject" (matching gold + tool_triples_from_extracted),
+    # not fall through to an older turn's triples. Blockers sort BEFORE
+    # their turn's real triple rows (nulls-first on the desc keys), so
+    # `last` only lands on one when the turn emitted nothing.
+    skeletons = (turns.select(
+        "conv_id", "turn_idx",
+        F.lit(None).cast("string").alias("subj"),
+        F.lit(TOOL_PRED).alias("pred"),
+        F.col("tool").alias("obj"),
+        F.lit(None).cast("string").alias("subj_ne"),
+        F.lit("Tool").alias("obj_ne"),
+        (F.col("role") == "tool").alias("is_tool")))
+    skeletons = CK.add_part_key(skeletons, n_parts)
+    u = content.unionByName(skeletons.select(*content.columns))
+    w = (Window.partitionBy("conv_id")
+         .orderBy("turn_idx", F.col("subj").desc_nulls_first(),
+                  F.col("subj_ne").desc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    inv = F.last(F.when(~F.col("is_tool"), F.struct("subj", "subj_ne")),
+                 ignorenulls=True).over(w)
+    return (u.withColumn("inv", inv)
+            .withColumn("subj", F.when(F.col("is_tool"), F.col("inv.subj"))
+                        .otherwise(F.col("subj")))
+            .withColumn("subj_ne", F.when(F.col("is_tool"),
+                                          F.col("inv.subj_ne"))
+                        .otherwise(F.col("subj_ne")))
+            .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+            .drop("inv", "is_tool"))
 
 
 def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
@@ -173,6 +230,8 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
 
     run_id = run_id or CK.new_run_id()
     triples_dir = f"{out_dir}/triples"
+    content_dir = f"{triples_dir}/source=content"
+    tool_dir = f"{triples_dir}/source=tool"
     ckpt_dir = f"{out_dir}/checkpoint"
 
     src = load_transcripts(spark, transcripts_path)
@@ -182,12 +241,10 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
         # role filter runs JVM-side BEFORE the Python stage; the slim
         # triples-only schema keeps token/mention arrays out of the
         # Arrow transfer entirely (they are recomputable, not needed by
-        # the triple sink). Tool turns skip annotation but feed the
-        # alignment branch (used_tool triples).
-        src_all = pending.drop("part_key")
-        content = src_all.filter(F.col("role") != "tool")
+        # the triple sink).
+        content = pending.drop("part_key").filter(F.col("role") != "tool")
         ann = CK.add_part_key(extract_turn_triples(content, model_bc), n_parts)
-        out = extract_triples(ann, candidates, turns=src_all, n_parts=n_parts)
+        out = extract_triples(ann, candidates)
         # hot-conversation salting for the sink: part_key alone would put a
         # 10^6-turn conversation's triples in one write task; spreading by
         # turn_idx-hash salt inside repartition keeps tasks bounded while
@@ -197,7 +254,25 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
             F.pmod(F.xxhash64("turn_idx"), F.lit(8)))
 
     CK.run_stage(spark, input_df=src, stage="extract_triples", run_id=run_id,
-                 out_dir=triples_dir, ckpt_dir=ckpt_dir, transform=transform)
+                 out_dir=content_dir, ckpt_dir=ckpt_dir, transform=transform)
+
+    def transform_tools(pending: DataFrame) -> DataFrame:
+        # Stage 2 aligns tool turns against the MATERIALIZED stage-1
+        # output (cheap narrow parquet scan) instead of the live
+        # annotation DataFrame — re-deriving it here would re-run the
+        # whole perceptron cascade a second time inside this plan.
+        # part_key is a pure function of conv_id, so each pending
+        # partition's conversations are fully self-contained and the
+        # read-back prunes to exactly the pending partitions.
+        extracted = spark.read.parquet(content_dir).join(
+            pending.select("part_key").distinct(), "part_key", "left_semi")
+        return tool_triples_from_extracted(
+            extracted, pending.drop("part_key"), n_parts) \
+            .repartition("part_key")
+
+    CK.run_stage(spark, input_df=src, stage="tool_triples", run_id=run_id,
+                 out_dir=tool_dir, ckpt_dir=ckpt_dir,
+                 transform=transform_tools)
 
     triples = spark.read.parquet(triples_dir)
     n_triples = triples.count()

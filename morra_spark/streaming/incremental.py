@@ -80,8 +80,15 @@ def sessionized_conversations(stream: DataFrame, gap: str = "30 minutes",
                     F.col("s.end").alias("s_end"), "n_turns"))
 
 
-def make_batch_writer(out_dir: str, candidates):
+def make_batch_writer(out_dir: str, candidates, model_bc,
+                      n_parts: int = 64):
     """Idempotent-per-micro-batch triple sink for ``foreachBatch``.
+
+    Takes the RAW (deduped) transcript batch and annotates INSIDE the
+    batch function: the alignment branch consumes the raw batch a second
+    time, and keeping annotation out of the shared lineage means only
+    the cheap source re-scan duplicates, never the perceptron cascade
+    (which runs exactly once per batch, on content turns only).
 
     Output layout: ``{out_dir}/triples/batch_id=<id>/part_key=<k>/...`` —
     the batch_id directory is OVERWRITTEN wholesale, so a batch retried
@@ -89,18 +96,23 @@ def make_batch_writer(out_dir: str, candidates):
     replaces its own output rather than double-appending. Readers load
     ``{out_dir}/triples`` and see batch_id as a partition column.
 
-    Tool turns are aligned WITHIN the micro-batch (the annotated batch is
-    passed as both ``ann`` and ``turns``); a tool turn whose invoking
+    Tool turns are aligned WITHIN the micro-batch (single-window union
+    form, ``extract_triples_with_tools``); a tool turn whose invoking
     turn landed in an earlier batch emits nothing — cross-batch
     alignment would need ``applyInPandasWithState`` keyed on conv_id,
     documented as the streaming tier's known scope cut.
     """
     from pyspark.sql import DataFrame
 
-    from morra_spark.plans.pipeline import extract_triples
+    from morra_spark.operators.tagger import extract_turn_triples
+    from morra_spark.plans import checkpoint as CK
+    from morra_spark.plans.pipeline import extract_triples_with_tools
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = extract_triples(batch_df, candidates, turns=batch_df)
+        content = batch_df.filter(F.col("role") != "tool")
+        ann = CK.add_part_key(extract_turn_triples(content, model_bc),
+                              n_parts)
+        out = extract_triples_with_tools(ann, candidates, batch_df, n_parts)
         (out.repartition("part_key")
             .write.mode("overwrite").partitionBy("part_key")
             .parquet(f"{out_dir}/triples/batch_id={batch_id}"))
@@ -120,8 +132,6 @@ def start_incremental_pipeline(spark: SparkSession, *, transcripts_path: str,
     Returns the StreamingQuery (caller awaits/stops it).
     """
     from morra_spark.model_artifact import KGModel
-    from morra_spark.operators.tagger import annotate_turns
-    from morra_spark.plans import checkpoint as CK
     from morra_spark.plans.pipeline import entity_candidates_df
 
     model = KGModel.load(model_path)
@@ -129,11 +139,10 @@ def start_incremental_pipeline(spark: SparkSession, *, transcripts_path: str,
     candidates = entity_candidates_df(spark, model)
 
     stream = dedup_turns(read_transcript_stream(spark, transcripts_path))
-    annotated = CK.add_part_key(annotate_turns(stream, model_bc), n_parts)
 
-    write_batch = make_batch_writer(out_dir, candidates)
+    write_batch = make_batch_writer(out_dir, candidates, model_bc, n_parts)
 
-    writer = (annotated.writeStream
+    writer = (stream.writeStream
               .option("checkpointLocation", checkpoint_location)
               .foreachBatch(write_batch)
               .outputMode("append"))

@@ -96,6 +96,7 @@ def test_lineage_report(spark, pipeline_out):
     total = rows[("ALL", "ALL")]
     per_run = rows[(res["run_id"], "ALL")]
     per_stage = rows[(res["run_id"], "extract_triples")]
-    assert per_stage.rows_out == res["n_triples"]
+    per_tools = rows[(res["run_id"], "tool_triples")]
+    assert per_stage.rows_out + per_tools.rows_out == res["n_triples"]
     assert total.n_partitions >= per_run.n_partitions >= per_stage.n_partitions
     assert per_run.rows_out >= res["n_triples"]

@@ -73,7 +73,7 @@ def test_resume_idempotency(spark, fixture_dir, model_path, pipeline_out):
 
     # simulate mid-run failure: drop 3 partitions + their checkpoint rows
     victims = []
-    for d in sorted(glob.glob(f"{out}/triples/part_key=*"))[:3]:
+    for d in sorted(glob.glob(f"{out}/triples/source=content/part_key=*"))[:3]:
         victims.append(int(d.split("=")[-1]))
         shutil.rmtree(d)
     ck = spark.read.parquet(f"{out}/checkpoint") \
@@ -107,7 +107,7 @@ def test_resume_after_crash_between_write_and_checkpoint(
     # forge the crash state: data for 3 part_keys is on disk, but their
     # checkpoint rows are gone (as if the job died between the two writes)
     victims = []
-    for d in sorted(glob.glob(f"{out}/triples/part_key=*"))[:3]:
+    for d in sorted(glob.glob(f"{out}/triples/source=content/part_key=*"))[:3]:
         victims.append(int(d.split("=")[-1]))
     assert victims
     ck = spark.read.parquet(f"{out}/checkpoint") \

@@ -90,3 +90,29 @@ def test_salted_skew_join_is_sort_merge_on_salt(spark):
     assert "l_partkey#" in m.group(1) and "salt#" in m.group(1), plan
     assert "p_partkey#" in m.group(2) and "salt#" in m.group(2), plan
     assert "BroadcastHashJoin" not in plan, plan
+
+
+def test_flagship_with_tools_annotates_once(spark, fixture_dir, model):
+    """The tool-alignment union must NOT duplicate the Python annotation
+    stage in the plan (r2 regression: consuming the live annotation
+    DataFrame twice doubled the perceptron work and collapsed N->4N
+    scaling to 0.26). Exactly one MapInPandas; the skeleton branch reads
+    the raw scan."""
+    from pyspark.sql import functions as F
+
+    from morra_spark.operators.tagger import extract_turn_triples
+    from morra_spark.plans import checkpoint as CK
+    from morra_spark.plans.pipeline import (entity_candidates_df,
+                                            extract_triples_with_tools)
+
+    bc = spark.sparkContext.broadcast(model)
+    src = (spark.read.parquet(f"{fixture_dir}/transcripts")
+           .select("conv_id", "turn_idx", "role", "text", "tool", "ts"))
+    content = src.filter(F.col("role") != "tool")
+    ann = CK.add_part_key(extract_turn_triples(content, bc), 64)
+    t = extract_triples_with_tools(ann, entity_candidates_df(spark, model),
+                                   src, 64)
+    plan = _spark_plan(t)
+    n_python = sum(plan.count(s) for s in
+                   ("MapInPandas", "ArrowEvalPython", "PythonMapInArrow"))
+    assert n_python == 1, plan

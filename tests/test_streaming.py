@@ -86,21 +86,19 @@ def test_batch_retry_does_not_duplicate(spark, fixture_dir, model, tmp_path):
     batch_id and overwrites: re-invoking the SAME batch_id (what
     Structured Streaming does on retry) must leave the output unchanged;
     a NEW batch_id appends."""
-    from morra_spark.plans import checkpoint as CK
-    from morra_spark.operators.tagger import annotate_turns
     from morra_spark.plans.pipeline import entity_candidates_df
     from morra_spark.streaming.incremental import make_batch_writer
 
     bc = spark.sparkContext.broadcast(model)
     tr = spark.read.parquet(f"{fixture_dir}/transcripts") \
-        .filter(F.col("role") != "tool")
-    ann = CK.add_part_key(annotate_turns(tr, bc), 16)
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     out = str(tmp_path / "retry_out")
-    write_batch = make_batch_writer(out, entity_candidates_df(spark, model))
+    write_batch = make_batch_writer(out, entity_candidates_df(spark, model),
+                                    bc, 16)
 
-    write_batch(ann, 0)
+    write_batch(tr, 0)
     n1 = spark.read.parquet(f"{out}/triples").count()
-    write_batch(ann, 0)  # retry of the same micro-batch
+    write_batch(tr, 0)  # retry of the same micro-batch
     assert spark.read.parquet(f"{out}/triples").count() == n1
-    write_batch(ann, 1)  # genuinely new batch
+    write_batch(tr, 1)  # genuinely new batch
     assert spark.read.parquet(f"{out}/triples").count() == 2 * n1
