@@ -130,9 +130,16 @@ def _run_cascade(model, forms_list: list, seq_ids: np.ndarray,
         pos_ids = FF.pos_feature_ids(model.pos, bf, model.dict_tag)
         pred = model.pos.decode_batch(model.pos.static_scores(pos_ids, n), starts)
         # A8 two-pass ensemble (opt-in): backward level-1 pass + level-2
-        # model consuming both passes' context (incl. future tags)
+        # model consuming both passes' context (incl. future tags).
+        # pos_mode='voting' adds the level-3 ensemble on top:
+        # [PK] morra/morph_parser3.py::MorphParser3 — per-token majority
+        # vote over the variant taggers (fwd, bwd, level-2); with three
+        # voters any 2-1 agreement wins and a 1-1-1 split falls to the
+        # strongest variant (level-2), so the vote is one vectorized
+        # np.where over the three id arrays.
         pos2 = getattr(model, "pos2", None)
-        if pos2 is not None and model.meta.get("pos_mode") == "two_pass":
+        mode = model.meta.get("pos_mode")
+        if pos2 is not None and mode in ("two_pass", "voting"):
             rev_ids = FF.pos_feature_ids(model.pos_rev, bf, model.dict_tag)
             pred_b = model.pos_rev.decode_batch(
                 model.pos_rev.static_scores(rev_ids, n), starts, reverse=True)
@@ -148,7 +155,11 @@ def _run_cascade(model, forms_list: list, seq_ids: np.ndarray,
             btab = FF.class_row_tables(pos2, ("b1", "b1p", "b1n"), classes_pos)
             p2_ids.update(FF.tag_context_ids(btab, pred_b, seq_ids,
                                              ("b1", "b1p", "b1n")))
-            pred = pos2.decode_batch(pos2.static_scores(p2_ids, n), starts)
+            pred2 = pos2.decode_batch(pos2.static_scores(p2_ids, n), starts)
+            if mode == "voting":
+                pred = np.where(pred == pred_b, pred, pred2)
+            else:
+                pred = pred2
         upos_np = np.array(classes_pos, dtype=object)[pred]
         lemma_np = FF.lemmatize_fast(
             pc.utf8_lower(bf.forms), pa.array(upos_np, pa.string()),
@@ -195,6 +206,20 @@ def _run_cascade(model, forms_list: list, seq_ids: np.ndarray,
                                        shared=shared)
     pos_ids = FT.features_to_ids(model.pos, pos_feats)
     pred = model.pos.decode_batch(model.pos.static_scores(pos_ids, n), starts)
+    # A8 level-2 / level-3 (same semantics as the Arrow path above)
+    pos2 = getattr(model, "pos2", None)
+    mode = model.meta.get("pos_mode")
+    if pos2 is not None and mode in ("two_pass", "voting"):
+        rev_ids = FT.features_to_ids(model.pos_rev, pos_feats)
+        pred_b = model.pos_rev.decode_batch(
+            model.pos_rev.static_scores(rev_ids, n), starts, reverse=True)
+        cls_np = np.array(classes_pos, dtype=object)
+        p2_feats = FT.pos2_static_features(
+            shared, pd.Series(cls_np[pred], dtype=object),
+            pd.Series(cls_np[pred_b], dtype=object), seq_ids)
+        p2_ids = FT.features_to_ids(pos2, p2_feats)
+        pred2 = pos2.decode_batch(pos2.static_scores(p2_ids, n), starts)
+        pred = np.where(pred == pred_b, pred, pred2) if mode == "voting" else pred2
     upos = pd.Series(np.array(classes_pos, dtype=object)[pred], dtype=object)
     lemma = lemmatize(forms.str.lower(), upos, model.lemma_rules)
     ner_feats = FT.ner_static_features(forms, upos, seq_ids, model.gazetteer,
