@@ -413,6 +413,25 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data accounting: whitespace tokens +
+    a BPE-ish regex segmentation (word / number / punctuation runs with
+    leading-space glue, the GPT-2 pretokenizer shape) + chars-per-token.
+    Map-only JVM regexes — the 100 TB shape is a pure scan."""
+    d = _t(spark, sf_dir, "documents")
+    trimmed = F.trim(F.col("text"))
+    ws = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))).cast("long")
+    bpe = F.size(F.expr(
+        r"regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+', 0)"
+    )).cast("long")
+    return (d.select(
+        "doc_id", ws.alias("n_ws_tokens"), bpe.alias("n_bpe_tokens"),
+        F.round(F.length("text") / F.greatest(bpe, F.lit(1)), 4)
+         .alias("chars_per_token"))
+        .orderBy("doc_id"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup accounting per source (hash-groupBy shape)."""
     d = _t(spark, sf_dir, "documents")
@@ -638,6 +657,40 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_stats(_t(spark, sf_dir, "embeddings"), dim=64)
 
 
+def _ivf_parts(spark: SparkSession, sf_dir: str):
+    from morra_spark.operators.similarity import train_ivf_centroids
+
+    e = _t(spark, sf_dir, "embeddings")
+    C = train_ivf_centroids(e, n_centroids=8, dim=64)
+    queries = (e.orderBy("vec_id").limit(3)
+               .select(F.col("vec_id").alias("qid"),
+                       F.col("embedding").alias("q")))
+    return e, queries, C
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, pruned probes (nprobe=2 of 8 centroids): per-query
+    top-10 scanning only the probed buckets (~1/4 of the corpus).
+    Rows-only — the k-means quantizer is not SQL-expressible; recall vs
+    brute force is gated in pytest (test_ivf_topk_recall_vs_brute_force)
+    and the oracled exact-probe variant below covers the full path."""
+    from morra_spark.operators.similarity import ann_ivf_topk
+
+    e, queries, C = _ivf_parts(spark, sf_dir)
+    return ann_ivf_topk(e, queries, C, k=10, nprobe=2).orderBy("qid", "rank")
+
+
+def q_ann_ivf_exactprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe == n_centroids probes EVERY bucket, so the result
+    equals brute-force top-k per query by construction — which makes the
+    whole IVF path (sample → k-means train → assign → probe → rescore →
+    per-query window top-k) SQL-oracle-checkable."""
+    from morra_spark.operators.similarity import ann_ivf_topk
+
+    e, queries, C = _ivf_parts(spark, sf_dir)
+    return ann_ivf_topk(e, queries, C, k=10, nprobe=8).orderBy("qid", "rank")
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: per-doc min-5-shingle hash + whole-text
     hash, portable md5 family, oracle-checked in DuckDB."""
@@ -688,6 +741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_tokens": q_array_tokens,
         "map_json_extract": q_map_json_extract,
         "text_quality": q_text_quality,
+        "token_count": q_token_count,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -706,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_text_fidelity": q_kg_text_fidelity,
         "dedup_minhash_lsh_fast": q_dedup_minhash_lsh_fast,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
     }
 
@@ -898,6 +954,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "token_count": """
+            SELECT doc_id,
+                   CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END
+                     AS n_ws_tokens,
+                   LEN(regexp_extract_all(text,
+                       ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')) AS n_bpe_tokens,
+                   ROUND(LEN(text) / GREATEST(
+                       LEN(regexp_extract_all(text,
+                           ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')), 1), 4)
+                     AS chars_per_token
+            FROM documents ORDER BY doc_id
+        """,
         "text_quality": """
             WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words
                        FROM documents)
@@ -957,6 +1026,24 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings, q)
             SELECT vec_id, label, ROUND(c, 4) AS cosine
             FROM s ORDER BY c DESC, vec_id LIMIT 20
+        """,
+        "ann_ivf_exactprobe": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+                       ORDER BY vec_id LIMIT 3),
+            s AS (SELECT q.qid, e.vec_id,
+                         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(e.embedding)),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                         / (SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * SQRT(LIST_SUM(LIST_TRANSFORM(q.qv,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+                  FROM embeddings e, q),
+            r AS (SELECT qid, vec_id, ROUND(c, 4) AS cosine,
+                         ROW_NUMBER() OVER (PARTITION BY qid
+                                            ORDER BY c DESC, vec_id) AS rank
+                  FROM s)
+            SELECT qid, vec_id, cosine, rank FROM r WHERE rank <= 10
+            ORDER BY qid, rank
         """,
         "dedup_minhash_lsh": """
             WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words

@@ -122,6 +122,112 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
             .orderBy("va", "vb"))
 
 
+# ---------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-bucketed scale path
+# ---------------------------------------------------------------------
+
+def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16,
+                        dim: int | None = None, sample: int = 4096,
+                        iters: int = 10, seed: int = 7,
+                        vec_col: str = "embedding") -> np.ndarray:
+    """Coarse quantizer: spherical mini k-means on a BOUNDED sample.
+
+    Sample-based training is the standard IVF recipe (FAISS-style): the
+    sample size is fixed, not proportional to the table, so driver cost
+    stays O(sample × dim × iters) at any corpus scale. The sample is
+    deterministic (crc32-of-id filter, id-ordered tiebreak), centroids
+    are unit-normalized (cosine ≡ dot after normalization), and empty
+    clusters are reseeded from the farthest points — so a fixed seed
+    reproduces the index bit-for-bit.
+    """
+    dim = dim or _probe_dim(emb, vec_col)
+    # deterministic pseudo-random sample: keep ids whose crc32 falls in
+    # a bucket range sized ~4x the target, cap with an id-ordered limit
+    pool = (emb.select("vec_id", vec_col)
+            .withColumn("h", F.crc32(F.col("vec_id").cast("string")) % 1000)
+            .orderBy("h", "vec_id").limit(sample))
+    X = np.array([r[vec_col] for r in pool.collect()], dtype=np.float64)
+    if len(X) == 0:
+        raise ValueError("empty embedding table")
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    k = min(n_centroids, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        sims = X @ C.T                       # (n, k), cosine == dot
+        assign = sims.argmax(axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                C[c] = v / max(np.linalg.norm(v), 1e-12)
+            else:  # reseed from the globally worst-served point
+                C[c] = X[sims.max(axis=1).argmin()]
+    return C
+
+
+def ivf_assign(emb: DataFrame, centroids: np.ndarray,
+               vec_col: str = "embedding") -> DataFrame:
+    """Add ``cid`` = nearest-centroid id. One vectorized Arrow batch
+    matmul per task (pandas UDF, centroids closed over as a small dense
+    matrix — broadcast-by-closure, ~k×dim floats); map-only, no shuffle.
+    At ingest time the assigned table is written partitioned/bucketed by
+    ``cid`` so probes become partition-pruned scans."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids.astype(np.float64)
+
+    @pandas_udf("int")
+    def nearest(v):  # pd.Series of lists
+        import pandas as pd
+
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series((X @ C.T).argmax(axis=1))
+
+    return emb.withColumn("cid", nearest(F.col(vec_col)))
+
+
+def ann_ivf_topk(emb: DataFrame, queries: DataFrame, centroids: np.ndarray,
+                 k: int = 10, nprobe: int = 2,
+                 vec_col: str = "embedding") -> DataFrame:
+    """IVF search: each query probes its ``nprobe`` nearest centroid
+    buckets; exact cosine runs only inside those buckets; window top-k
+    per query. Returns (qid, vec_id, cosine) with rank ≤ k.
+
+    100 TB shape: the (qid, cid) probe table is tiny → **broadcast**
+    against the cid-assigned corpus, so the big side never shuffles for
+    candidate selection; the only exchange is the per-query top-k over
+    candidates (~nprobe/n_centroids of the corpus per query). Recall is
+    tunable by nprobe with zero index rebuild.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+
+    C = centroids.astype(np.float64)
+    np_ = int(min(nprobe, len(C)))
+
+    @pandas_udf("array<int>")
+    def probe_cids(v):
+        import pandas as pd
+
+        X = np.asarray(v.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(X @ C.T), axis=1)[:, :np_]
+        return pd.Series(list(order.astype(np.int32)))
+
+    probes = (queries.select("qid", F.col("q").alias("qv"))
+              .withColumn("cid", F.explode(probe_cids(F.col("qv")))))
+    assigned = emb if "cid" in emb.columns else ivf_assign(emb, C, vec_col)
+    cand = assigned.join(F.broadcast(probes), "cid")
+    scored = cand.withColumn("cosine", _cosine(vec_col, "qv"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", "vec_id", F.round("cosine", 4).alias("cosine"),
+                    "rank"))
+
+
 def cosine_topk(emb: DataFrame, query: DataFrame, k: int = 20,
                 vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k of ``emb`` against a 1-row ``query(q)`` frame —

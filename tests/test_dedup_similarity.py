@@ -202,3 +202,76 @@ def test_multiband_lsh_recall_beats_single_table(spark):
         emb, threshold=0.99, n_tables=8, dim=32).collect()}
     assert want - single, "single table should miss some planted pairs"
     assert want <= multi, sorted(want - multi)
+
+
+def test_ivf_centroids_deterministic_and_unit(spark):
+    import numpy as np
+
+    from morra_spark.operators.similarity import train_ivf_centroids
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)], 0)
+            for i in range(200)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    c1 = train_ivf_centroids(emb, n_centroids=4, dim=16, sample=128)
+    c2 = train_ivf_centroids(emb, n_centroids=4, dim=16, sample=128)
+    assert (c1 == c2).all()  # bit-for-bit reproducible index
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """3 well-separated Gaussian clusters; every query's brute-force
+    top-5 must be recovered by IVF with nprobe=2 (recall@5 = 1.0 by
+    construction — clusters are far apart so the true neighbors live in
+    the probed buckets)."""
+    import numpy as np
+
+    from morra_spark.operators.similarity import (ann_ivf_topk,
+                                                  ivf_assign,
+                                                  train_ivf_centroids)
+
+    rng = np.random.default_rng(5)
+    centers = np.eye(3)
+    rows = []
+    for i in range(90):
+        c = centers[i % 3] + 0.05 * rng.standard_normal(3)
+        rows.append((i, [float(x) for x in c], i % 3))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    C = train_ivf_centroids(emb, n_centroids=3, dim=3, sample=90)
+    assigned = ivf_assign(emb, C).cache()
+
+    queries = spark.createDataFrame(
+        [(q, [float(x) for x in centers[q % 3] + 0.05 * rng.standard_normal(3)])
+         for q in range(6)], "qid long, q array<float>")
+    got = ann_ivf_topk(assigned, queries, C, k=5, nprobe=2).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r.vec_id)
+
+    # brute force per query via cosine_topk
+    from morra_spark.operators.similarity import cosine_topk
+
+    for q in queries.collect():
+        brute = [r.vec_id for r in cosine_topk(
+            emb, spark.createDataFrame([(q.q,)], "q array<float>"), k=5).collect()]
+        assert set(brute) == set(by_q[q.qid]), (q.qid, brute, by_q[q.qid])
+    assigned.unpersist()
+
+
+def test_ivf_assign_partitions_corpus_completely(spark):
+    import numpy as np
+
+    from morra_spark.operators.similarity import (ivf_assign,
+                                                  train_ivf_centroids)
+
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)], 0)
+            for i in range(50)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    C = train_ivf_centroids(emb, n_centroids=5, dim=8, sample=50)
+    out = ivf_assign(emb, C)
+    cids = [r.cid for r in out.select("cid").collect()]
+    assert len(cids) == 50 and all(0 <= c < 5 for c in cids)

@@ -1,0 +1,139 @@
+"""Property-based invariants (hypothesis) — SURVEY.md §5: the engine's
+row-level contracts must hold on ARBITRARY unicode input, not just the
+grammar fixtures. Pure-Python targets (tokenizer, cascade batch fn,
+shingle guards, decode) — no SparkSession needed, so the suite stays
+fast and deterministic (derandomized profile)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from morra_spark.operators.tokenizer import TOKEN_RE, detokenize, tokenize_one
+
+# arbitrary unicode incl. surrogont-free text, emoji, control chars
+TEXTS = st.text(max_size=300)
+
+
+@settings(max_examples=300, deadline=None)
+@given(TEXTS)
+def test_tokenizer_offsets_slice_back_exactly(text):
+    """(start, len) always slices the original text to the form —
+    the per-turn text-equality anchor (BASELINE.json input_hint)."""
+    toks = tokenize_one(text)
+    for start, length, form in toks:
+        assert text[start:start + length] == form
+        assert length == len(form) > 0
+    # offsets strictly increase and never overlap
+    ends = [s + l for s, l, _f in toks]
+    starts = [s for s, _l, _f in toks]
+    assert all(e <= s2 for e, s2 in zip(ends, starts[1:]))
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTS)
+def test_tokenizer_covers_all_non_space(text):
+    """Every non-whitespace character lands inside exactly one token —
+    nothing silently dropped, so annotation sees the whole turn."""
+    covered = np.zeros(len(text), bool)
+    for start, length, _form in tokenize_one(text):
+        assert not covered[start:start + length].any()  # no double-cover
+        covered[start:start + length] = True
+    for i, ch in enumerate(text):
+        if not ch.isspace():
+            assert covered[i], (i, ch)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXTS)
+def test_detokenize_roundtrip(text):
+    toks = tokenize_one(text)
+    spans = [(s, l) for s, l, _f in toks]
+    out = detokenize(text, spans)
+    if spans:
+        assert out == text[spans[0][0]:spans[-1][0] + spans[-1][1]]
+    else:
+        assert out == ""
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=8))
+def test_annotate_batch_total_on_arbitrary_text(model, texts):
+    """The fused cascade is TOTAL on arbitrary batches: never raises,
+    emits one output row per input row, every triple's strings are
+    non-null — the map-stage must survive any corpus byte soup."""
+    import pandas as pd
+
+    from morra_spark.operators.tagger import _annotate_pdf
+
+    pdf = pd.DataFrame({
+        "conv_id": [f"c{i}" for i in range(len(texts))],
+        "turn_idx": range(len(texts)),
+        "text": texts,
+    })
+    out = _annotate_pdf(pdf, model, triples_only=True)
+    assert len(out) == len(texts)
+    for tri_list in out["triples"]:
+        for t in tri_list:
+            assert t["subj"] and t["pred"] and t["obj"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.data())
+def test_decode_batch_matches_per_sequence_decode(data):
+    """Batch-vectorized greedy decode == decoding each sequence alone:
+    sequences in one Arrow batch can never influence each other."""
+    from morra_spark.operators.perceptron import Family, PerceptronModel
+
+    n_cls = data.draw(st.integers(2, 4))
+    vocab_n = 5
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**32 - 1)))
+    classes = [f"C{i}" for i in range(n_cls)]
+    prev_vocab = {c: i for i, c in enumerate(classes)}
+    prev_vocab["<S>"] = len(prev_vocab)
+    fams = {
+        "f": Family(vocab={f"v{i}": i for i in range(vocab_n)},
+                    w=rng.normal(size=(vocab_n + 1, n_cls)).astype(np.float32)),
+        "prev": Family(vocab=prev_vocab,
+                       w=rng.normal(size=(len(prev_vocab) + 1, n_cls)).astype(np.float32)),
+    }
+    m = PerceptronModel(classes=classes, families=fams,
+                        bias=rng.normal(size=n_cls).astype(np.float32))
+    lens = data.draw(st.lists(st.integers(1, 6), min_size=1, max_size=5))
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    n = int(starts[-1])
+    ids = {"f": rng.integers(0, vocab_n + 1, size=n)}
+    static = m.static_scores(ids, n)
+
+    batched = m.decode_batch(static, starts)
+    for s, e in zip(starts[:-1], starts[1:]):
+        solo = m.decode_batch(static[s:e], np.array([0, e - s]))
+        assert (batched[s:e] == solo).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(codec="utf-8"), max_size=20),
+                max_size=30))
+def test_lemmatize_fast_matches_pandas_reference(model, forms):
+    """Arrow-kernel lemmatizer == pandas reference lemmatizer on
+    arbitrary unicode forms (extends the fixed-corpus parity test of
+    test_features_fast to generated inputs)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from morra_spark.operators.features_fast import lemmatize_fast
+    from morra_spark.operators.lemmatizer import lemmatize
+
+    forms = [f for f in forms if f]
+    if not forms:
+        return
+    upos = ["NOUN", "VERB", "PROPN", "ADJ"] * (len(forms) // 4 + 1)
+    upos = upos[:len(forms)]
+    fast = lemmatize_fast(
+        pc.utf8_lower(pa.array(forms, pa.string())),
+        pa.array(upos, pa.string()), model.lemma_rules)
+    ref = lemmatize(pd.Series(forms, dtype=object).str.lower(),
+                    pd.Series(upos, dtype=object), model.lemma_rules)
+    assert list(fast) == ref.tolist()
