@@ -98,9 +98,9 @@ def make_batch_writer(out_dir: str, candidates, model_bc,
 
     Tool turns are aligned WITHIN the micro-batch (single-window union
     form, ``extract_triples_with_tools``); a tool turn whose invoking
-    turn landed in an earlier batch emits nothing — cross-batch
-    alignment would need ``applyInPandasWithState`` keyed on conv_id,
-    documented as the streaming tier's known scope cut.
+    turn landed in an earlier batch emits nothing HERE — cross-batch
+    alignment is provided by the keyed-state operator in
+    ``streaming.stateful`` (``applyInPandasWithState`` on conv_id).
     """
     from pyspark.sql import DataFrame
 

@@ -102,3 +102,51 @@ def test_batch_retry_does_not_duplicate(spark, fixture_dir, model, tmp_path):
     assert spark.read.parquet(f"{out}/triples").count() == n1
     write_batch(tr, 1)  # genuinely new batch
     assert spark.read.parquet(f"{out}/triples").count() == 2 * n1
+
+
+def test_stateful_cross_batch_tool_alignment(spark, fixture_dir, model_path,
+                                             tmp_path):
+    """applyInPandasWithState closes the per-batch scope cut: with the
+    transcript split so that later turns arrive in a LATER micro-batch
+    (maxFilesPerTrigger=1), tool turns whose invoking content turn was
+    in an earlier batch must still emit their used_tool triple — and the
+    full emitted set must equal gold exactly."""
+    import time
+
+    from morra_spark.streaming.stateful import start_stateful_tool_alignment
+
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts") \
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    # split at turn_idx 3: file 1 = early turns, file 2 = late turns ->
+    # cross-batch (conv order preserved: every early turn is in the
+    # earlier file)
+    src = str(tmp_path / "split_src")
+    early = tr.filter(F.col("turn_idx") <= 3)
+    late = tr.filter(F.col("turn_idx") > 3)
+    early.coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)  # file source orders by mod time: early file first
+    late.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "tool_out")
+    ckpt = str(tmp_path / "tool_ckpt")
+    q = start_stateful_tool_alignment(
+        spark, transcripts_path=src, out_dir=out, model_path=model_path,
+        checkpoint_location=ckpt, max_files_per_trigger=1,
+        trigger_available_now=True)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(f"{out}/tool_triples")
+    gold = spark.read.parquet(f"{fixture_dir}/gold_triples") \
+        .filter(F.col("pred") == "used_tool")
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    a, b = got.select(cols), gold.select(cols)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # the scenario genuinely exercises cross-batch state: a gold tool
+    # triple at the FIRST late turn (turn_idx 4) has its invoking
+    # content turn at turn_idx <= 3, i.e. in the earlier batch — the
+    # per-batch (stateless) aligner would have missed it
+    crossers = gold.join(
+        late.filter((F.col("role") == "tool") & (F.col("turn_idx") == 4))
+            .select("conv_id", "turn_idx"),
+        ["conv_id", "turn_idx"], "left_semi")
+    assert crossers.count() > 0
