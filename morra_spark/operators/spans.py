@@ -30,8 +30,9 @@ def assemble_batch_flat(texts: list[str], seq_ids: np.ndarray,
     (row_ids, subj, pred, obj, subj_ne, obj_ne) parallel lists, row_ids
     non-decreasing — ready for ``pa.ListArray.from_arrays`` offsets
     without building any per-row dicts."""
-    mcol, tcol = assemble_batch(texts, seq_ids, starts, tok_starts, tok_lens,
-                                lemma, upos, ne, forms)
+    _mcol, tcol = assemble_batch(texts, seq_ids, starts, tok_starts, tok_lens,
+                                 lemma, upos, ne, forms,
+                                 build_mentions=False)
     row_ids, subj, pred, obj, s_ne, o_ne = [], [], [], [], [], []
     for r, triples in enumerate(tcol):
         for t in triples:
@@ -44,7 +45,7 @@ def assemble_batch_flat(texts: list[str], seq_ids: np.ndarray,
 def assemble_batch(texts: list[str], seq_ids: np.ndarray, starts: np.ndarray,
                    tok_starts: np.ndarray, tok_lens: np.ndarray,
                    lemma: np.ndarray, upos: np.ndarray, ne: np.ndarray,
-                   forms: np.ndarray):
+                   forms: np.ndarray, build_mentions: bool = True):
     """Vectorized batch version of ``assemble_mentions_and_triples``:
     span boundaries, sentence ids, and verb→mention pairing are global
     numpy ops over the flat token arrays; Python only touches the (few)
@@ -52,11 +53,15 @@ def assemble_batch(texts: list[str], seq_ids: np.ndarray, starts: np.ndarray,
     to the per-row reference by ``tests/test_spans.py``.
 
     Returns (mentions_col, triples_col): per-turn lists of dicts in the
-    same shapes the Arrow schema expects.
+    same shapes the Arrow schema expects. ``build_mentions=False`` (the
+    triples-only flagship path) skips the per-mention output dicts,
+    surface slicing, and id bookkeeping — triples need only each
+    mention's lemma_norm + ne — measured ~25% of this function's time.
     """
     n = len(ne)
     n_rows = len(texts)
-    mentions_col: list[list[dict]] = [[] for _ in range(n_rows)]
+    mentions_col: list[list[dict]] = \
+        [[] for _ in range(n_rows)] if build_mentions else []
     triples_col: list[list[dict]] = [[] for _ in range(n_rows)]
     if n == 0:
         return mentions_col, triples_col
@@ -85,27 +90,24 @@ def assemble_batch(texts: list[str], seq_ids: np.ndarray, starts: np.ndarray,
     m_sent_start = sent_of[m_start]
 
     # per-mention strings (few mentions per batch relative to tokens)
-    m_surface = []
-    m_lemma_norm = []
-    m_ids = np.zeros(len(m_start), np.int64)
-    next_id: dict[int, int] = {}
-    for k in range(len(m_start)):
-        s, e = int(m_start[k]), int(m_end[k])
-        row = int(m_seq[k])
-        base = int(starts[row])
-        t0 = int(tok_starts[s])
-        t1 = int(tok_starts[e]) + int(tok_lens[e])
-        m_surface.append(texts[row][t0:t1])
-        m_lemma_norm.append(" ".join(lemma[s:e + 1]))
-        mid = next_id.get(row, 0)
-        next_id[row] = mid + 1
-        m_ids[k] = mid
-        mentions_col[row].append({
-            "mention_id": mid,
-            "tok_start": s - base, "tok_end": e - base,
-            "surface": m_surface[-1], "lemma_norm": m_lemma_norm[-1],
-            "ne_type": m_ne[k],
-        })
+    m_lemma_norm = [" ".join(lemma[int(s):int(e) + 1])
+                    for s, e in zip(m_start, m_end)]
+    if build_mentions:
+        next_id: dict[int, int] = {}
+        for k in range(len(m_start)):
+            s, e = int(m_start[k]), int(m_end[k])
+            row = int(m_seq[k])
+            base = int(starts[row])
+            t0 = int(tok_starts[s])
+            t1 = int(tok_starts[e]) + int(tok_lens[e])
+            mid = next_id.get(row, 0)
+            next_id[row] = mid + 1
+            mentions_col[row].append({
+                "mention_id": mid,
+                "tok_start": s - base, "tok_end": e - base,
+                "surface": texts[row][t0:t1],
+                "lemma_norm": m_lemma_norm[k], "ne_type": m_ne[k],
+            })
 
     verbs = np.nonzero(upos == "VERB")[0]
     if len(verbs) and len(m_start):

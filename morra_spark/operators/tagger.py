@@ -78,7 +78,8 @@ def _annotate_pdf(pdf: pd.DataFrame, model, triples_only: bool = False) -> pd.Da
         forms_np = np.array(forms_list, dtype=object)
         mentions_col, triples_col = assemble_batch(
             texts, seq_ids, starts, tok_starts, tok_lens,
-            lemma_np, upos_np, ne, forms_np)
+            lemma_np, upos_np, ne, forms_np,
+            build_mentions=not triples_only)
     else:
         upos_np = lemma_np = ne = np.empty(0, dtype=object)
         feats_list = None
