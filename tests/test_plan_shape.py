@@ -116,3 +116,31 @@ def test_flagship_with_tools_annotates_once(spark, fixture_dir, model):
     n_python = sum(plan.count(s) for s in
                    ("MapInPandas", "ArrowEvalPython", "PythonMapInArrow"))
     assert n_python == 1, plan
+
+
+def test_ivf_probe_join_broadcasts_and_single_python_stage(spark):
+    """IVF search plan shape: the tiny (qid, cid) probe table broadcasts
+    against the assigned corpus (the big side never shuffles for
+    candidate selection) and centroid assignment is ONE vectorized
+    Python stage; the only hash exchange is the per-query top-k window."""
+    import numpy as np
+
+    from morra_spark.operators.similarity import (ann_ivf_topk, ivf_assign,
+                                                  train_ivf_centroids)
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)], 0)
+            for i in range(100)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    C = train_ivf_centroids(emb, n_centroids=4, dim=8, sample=100)
+    queries = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8)], "qid long, q array<float>")
+    plan = _spark_plan(ann_ivf_topk(ivf_assign(emb, C), queries, C,
+                                    k=5, nprobe=2))
+    assert _broadcast_exchanges(plan) >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    # Python stages stay on the TINY sides (probe-cid UDF on queries,
+    # assignment on the pre-assigned input); the corpus-side join input
+    # must be a plain scan with no shuffle before the broadcast join
+    assert "ShuffledHashJoin" not in plan, plan
