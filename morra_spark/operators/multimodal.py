@@ -136,6 +136,101 @@ def sample_video_frames(media: DataFrame, k: int = 4) -> DataFrame:
             .mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA))
 
 
+RESIZED_SCHEMA = ("media_id long, width int, height int, payload binary")
+
+AUDIO_FEATURES_SCHEMA = ("media_id long, n_samples long, duration_s double,"
+                         " rms double, zero_cross_rate double")
+
+
+def _resize_nn(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize — REAL (decoder-independent) numpy
+    fancy-indexing, not part of the stub: works unchanged the day a
+    real decoder lands. Real impl upgrade path: PIL's Lanczos."""
+    h, w = img.shape
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows[:, None], cols[None, :]]
+
+
+def resize_images(media: DataFrame, out_w: int = 32,
+                  out_h: int = 32) -> DataFrame:
+    """image rows → fixed-size thumbnails (decode stubbed; the resize
+    itself is real). Output payload = raw row-major uint8 bytes of the
+    (out_h, out_w) frame — a real impl would re-encode (PNG) here; the
+    fixed-shape contract downstream operators rely on is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, meta in zip(
+                    pdf["media_id"].to_numpy(),
+                    pdf["payload"].to_numpy(),
+                    pdf["meta"].to_numpy()):
+                try:
+                    img = _decode_image_stub(payload, meta["width"],
+                                             meta["height"])
+                except ValueError:
+                    continue
+                small = _resize_nn(img, out_w, out_h)
+                rows.append({"media_id": media_id, "width": out_w,
+                             "height": out_h,
+                             "payload": bytearray(small.tobytes())})
+            yield pd.DataFrame(rows, columns=["media_id", "width",
+                                              "height", "payload"])
+
+    return (media.filter(F.col("kind") == "image")
+            .select("media_id", "payload", "meta")
+            .mapInPandas(run, schema=RESIZED_SCHEMA))
+
+
+def _decode_audio_stub(payload: bytes, sample_rate: int,
+                       n_samples: int | None = None) -> np.ndarray:
+    """STUB audio decoder — deterministic fake int16 PCM from the payload
+    hash (tiled), one second per 64 payload bytes. Real impl:
+    soundfile/ffmpeg → float PCM. Raises on empty payloads like a real
+    decoder."""
+    if not payload:
+        raise ValueError("empty media payload")
+    if n_samples is None:
+        n_samples = max(1, len(payload) // 64) * max(sample_rate, 1)
+    base = np.frombuffer(hashlib.blake2b(payload, digest_size=64).digest(),
+                         dtype=np.int8).astype(np.int16) * 128
+    reps = -(-n_samples // len(base))
+    return np.tile(base, reps)[:n_samples]
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """audio rows → duration / RMS / zero-crossing rate (decode stubbed;
+    the DSP is real vectorized numpy and survives a real decoder)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for media_id, payload, meta in zip(
+                    pdf["media_id"].to_numpy(),
+                    pdf["payload"].to_numpy(),
+                    pdf["meta"].to_numpy()):
+                sr = max(meta["sample_rate"] or 16000, 1)
+                try:
+                    pcm = _decode_audio_stub(payload, sr)
+                except ValueError:
+                    continue
+                x = pcm.astype(np.float64) / 32768.0
+                zc = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+                    if len(x) > 1 else 0.0
+                rows.append({"media_id": media_id, "n_samples": len(pcm),
+                             "duration_s": len(pcm) / sr,
+                             "rms": float(np.sqrt(np.mean(x * x))),
+                             "zero_cross_rate": zc})
+            yield pd.DataFrame(rows, columns=["media_id", "n_samples",
+                                              "duration_s", "rms",
+                                              "zero_cross_rate"])
+
+    return (media.filter(F.col("kind") == "audio")
+            .select("media_id", "payload", "meta")
+            .mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA))
+
+
 def near_dup_by_phash(features: DataFrame, max_hamming: int = 4) -> DataFrame:
     """Perceptual-hash near-dup candidates: band the 64-bit phash into 4
     x 16-bit keys (any equal band → candidate, guaranteeing recall for
@@ -168,7 +263,9 @@ def near_dup_by_phash(features: DataFrame, max_hamming: int = 4) -> DataFrame:
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic synthetic media table for tests: payload bytes from
-    a seeded hash; ~1/8 rows are byte-duplicates (near-dup fodder)."""
+    a seeded hash; ~1/8 rows are byte-duplicates (near-dup fodder).
+    ids [0, n) are image/video; n//8 audio rows follow at ids [n, n+n//8)
+    so kind-filtered counts stay stable for the image/video tests."""
     rows = []
     for i in range(n):
         base = i - (i % 8 == 1)  # every 8th pair duplicates the previous id
@@ -177,4 +274,9 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         kind = "video" if i % 5 == 0 else "image"
         rows.append((i, kind, bytearray(payload),
                      (64, 48, 40 if kind == "video" else 1, 16000, "fake")))
+    for j in range(n // 8):
+        payload = hashlib.blake2b(f"audio{seed}:{j}".encode(),
+                                  digest_size=32).digest() * 4
+        rows.append((n + j, "audio", bytearray(payload),
+                     (0, 0, 0, 16000, "fake")))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

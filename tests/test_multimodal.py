@@ -61,3 +61,37 @@ def test_video_frame_sampling(spark, media):
         by_media.setdefault(r.media_id, []).append(r.frame_idx)
     for idxs in by_media.values():
         assert sorted(idxs) == [0, 10, 20, 30]  # evenly spaced over 40
+
+
+def test_resize_real_nn_semantics_and_pipeline(spark, media):
+    import numpy as np
+
+    from morra_spark.operators.multimodal import _resize_nn, resize_images
+
+    # the resize itself is real: known-array nearest-neighbor check
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    small = _resize_nn(img, 2, 2)
+    assert small.tolist() == [[0, 2], [8, 10]]
+    up = _resize_nn(img, 8, 8)
+    assert up.shape == (8, 8) and up[0, 0] == 0 and up[7, 7] == 15
+
+    out = resize_images(media, out_w=16, out_h=12).collect()
+    n_images = media.filter("kind = 'image'").count()
+    assert len(out) == n_images
+    for r in out:
+        assert r.width == 16 and r.height == 12
+        assert len(bytes(r.payload)) == 16 * 12  # fixed-shape contract
+
+
+def test_audio_features_deterministic_and_sane(spark, media):
+    from morra_spark.operators.multimodal import extract_audio_features
+
+    a1 = {r.media_id: r for r in extract_audio_features(media).collect()}
+    a2 = {r.media_id: r for r in extract_audio_features(media).collect()}
+    n_audio = media.filter("kind = 'audio'").count()
+    assert len(a1) == n_audio > 0
+    for mid, r in a1.items():
+        assert r.n_samples == a2[mid].n_samples and r.rms == a2[mid].rms
+        assert r.duration_s == pytest.approx(r.n_samples / 16000)
+        assert 0.0 < r.rms <= 1.0
+        assert 0.0 <= r.zero_cross_rate <= 1.0
