@@ -710,6 +710,16 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_by_phash(extract_image_features(media), max_hamming=4)
 
 
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality plumbing (rows-only): binary audio → stub PCM
+    decode → real vectorized DSP features (duration/RMS/zero-cross)."""
+    from morra_spark.operators.multimodal import (extract_audio_features,
+                                                  synth_media)
+
+    return extract_audio_features(synth_media(spark, n=128)) \
+        .orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hash_agg": q_hash_agg,
@@ -763,6 +773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
+        "multimodal_audio_features": q_multimodal_audio_features,
     }
 
 

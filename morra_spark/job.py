@@ -32,6 +32,12 @@ def main() -> None:
     ap.add_argument("--run-id", default=None,
                     help="reuse a run id to resume an interrupted run")
     ap.add_argument("--n-parts", type=int, default=64)
+    ap.add_argument("--pos-mode", default=None,
+                    choices=["level1", "two_pass", "voting"],
+                    help="override the artifact's A8 POS mode for this run")
+    ap.add_argument("--ner-mode", default=None,
+                    choices=["joint", "combine"],
+                    help="override the artifact's A12 NER mode for this run")
     ap.add_argument("--master", default=None,
                     help="override master (default: local[$SPARK_GRAFT_CPUS]; "
                          "unset under spark-submit which provides its own)")
@@ -40,11 +46,17 @@ def main() -> None:
     from morra_spark.plans.pipeline import run_pipeline
     from morra_spark.session import get_spark
 
+    # CLI names -> meta values: 'level1'/'joint' disable the ensembles
+    # (meta None); absent flags leave the artifact's stamped modes alone
+    pos_mode = {"level1": ""}.get(args.pos_mode, args.pos_mode)
+    ner_mode = {"joint": ""}.get(args.ner_mode, args.ner_mode)
+
     spark = get_spark("morra_spark_job", master=args.master)
     try:
         summary = run_pipeline(
             spark, transcripts_path=args.transcripts, out_dir=args.out,
-            model_path=args.model, run_id=args.run_id, n_parts=args.n_parts)
+            model_path=args.model, run_id=args.run_id, n_parts=args.n_parts,
+            pos_mode=pos_mode, ner_mode=ner_mode)
         print(json.dumps(summary))
     finally:
         spark.stop()

@@ -245,13 +245,23 @@ def extract_triples_with_tools(ann: DataFrame, candidates: DataFrame,
 
 def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
                  model_path: str, run_id: str | None = None,
-                 n_parts: int = 64) -> dict:
+                 n_parts: int = 64, pos_mode: str | None = None,
+                 ner_mode: str | None = None) -> dict:
     """Full resumable job: annotate+extract → triples sink + checkpoint.
 
     Returns summary counters. Re-running with the same ``run_id`` after a
     partial failure skips completed part_keys (idempotent resume).
+
+    ``pos_mode`` / ``ner_mode`` override the artifact's serve-time mode
+    switches (A8: None | 'two_pass' | 'voting'; A12: None | 'combine')
+    without editing the pickle — autotrain stamps the swept-best modes
+    into the artifact, these flags let a job deviate per run.
     """
     model = KGModel.load(model_path)
+    if pos_mode is not None:
+        model.meta["pos_mode"] = pos_mode or None
+    if ner_mode is not None:
+        model.meta["ner_mode"] = ner_mode or None
     model_bc = spark.sparkContext.broadcast(model)
     candidates = entity_candidates_df(spark, model)
 
