@@ -35,8 +35,43 @@ from morra_spark.operators.features import BOS, EOS
 # Unicode-aware RE2 classes, matching the Python reference path's
 # behavior (Python \d == \p{Nd}; Python \w ~= [\p{L}\p{N}_]): RE2's
 # bare \d/\w are ASCII-only, which made the two inference paths diverge
-# on non-ASCII text (ADVICE r1: 'ёлка' shaped as punct in the fast path)
+# on non-ASCII text (ADVICE r1: 'ёлка' shaped as punct in the fast path).
+# Even with Unicode classes, RE2/utf8proc ship NEWER Unicode tables than
+# CPython's unicodedata, so codepoints assigned between the two versions
+# (found by hypothesis: U+1E030 is a letter to RE2, unassigned to
+# CPython 3.11) still classified differently. Bit-parity is therefore
+# guaranteed by construction: Arrow kernels handle ASCII tokens (where
+# the engines provably agree), and the rare non-ASCII tokens are
+# re-classified by the SAME Python regexes the reference path uses
+# (`_py_normalize_one` / `_py_shape_one`, cf. features.normalize_forms /
+# features._shape).
 _DIGITS = r"\p{Nd}+"
+
+import re as _re
+
+_PY_DIGIT_RUN = _re.compile(r"\d+")
+_PY_D = _re.compile(r"\d+")
+_PY_P = _re.compile(r"[^\w\s]+")
+_PY_U = _re.compile(r"[A-Z0-9']+")
+_PY_CAP = _re.compile(r"[A-Z]")
+
+
+def _py_normalize_one(form: str) -> str:
+    """features.normalize_forms for one token (lower + digit-run fold)."""
+    return _PY_DIGIT_RUN.sub("0", form.lower())
+
+
+def _py_shape_one(form: str) -> str:
+    """features._shape for one token — identical precedence."""
+    if _PY_D.fullmatch(form):
+        return "digit"
+    if _PY_P.fullmatch(form):
+        return "punct"
+    if _PY_U.fullmatch(form):
+        return "upper"
+    if _PY_CAP.match(form):
+        return "cap"
+    return "lower"
 
 
 def _family_values(fam) -> pa.Array:
@@ -100,9 +135,11 @@ def _shift_ids(ids: np.ndarray, seq_ids: np.ndarray, k: int,
     return out
 
 
-def _shape_ids(fam, forms: pa.Array) -> np.ndarray:
+def _shape_ids(fam, bf: "BatchFeatures") -> np.ndarray:
     """shape ∈ {digit,punct,upper,cap,lower} — same precedence as
-    features._shape, via RE2 kernels."""
+    features._shape, via RE2 kernels; non-ASCII tokens re-classified by
+    the Python reference regexes (Unicode-table parity, module header)."""
+    forms = bf.forms
     is_digit = pc.match_substring_regex(forms, r"^\p{Nd}+$")
     is_punct = pc.match_substring_regex(forms, r"^[^\p{L}\p{N}_\s]+$")
     all_upper = pc.match_substring_regex(forms, r"^[A-Z0-9']+$")
@@ -115,6 +152,9 @@ def _shape_ids(fam, forms: pa.Array) -> np.ndarray:
         [fam.id_of("digit"), fam.id_of("punct"), fam.id_of("upper"),
          fam.id_of("cap")],
         default=fam.id_of("lower"))
+    if bf.nonascii is not None:
+        for i in np.nonzero(bf.nonascii)[0]:
+            lab[i] = fam.id_of(_py_shape_one(bf.forms_list[i]))
     return lab.astype(np.int64)
 
 
@@ -135,9 +175,32 @@ class BatchFeatures:
 
     def __init__(self, forms_list: list, seq_ids: np.ndarray):
         self.seq_ids = seq_ids
+        self.forms_list = forms_list
         self.forms = pa.array(forms_list, pa.string())
         self.fn = pc.replace_substring_regex(
             pc.utf8_lower(self.forms), _DIGITS, "0")
+        # non-ASCII tokens: re-normalize with the Python reference path —
+        # utf8proc/RE2 vs CPython Unicode-table skew otherwise breaks the
+        # two paths' bit-parity (see module header). ASCII tokens (the
+        # overwhelming majority) never leave the Arrow kernels.
+        ascii_m = pc.match_substring_regex(self.forms, r"^[\x00-\x7f]*$") \
+            .to_numpy(zero_copy_only=False)
+        self.lower = pc.utf8_lower(self.forms)
+        if ascii_m.all():
+            self.nonascii = None
+        else:
+            self.nonascii = ~ascii_m
+            na_idx = np.nonzero(self.nonascii)[0]
+            mask = pa.array(self.nonascii)
+            self.fn = pc.replace_with_mask(
+                self.fn, mask,
+                pa.array([_py_normalize_one(forms_list[i]) for i in na_idx],
+                         pa.string()))
+            # str.lower parity for the lemmatizer's dict keys too
+            self.lower = pc.replace_with_mask(
+                self.lower, mask,
+                pa.array([forms_list[i].lower() for i in na_idx],
+                         pa.string()))
         # negative start in utf8_slice_codeunits clamps like Python s[-k:]
         self.suf3 = pc.utf8_slice_codeunits(self.fn, -3, 2**31 - 1)
         self.suf4 = pc.utf8_slice_codeunits(self.fn, -4, 2**31 - 1)
@@ -154,7 +217,7 @@ def pos_feature_ids(model, bf: BatchFeatures,
         "suf3": _ids_for(fams["suf3"], bf.suf3),
         "suf4": _ids_for(fams["suf4"], bf.suf4),
         "pre1": _ids_for(fams["pre1"], bf.pre1),
-        "shape": _shape_ids(fams["shape"], bf.forms),
+        "shape": _shape_ids(fams["shape"], bf),
         "first": _first_ids(fams["first"], bf.seq_ids),
         "pform": _shift_ids(_ids_for(fams["pform"], bf.fn), bf.seq_ids, 1,
                             fams["pform"].id_of(BOS)),
@@ -182,7 +245,7 @@ def ner_feature_ids(model, bf: BatchFeatures, upos_row_ids: dict,
     ids = {
         "form": _ids_for(fams["form"], bf.fn),
         "suf3": _ids_for(fams["suf3"], bf.suf3),
-        "shape": _shape_ids(fams["shape"], bf.forms),
+        "shape": _shape_ids(fams["shape"], bf),
         "first": _first_ids(fams["first"], bf.seq_ids),
         "pform": _shift_ids(_ids_for(fams["pform"], bf.fn), bf.seq_ids, 1,
                             fams["pform"].id_of(BOS)),
@@ -209,7 +272,7 @@ def feats_feature_ids(model, bf: BatchFeatures, pred_pos: np.ndarray,
     ids.update({
         "form": _ids_for(fams["form"], bf.fn),
         "suf3": _ids_for(fams["suf3"], bf.suf3),
-        "shape": _shape_ids(fams["shape"], bf.forms),
+        "shape": _shape_ids(fams["shape"], bf),
         "first": _first_ids(fams["first"], bf.seq_ids),
         "pform": _shift_ids(_ids_for(fams["pform"], bf.fn), bf.seq_ids, 1,
                             fams["pform"].id_of(BOS)),

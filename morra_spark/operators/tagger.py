@@ -123,7 +123,6 @@ def _run_cascade(model, forms_list: list, seq_ids: np.ndarray,
     classes_pos = model.pos.classes
     if _HAS_ARROW:
         import pyarrow as pa
-        import pyarrow.compute as pc
 
         from morra_spark.operators import features_fast as FF
 
@@ -147,7 +146,7 @@ def _run_cascade(model, forms_list: list, seq_ids: np.ndarray,
             p2_ids = {
                 "form": FF._ids_for(pos2.families["form"], bf.fn),
                 "suf3": FF._ids_for(pos2.families["suf3"], bf.suf3),
-                "shape": FF._shape_ids(pos2.families["shape"], bf.forms),
+                "shape": FF._shape_ids(pos2.families["shape"], bf),
                 "first": FF._first_ids(pos2.families["first"], seq_ids),
             }
             ftab = FF.class_row_tables(pos2, ("f1", "f1p", "f1n"), classes_pos)
@@ -162,9 +161,11 @@ def _run_cascade(model, forms_list: list, seq_ids: np.ndarray,
             else:
                 pred = pred2
         upos_np = np.array(classes_pos, dtype=object)[pred]
+        # bf.lower (not raw utf8_lower): carries the Python-str.lower
+        # fallback for non-ASCII tokens, keeping the lemma dict keys
+        # bit-identical to the pandas path (Unicode-table parity)
         lemma_np = FF.lemmatize_fast(
-            pc.utf8_lower(bf.forms), pa.array(upos_np, pa.string()),
-            model.lemma_rules)
+            bf.lower, pa.array(upos_np, pa.string()), model.lemma_rules)
         tab = FF.class_row_tables(model.ner, ("upos", "pupos", "nupos"),
                                   classes_pos)
         ctx = FF.tag_context_ids(tab, pred, seq_ids, ("upos", "pupos", "nupos"))

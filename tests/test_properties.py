@@ -137,3 +137,34 @@ def test_lemmatize_fast_matches_pandas_reference(model, forms):
     ref = lemmatize(pd.Series(forms, dtype=object).str.lower(),
                     pd.Series(upos, dtype=object), model.lemma_rules)
     assert list(fast) == ref.tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(TEXTS, min_size=1, max_size=6))
+def test_cascade_paths_agree_on_arbitrary_text(model, texts):
+    """Arrow-kernel and pandas-reference cascades emit identical
+    (upos, lemma, ne) on ARBITRARY unicode — the r1 advice found the two
+    paths diverging on non-ASCII; this pins the fix against generated
+    inputs, not just the curated edge-text corpus."""
+    import morra_spark.operators.tagger as TG
+    from morra_spark.operators.tokenizer import tokenize_one
+
+    tok_lists = [tokenize_one(t) for t in texts]
+    forms = [f for toks in tok_lists for (_s, _l, f) in toks]
+    if not forms:
+        return
+    counts = [len(t) for t in tok_lists]
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    seq_ids = np.repeat(np.arange(len(counts)), counts)
+    n = len(forms)
+
+    assert TG._HAS_ARROW  # pyarrow is baked into this environment
+    arrow = TG._run_cascade(model, forms, seq_ids, starts, n, True)
+    TG._HAS_ARROW = False
+    try:
+        ref = TG._run_cascade(model, forms, seq_ids, starts, n, True)
+    finally:
+        TG._HAS_ARROW = True
+    for a, p, what in zip(arrow[:3], ref[:3], ("upos", "lemma", "ne")):
+        mism = np.asarray(a) != np.asarray(p)
+        assert not mism.any(), (what, [forms[i] for i in np.nonzero(mism)[0]])
