@@ -62,22 +62,24 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 32,
     """(doc_id, sig: array<long>) — k independent min-hashes per doc.
 
     Each hash family is ``xxhash64(seed_i, shingle)`` (or the portable
-    md5-based family); the k families are evaluated in one pass by
-    exploding the seed domain (k small), then a single
-    partial-aggregating groupBy takes the per-family min.
+    md5-based family); the k families are evaluated as k parallel MIN
+    aggregates over the shingle rows in ONE partial-aggregating groupBy.
+    An explode-the-seed-domain form was used first and measured strictly
+    worse: it multiplies the pre-shuffle row count by k (32×) and needs
+    a second groupBy to re-assemble the signature array, for identical
+    results.
     """
     grams = _word_shingles(docs)
-    seeded = grams.withColumn(
-        "i", F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))))
-    h = (_portable_hash60(F.concat(F.col("i").cast("string"), F.lit(":"),
-                                   F.col("tri")))
-         if portable else F.xxhash64("i", "tri"))
-    seeded = seeded.withColumn("h", h)
-    return (seeded.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
-            .groupBy("doc_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "mh"))),
-                lambda x: x["mh"]).alias("sig")))
+    if portable:
+        hs = [_portable_hash60(F.concat(F.lit(f"{i}:"), F.col("tri")))
+              for i in range(num_hashes)]
+    else:
+        hs = [F.xxhash64(F.lit(i), F.col("tri")) for i in range(num_hashes)]
+    return (grams.groupBy("doc_id")
+            .agg(*[F.min(h).alias(f"h{i}") for i, h in enumerate(hs)])
+            .select("doc_id", F.array(*[F.col(f"h{i}")
+                                        for i in range(num_hashes)])
+                    .alias("sig")))
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 32,
