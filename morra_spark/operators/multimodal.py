@@ -6,12 +6,16 @@ close to the scan, emitting fixed-shape feature columns that downstream
 relational operators (dedup by perceptual hash, similarity over features,
 quality filters) consume.
 
-The actual codecs are NOT in this container, so ``decode`` is a STUB: a
-deterministic fake decoder (seeded by the payload hash) stands in behind
-the same signature — the Spark-side plumbing (schema, partitioning,
-mapInPandas batch shape, feature contract) is real and tested, and
-swapping in PIL/ffmpeg later changes only ``_decode_image_stub`` /
-``_sample_frames_stub``.
+Decode goes through explicit backend seams (``decode_image`` /
+``decode_audio``): a REAL codec is used when one is importable/applicable
+(PIL for images with a known magic; stdlib ``wave`` for RIFF audio —
+exercised in tests), and a clearly-marked deterministic STUB (seeded by
+the payload hash) stands in otherwise, since PIL/ffmpeg are not in this
+container. Both backends honor one contract (shape/dtype/raise
+behavior, asserted by the shared contract test), so upgrading to full
+codecs changes only the seam functions — zero call-site changes. The
+Spark-side plumbing (schema, partitioning, mapInPandas batch shape,
+feature contract) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -38,15 +42,43 @@ FRAME_SAMPLE_SCHEMA = ("media_id long, frame_idx int, frame_phash long")
 def _decode_image_stub(payload: bytes, width: int, height: int) -> np.ndarray:
     """STUB decoder — deterministic fake pixels from the payload hash
     (an 8x8 digest block tiled to the full frame; distinct payloads give
-    distinct frames, identical payloads identical frames). Real impl:
-    PIL.Image.open(io.BytesIO(payload)) → np.asarray. Raises like a real
-    decoder would on empty payloads."""
+    distinct frames, identical payloads identical frames). Raises like a
+    real decoder would on empty payloads."""
     if not payload:
         raise ValueError("empty media payload")
     h, w = max(height, 1), max(width, 1)
     base = np.frombuffer(hashlib.blake2b(payload, digest_size=64).digest(),
                          dtype=np.uint8).reshape(8, 8)
     return np.tile(base, (-(-h // 8), -(-w // 8)))[:h, :w]
+
+
+try:  # optional real-codec backend (not in this container; seam is live)
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:
+    _PIL_Image = None
+
+_IMAGE_MAGICS = (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF8", b"BM")
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Image decode seam — REAL backend when available, stub fallback.
+
+    Contract (identical for both backends, asserted by the shared
+    contract test): bytes → 2-D uint8 grayscale array; deterministic;
+    raises ValueError on empty/undecodable payloads. Swapping in the
+    real codec requires ZERO call-site changes — every mapInPandas stage
+    calls this seam. PIL path: decode + convert('L'); payloads without a
+    known image magic (the synthetic fixtures) use the stub even when
+    PIL is installed, so mixed corpora don't crash the real decoder."""
+    if _PIL_Image is not None and payload[:8].startswith(_IMAGE_MAGICS):
+        import io
+
+        try:
+            with _PIL_Image.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("L"), dtype=np.uint8)
+        except Exception as e:
+            raise ValueError(f"undecodable image payload: {e}") from e
+    return _decode_image_stub(payload, width, height)
 
 
 def _sample_frames_stub(payload: bytes, n_frames: int, k: int) -> list[int]:
@@ -91,7 +123,7 @@ def extract_image_features(media: DataFrame, batch_hint: int = 256) -> DataFrame
                     pdf["payload"].to_numpy(),
                     pdf["meta"].to_numpy()):
                 try:
-                    img = _decode_image_stub(payload, meta["width"],
+                    img = decode_image(payload, meta["width"],
                                              meta["height"])
                 except ValueError:
                     continue  # counted via rows-in/rows-out lineage
@@ -123,7 +155,7 @@ def sample_video_frames(media: DataFrame, k: int = 4) -> DataFrame:
                     pdf["meta"].to_numpy()):
                 for fi in _sample_frames_stub(payload,
                                               meta["n_frames"] or 0, k):
-                    frame = _decode_image_stub(
+                    frame = decode_image(
                         payload + fi.to_bytes(4, "big"),
                         meta["width"], meta["height"])
                     rows.append({"media_id": media_id, "frame_idx": fi,
@@ -167,7 +199,7 @@ def resize_images(media: DataFrame, out_w: int = 32,
                     pdf["payload"].to_numpy(),
                     pdf["meta"].to_numpy()):
                 try:
-                    img = _decode_image_stub(payload, meta["width"],
+                    img = decode_image(payload, meta["width"],
                                              meta["height"])
                 except ValueError:
                     continue
@@ -199,6 +231,39 @@ def _decode_audio_stub(payload: bytes, sample_rate: int,
     return np.tile(base, reps)[:n_samples]
 
 
+def decode_audio(payload: bytes, sample_rate: int,
+                 n_samples: int | None = None) -> np.ndarray:
+    """Audio decode seam — REAL backend (stdlib ``wave``, exercised in
+    tests since it needs no extra package) for RIFF/WAVE payloads, stub
+    fallback for everything else.
+
+    Contract (both backends): bytes → 1-D int16 PCM array;
+    deterministic; ValueError on empty/undecodable payloads. Call sites
+    (``extract_audio_features``) go through this seam, so a full-codec
+    upgrade (soundfile/ffmpeg) slots in here with zero call-site
+    changes. WAV path downmixes multi-channel to the first channel and
+    widens 8-bit samples to int16."""
+    if payload[:4] == b"RIFF":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload), "rb") as w:
+                n_ch, sw = w.getnchannels(), w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+        except Exception as e:
+            raise ValueError(f"undecodable WAV payload: {e}") from e
+        if sw == 2:
+            pcm = np.frombuffer(raw, dtype="<i2")
+        elif sw == 1:  # unsigned 8-bit → centered int16
+            pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.int16)
+                   - 128) * 256
+        else:
+            raise ValueError(f"unsupported WAV sample width {sw}")
+        return np.ascontiguousarray(pcm[::n_ch]) if n_ch > 1 else pcm
+    return _decode_audio_stub(payload, sample_rate, n_samples)
+
+
 def extract_audio_features(media: DataFrame) -> DataFrame:
     """audio rows → duration / RMS / zero-crossing rate (decode stubbed;
     the DSP is real vectorized numpy and survives a real decoder)."""
@@ -212,7 +277,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
                     pdf["meta"].to_numpy()):
                 sr = max(meta["sample_rate"] or 16000, 1)
                 try:
-                    pcm = _decode_audio_stub(payload, sr)
+                    pcm = decode_audio(payload, sr)
                 except ValueError:
                     continue
                 x = pcm.astype(np.float64) / 32768.0
@@ -232,18 +297,33 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
 
 
 def near_dup_by_phash(features: DataFrame, max_hamming: int = 4) -> DataFrame:
-    """Perceptual-hash near-dup candidates: band the 64-bit phash into 4
-    x 16-bit keys (any equal band → candidate, guaranteeing recall for
-    Hamming distance ≤ 4 by pigeonhole), then verify exact distance —
-    same LSH-then-verify shape as text MinHash, all built-ins except the
-    popcount which is a bit-arithmetic expression."""
+    """Perceptual-hash near-dup candidates: band the 64-bit phash into
+    ``max_hamming + 1`` bit-range keys, then verify exact distance — the
+    LSH-then-verify shape of text MinHash, all built-ins except the
+    popcount which is a bit-arithmetic expression.
+
+    Recall guarantee (pigeonhole): a pair at Hamming distance ≤ d differs
+    in at most d bit positions, so with d+1 disjoint bands at least one
+    band is untouched and the pair shares that band's key — complete
+    recall for distance ≤ ``max_hamming``. (d+1 bands is the minimum:
+    with only d bands a distance-d pair flipping one bit per band shares
+    nothing — the r2 4-band layout silently dropped exactly those pairs
+    at d=4, guaranteed only ≤ 3.) Bands split 64 bits as evenly as
+    possible (e.g. d=4 → widths 13,13,13,13,12)."""
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, rem = divmod(64, n_bands)
+    widths = [base + (i < rem) for i in range(n_bands)]
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
+    masks = [-1 if w == 64 else (1 << w) - 1 for w in widths]  # int64 lits
     bands = features.select(
         "media_id", "phash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned(F.col("phash"), i * 16)
-                      .bitwiseAND(0xFFFF).alias("key"))
-            for i in range(4)])).alias("b")
+                     F.shiftrightunsigned(F.col("phash"), offsets[i])
+                      .bitwiseAND(masks[i]).alias("key"))
+            for i in range(n_bands)])).alias("b")
     ).select("media_id", "phash", "b.band", "b.key")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))

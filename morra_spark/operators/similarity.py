@@ -141,8 +141,11 @@ def train_ivf_centroids(emb: DataFrame, n_centroids: int = 16,
     reproduces the index bit-for-bit.
     """
     dim = dim or _probe_dim(emb, vec_col)
-    # deterministic pseudo-random sample: keep ids whose crc32 falls in
-    # a bucket range sized ~4x the target, cap with an id-ordered limit
+    # deterministic pseudo-random sample: rank ids by (crc32 bucket,
+    # vec_id) and TakeOrdered the first `sample` — Spark plans
+    # TakeOrderedAndProject (per-partition top-k, driver merges only
+    # k rows per partition; no full shuffle/sort), and a fixed seedless
+    # hash order makes the sample reproducible at any partitioning
     pool = (emb.select("vec_id", vec_col)
             .withColumn("h", F.crc32(F.col("vec_id").cast("string")) % 1000)
             .orderBy("h", "vec_id").limit(sample))

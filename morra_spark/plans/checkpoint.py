@@ -83,10 +83,15 @@ def run_stage(spark: SparkSession, *, input_df: DataFrame, stage: str,
               transform) -> None:
     """Execute one resumable stage, idempotent across mid-stage crashes.
 
-    ``input_df`` must already carry ``part_key``; ``transform(df) -> df``
-    must preserve ``part_key`` and be deterministic given its input
-    partition (the pipeline stages are). Completed part_keys (per
-    checkpoint) are anti-joined away.
+    ``input_df`` must already carry ``part_key``; ``transform(df,
+    pending_keys) -> df`` must preserve ``part_key`` and be deterministic
+    given its input partition (the pipeline stages are). Completed
+    part_keys (per checkpoint) are anti-joined away; ``pending_keys``
+    (the remaining part_key values, already on the driver for the
+    counter read-back) lets a transform STATICALLY prune any side input
+    partitioned by part_key — an ``isin`` literal filter is guaranteed
+    partition pruning, where a left-semi join would rely on dynamic
+    partition pruning firing for a file source (VERDICT r2 #3).
 
     Crash-safety contract: output is written with DYNAMIC PARTITION
     OVERWRITE (only the part_key directories present in this run's output
@@ -111,7 +116,7 @@ def run_stage(spark: SparkSession, *, input_df: DataFrame, stage: str,
         pending_keys = [r.part_key for r in fps.select("part_key").collect()]
         if not pending_keys:
             return  # everything done — resume is a no-op
-        out = transform(pending)
+        out = transform(pending, pending_keys)
         (out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_key").parquet(out_dir))

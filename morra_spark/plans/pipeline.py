@@ -243,6 +243,17 @@ def extract_triples_with_tools(ann: DataFrame, candidates: DataFrame,
             .drop("inv", "is_tool"))
 
 
+def read_pruned_parts(spark: SparkSession, path: str,
+                      part_keys: list[int]) -> DataFrame:
+    """Read a part_key-partitioned parquet dir restricted to the given
+    partitions via a STATIC ``isin`` literal filter — guaranteed
+    partition pruning (non-empty PartitionFilters, plan-asserted in
+    tests/test_plan_shape.py), independent of dynamic partition pruning
+    heuristics. Resume reads exactly the pending directories at any
+    output size."""
+    return spark.read.parquet(path).filter(F.col("part_key").isin(part_keys))
+
+
 def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
                  model_path: str, run_id: str | None = None,
                  n_parts: int = 64, pos_mode: str | None = None,
@@ -274,7 +285,7 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
     src = load_transcripts(spark, transcripts_path)
     src = CK.add_part_key(src, n_parts)
 
-    def transform(pending: DataFrame) -> DataFrame:
+    def transform(pending: DataFrame, _pending_keys: list[int]) -> DataFrame:
         # role filter runs JVM-side BEFORE the Python stage; the slim
         # triples-only schema keeps token/mention arrays out of the
         # Arrow transfer entirely (they are recomputable, not needed by
@@ -293,16 +304,20 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
     CK.run_stage(spark, input_df=src, stage="extract_triples", run_id=run_id,
                  out_dir=content_dir, ckpt_dir=ckpt_dir, transform=transform)
 
-    def transform_tools(pending: DataFrame) -> DataFrame:
+    def transform_tools(pending: DataFrame,
+                        pending_keys: list[int]) -> DataFrame:
         # Stage 2 aligns tool turns against the MATERIALIZED stage-1
         # output (cheap narrow parquet scan) instead of the live
         # annotation DataFrame — re-deriving it here would re-run the
         # whole perceptron cascade a second time inside this plan.
         # part_key is a pure function of conv_id, so each pending
-        # partition's conversations are fully self-contained and the
-        # read-back prunes to exactly the pending partitions.
-        extracted = spark.read.parquet(content_dir).join(
-            pending.select("part_key").distinct(), "part_key", "left_semi")
+        # partition's conversations are fully self-contained. The
+        # read-back prunes STATICALLY via the driver-side pending_keys
+        # literal (guaranteed PartitionFilters on the scan, asserted in
+        # test_plan_shape) — a left-semi join against pending would rely
+        # on dynamic partition pruning firing for a file source and, if
+        # it didn't, resume would rescan all of stage 1 at 100 TB.
+        extracted = read_pruned_parts(spark, content_dir, pending_keys)
         return tool_triples_from_extracted(
             extracted, pending.drop("part_key"), n_parts) \
             .repartition("part_key")

@@ -57,3 +57,38 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ship_package(spark: SparkSession) -> str | None:
+    """Ship the ``morra_spark`` package to executors via ``addPyFile`` —
+    the runtime equivalent of ``spark-submit --py-files``.
+
+    Required whenever executors are separate processes from the driver's
+    Python (``local-cluster[...]``, a real cluster): executor tasks that
+    import ``morra_spark`` (the autotrain sweep, mapInPandas stages)
+    would otherwise die with ModuleNotFoundError. Plain ``local[*]``
+    masters share the driver's sys.path, so shipping is skipped there.
+    Returns the zip path, or None when skipped. Idempotent per session.
+    """
+    master = spark.conf.get("spark.master", "")
+    if master.startswith("local[") or master == "local":
+        return None
+    sc = spark.sparkContext
+    key = "_morra_spark_pyfiles_zip"
+    cached = getattr(sc, key, None)
+    if cached:
+        return cached
+    import zipfile
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = f"/tmp/morra_spark_pyfiles_{os.getpid()}.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(pkg_root, "morra_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    z.write(full, os.path.relpath(full, pkg_root))
+    sc.addPyFile(zpath)
+    setattr(sc, key, zpath)
+    return zpath

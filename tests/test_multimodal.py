@@ -27,6 +27,55 @@ def test_stub_decoder_deterministic():
         _decode_image_stub(b"", 8, 8)
 
 
+def test_decode_seam_contract():
+    """Both backends of each decode seam honor ONE contract (VERDICT r2
+    #7): images → 2-D uint8, audio → 1-D int16, deterministic,
+    ValueError on empty/undecodable payloads — so upgrading to full
+    codecs changes only the seam functions, zero call-site changes. Runs
+    every backend present: stub always; PIL when importable; the REAL
+    stdlib-``wave`` audio backend always (synthesized WAV, exact PCM
+    round-trip)."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from morra_spark.operators.multimodal import (_PIL_Image, decode_audio,
+                                                  decode_image)
+
+    payloads = [b"stub-payload-no-image-magic"]  # stub path
+    if _PIL_Image is not None:  # real path, when the codec is installed
+        buf = io.BytesIO()
+        _PIL_Image.fromarray(
+            np.arange(64, dtype=np.uint8).reshape(8, 8)).save(buf, "PNG")
+        payloads.append(buf.getvalue())
+    for payload in payloads:
+        a = decode_image(payload, 8, 8)
+        assert a.dtype == np.uint8 and a.ndim == 2
+        assert (a == decode_image(payload, 8, 8)).all()
+    with pytest.raises(ValueError):
+        decode_image(b"", 8, 8)
+
+    # REAL audio backend: stdlib wave — exact PCM round-trip
+    pcm = (np.sin(np.linspace(0, 40, 1600)) * 20000).astype("<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    out = decode_audio(buf.getvalue(), 16000)
+    assert out.dtype == np.int16 and (out == pcm).all()
+    # stub fallback for non-RIFF payloads: same contract
+    st = decode_audio(b"not-riff-payload", 16000)
+    assert st.dtype == np.int16 and st.ndim == 1
+    assert (st == decode_audio(b"not-riff-payload", 16000)).all()
+    with pytest.raises(ValueError):
+        decode_audio(b"", 16000)
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFF-but-not-a-wav", 16000)
+
+
 def test_image_features_schema_and_rows(spark, media):
     f = extract_image_features(media)
     rows = f.collect()
@@ -49,6 +98,27 @@ def test_phash_near_dup_finds_byte_duplicates(spark, media):
     got = {(r.ma, r.mb) for r in pairs}
     assert expected <= got
     assert all(r.hamming == 0 for r in pairs if (r.ma, r.mb) in expected)
+
+
+def test_phash_near_dup_recall_at_exact_hamming_4(spark):
+    """Adversarial pigeonhole case (VERDICT r2 #1): a pair at EXACTLY
+    Hamming 4 with one flipped bit in each of the old 4x16-bit bands
+    (bits 0, 16, 32, 48) shared no band under 4-band LSH and was silently
+    dropped while the verify filter advertised `hamming <= 4`. With
+    max_hamming+1 = 5 bands at least one band is untouched, so the pair
+    MUST surface."""
+    pa = 5
+    pb = pa ^ (1 | (1 << 16) | (1 << 32) | (1 << 48))
+    f = spark.createDataFrame([(1, pa), (2, pb)], "media_id long, phash long")
+    pairs = near_dup_by_phash(f, max_hamming=4).collect()
+    assert [(r.ma, r.mb, r.hamming) for r in pairs] == [(1, 2, 4)]
+    # and distance-5 pairs are correctly OUT of the d=4 guarantee's claim
+    pc = pa ^ (1 | (1 << 16) | (1 << 32) | (1 << 48) | (1 << 63))
+    pc -= (1 << 64) if pc >= (1 << 63) else 0  # wrap to signed int64
+    f5 = spark.createDataFrame([(1, pa), (2, pc)],
+                               "media_id long, phash long")
+    got5 = near_dup_by_phash(f5, max_hamming=4).collect()
+    assert got5 == []  # verify filter rejects even if a band collides
 
 
 def test_video_frame_sampling(spark, media):

@@ -118,6 +118,38 @@ def test_flagship_with_tools_annotates_once(spark, fixture_dir, model):
     assert n_python == 1, plan
 
 
+def test_ngram_df_cap_is_aggregate_not_window(spark):
+    """The shingle df cap must partial-aggregate (HashAggregate w/
+    map-side combine de-skews the ubiquitous-shingle hot key) — not a
+    count-over-Window, which lands every row of the hot shingle on one
+    window task (VERDICT r2 #5)."""
+    import __spark_entry__ as E
+
+    plan = _spark_plan(E.q_dedup_ngram_jaccard(spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_resume_readback_has_static_partition_filters(spark, tmp_path):
+    """Stage-2 resume must prune the stage-1 read-back with a STATIC
+    isin literal (non-empty PartitionFilters on the scan) — not a
+    left-semi join that relies on dynamic partition pruning firing
+    (VERDICT r2 #3: if DPP doesn't fire, resume rescans all of stage 1
+    at 100 TB)."""
+    from morra_spark.plans.pipeline import read_pruned_parts
+
+    out = str(tmp_path / "triples")
+    df = spark.range(100).select(
+        (F.col("id") % 8).cast("int").alias("part_key"),
+        F.col("id").alias("v"))
+    df.write.partitionBy("part_key").parquet(out)
+    pruned = read_pruned_parts(spark, out, [1, 3])
+    plan = _spark_plan(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "part_key" in m.group(1), plan
+    assert pruned.count() == 26  # 13 rows in each of part 1 and 3
+
+
 def test_ivf_probe_join_broadcasts_and_single_python_stage(spark):
     """IVF search plan shape: the tiny (qid, cid) probe table broadcasts
     against the assigned corpus (the big side never shuffles for

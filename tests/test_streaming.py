@@ -104,6 +104,69 @@ def test_batch_retry_does_not_duplicate(spark, fixture_dir, model, tmp_path):
     assert spark.read.parquet(f"{out}/triples").count() == 2 * n1
 
 
+def test_backfill_recovers_out_of_order_history(spark, fixture_dir,
+                                                model_path, tmp_path):
+    """VERDICT r2 #8: an out-of-order historical replay (late turns
+    arrive FIRST, early turns arrive as a later file) makes the straggler
+    guard drop the early turns — their tool triples are missing from the
+    streamed output. ``backfill_tool_triples`` re-runs the affected range
+    through the batch path with anti-join dedup; streamed ∪ backfill must
+    be byte-identical to an in-order run, with zero duplicates."""
+    import time
+
+    from morra_spark.streaming.stateful import (backfill_tool_triples,
+                                                start_stateful_tool_alignment)
+
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts") \
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj",
+            "subj_ne", "obj_ne"]
+
+    def run_alignment(src, tag):
+        out = str(tmp_path / f"{tag}_out")
+        q = start_stateful_tool_alignment(
+            spark, transcripts_path=src, out_dir=out, model_path=model_path,
+            checkpoint_location=str(tmp_path / f"{tag}_ckpt"),
+            max_files_per_trigger=1, trigger_available_now=True)
+        q.awaitTermination(300)
+        return out
+
+    # in-order baseline: early file, then late file
+    src_ok = str(tmp_path / "inorder_src")
+    early = tr.filter(F.col("turn_idx") <= 3)
+    late = tr.filter(F.col("turn_idx") > 3)
+    early.coalesce(1).write.mode("overwrite").parquet(src_ok)
+    time.sleep(1.1)  # file source orders by mod time
+    late.coalesce(1).write.mode("append").parquet(src_ok)
+    out_ok = run_alignment(src_ok, "inorder")
+    want = spark.read.parquet(f"{out_ok}/tool_triples").select(cols)
+
+    # out-of-order replay: LATE file lands first, early history second
+    src_ooo = str(tmp_path / "ooo_src")
+    late.coalesce(1).write.mode("overwrite").parquet(src_ooo)
+    time.sleep(1.1)
+    early.coalesce(1).write.mode("append").parquet(src_ooo)
+    out_ooo = run_alignment(src_ooo, "ooo")
+    streamed = spark.read.parquet(f"{out_ooo}/tool_triples").select(cols)
+
+    # the scenario must genuinely drop something (early-turn alignments)
+    n_streamed, n_want = streamed.count(), want.count()
+    assert n_streamed < n_want
+
+    res = backfill_tool_triples(spark, transcripts_path=src_ooo,
+                                out_dir=out_ooo, model_path=model_path)
+    assert res["n_backfilled"] == n_want - n_streamed
+    merged = spark.read.parquet(f"{out_ooo}/tool_triples").select(cols)
+    assert merged.exceptAll(want).count() == 0
+    assert want.exceptAll(merged).count() == 0  # byte-identical, no dups
+
+    # idempotency: a second backfill finds nothing missing
+    res2 = backfill_tool_triples(spark, transcripts_path=src_ooo,
+                                 out_dir=out_ooo, model_path=model_path)
+    assert res2["n_backfilled"] == 0
+    assert res2["batch_id"] == res["batch_id"] + 1
+
+
 def test_stateful_cross_batch_tool_alignment(spark, fixture_dir, model_path,
                                              tmp_path):
     """applyInPandasWithState closes the per-batch scope cut: with the
