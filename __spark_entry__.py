@@ -413,6 +413,29 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data quality GATE with rejection accounting: every doc
+    gets the first failing rule as its reject reason (too_short /
+    too_long / low_en), else 'kept'; counts + total chars per
+    (source, reason) — the report a 100 TB curation run ships alongside
+    the filtered corpus. Map-only scan + one partial-aggregating
+    groupBy; the reason expression is a JVM-side CASE chain."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    n = F.size(words)
+    en = F.size(F.filter(words, lambda x: x.isin("the", "a", "of", "and"))) / n
+    reason = (F.when(n < 8, "too_short")
+              .when(n > 2000, "too_long")
+              .when(en < 0.05, "low_en")
+              .otherwise("kept"))
+    return (d.select("source", reason.alias("reason"),
+                     F.length("text").alias("n_chars"))
+            .groupBy("source", "reason")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("sum_chars"))
+            .orderBy("source", "reason"))
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting for training-data accounting: whitespace tokens +
     a BPE-ish regex segmentation (word / number / punctuation runs with
@@ -489,6 +512,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("jaccard") >= 0.05)
             .select("da", "db", "jaccard")
             .orderBy("da", "db"))
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: connected components over the n-gram-Jaccard
+    near-dup pair set (transitive closure of pairwise candidates — doc
+    A~B, B~C collapse to one cluster even though A~C was never scored).
+    Spark side: min-label propagation with pointer jumping
+    (operators/components.py, O(log diameter) join rounds); oracle:
+    DuckDB recursive CTE computing reachability + min-id per node."""
+    from morra_spark.operators.components import connected_components
+
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
+    return (connected_components(pairs, src="da", dst="db")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("comp").alias("component"))
+            .orderBy("doc_id"))
 
 
 def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,10 +795,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_tokens": q_array_tokens,
         "map_json_extract": q_map_json_extract,
         "text_quality": q_text_quality,
+        "quality_filter": q_quality_filter,
         "token_count": q_token_count,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_cluster": q_dedup_cluster,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,  # oracled since r2
         "langid_heuristic": q_langid_heuristic,
@@ -993,6 +1034,24 @@ def oracle_sql() -> dict[str, str]:
                          * 1.0 / LEN(words), 4) AS avg_word_len
             FROM w ORDER BY doc_id
         """,
+        "quality_filter": """
+            WITH w AS (SELECT source, LENGTH(text) AS n_chars,
+                              STRING_SPLIT(TRIM(text), ' ') AS words
+                       FROM documents),
+            r AS (SELECT source, n_chars,
+                         CASE
+                           WHEN LEN(words) < 8 THEN 'too_short'
+                           WHEN LEN(words) > 2000 THEN 'too_long'
+                           WHEN LEN(LIST_FILTER(words,
+                                    x -> x IN ('the', 'a', 'of', 'and')))
+                                * 1.0 / LEN(words) < 0.05 THEN 'low_en'
+                           ELSE 'kept'
+                         END AS reason
+                  FROM w)
+            SELECT source, reason, COUNT(*) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM r GROUP BY source, reason ORDER BY source, reason
+        """,
         "dedup_exact": """
             SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT text) AS n_distinct
             FROM documents GROUP BY source ORDER BY source
@@ -1028,6 +1087,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
             WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.05
             ORDER BY da, db
+        """,
+        "dedup_cluster": """
+            WITH RECURSIVE
+            w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words
+                  FROM documents),
+            g AS (SELECT doc_id,
+                         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(words) - 2, 0))) AS i,
+                         words FROM w),
+            tg0 AS (SELECT DISTINCT doc_id,
+                          words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS tri
+                   FROM g),
+            tg AS (SELECT doc_id, tri FROM tg0
+                   QUALIFY COUNT(*) OVER (PARTITION BY tri) <= 100),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY doc_id),
+            p0 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+                   FROM tg a JOIN tg b ON a.tri = b.tri AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            pairs AS (SELECT da, db FROM p0
+                      JOIN sizes sa ON da = sa.doc_id
+                      JOIN sizes sb ON db = sb.doc_id
+                      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.05),
+            edges AS (SELECT da AS a, db AS b FROM pairs
+                      UNION SELECT db AS a, da AS b FROM pairs),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+            )
+            SELECT node AS doc_id, MIN(r) AS component
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS q FROM embeddings

@@ -1,0 +1,107 @@
+"""Connected components over near-dup candidate pairs — dedup clustering.
+
+Pairwise near-dup detection (MinHash/LSH, n-gram Jaccard, phash — see
+``operators/dedup.py``) emits EDGES; a production dedup pass needs the
+CLUSTERS those edges imply (doc A ~ B and B ~ C must collapse to one
+survivor even when A ~ C was never scored). This module closes that gap:
+``connected_components`` labels every endpoint with the minimum doc id
+of its component, and ``dedup_survivors`` derives the keep-list.
+
+Algorithm: iterative **min-label propagation with pointer jumping**
+(the halving step of classic PRAM/MapReduce connected-components — cf.
+Kiveris et al., "Connected Components in MapReduce and Beyond", the
+large-star/small-star family). Each round:
+
+1. propagate — every node takes ``min(label, min(labels of neighbors))``
+   (one join edge⋈label + one partial-aggregating groupBy);
+2. compress — pointer jumping: ``label(v) := label(label(v))`` (one
+   self-join), which makes label trees halve in height each round.
+
+Convergence is O(log D) rounds for diameter-D components (pointer
+jumping, not D rounds of plain propagation — a 10^6-doc duplicate chain
+converges in ~20 rounds, not 10^6). The per-round convergence check is a
+single scalar ``count`` of changed labels — a driver-side scalar read,
+not a collect of data rows.
+
+Each round ends with ``localCheckpoint(eager=True)``, NOT ``persist``:
+``prop`` feeds the compress self-join twice, so without lineage
+truncation the logical plan DOUBLES per round and Catalyst re-analysis
+goes exponential (measured: the loop wedges around round ~10 on a
+64-node path). Checkpointing cuts the plan back to a leaf each round —
+the standard iterative-algorithm discipline on Spark (same reason
+GraphFrames/GraphX checkpoint their Pregel loops).
+
+100 TB shape: every step is an equi-join/groupBy on node id — hash-
+partitioned, partial-aggregated, no driver state beyond the loop
+counter; edge and label tables stay distributed throughout. Skewed
+hub nodes (a template document near-dup to millions) partial-aggregate
+map-side in the propagate groupBy. Persist/unpersist per round keeps
+lineage short (without it the plan doubles every iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(pairs: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 25) -> DataFrame:
+    """(src, dst) undirected edge pairs → (node, component) labels.
+
+    ``component`` is the minimum node id in the node's connected
+    component. Only nodes appearing in ``pairs`` are labeled (isolated
+    docs have no dedup decision to make). Deterministic for any input
+    order. Raises if ``max_iter`` rounds don't converge (pointer
+    jumping needs ~log2(max component diameter) rounds; 25 covers
+    components of diameter ~2^25).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"))) \
+        .distinct().localCheckpoint(eager=True)
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        # 1) propagate: min neighbor label per node
+        nbr_min = (edges
+                   .join(labels.select(F.col("node").alias("b"),
+                                       F.col("comp").alias("comp_b")),
+                         "b")
+                   .groupBy("a").agg(F.min("comp_b").alias("nbr")))
+        prop = (labels
+                .join(nbr_min.withColumnRenamed("a", "node"),
+                      "node", "left")
+                .select("node",
+                        F.least("comp", F.coalesce("nbr", "comp"))
+                        .alias("comp")))
+        # 2) compress (pointer jumping): comp := comp(comp)
+        parent = prop.select(F.col("node").alias("comp"),
+                             F.col("comp").alias("comp_parent"))
+        new = (prop.join(parent, "comp", "left")
+               .select("node", F.coalesce("comp_parent", "comp")
+                       .alias("comp"))
+               .localCheckpoint(eager=True))  # truncate lineage — see
+        # module docstring: without this the plan doubles every round
+        changed = (new.join(labels.withColumnRenamed("comp", "old"),
+                            "node")
+                   .filter(F.col("comp") != F.col("old")).count())
+        labels = new
+        if changed == 0:
+            return labels.select("node", "comp")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_survivors(pairs: DataFrame, docs: DataFrame,
+                    id_col: str = "doc_id", src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Cluster-aware dedup keep-list: one survivor (minimum id) per
+    near-dup component; docs not in any pair survive trivially. Returns
+    ``docs`` filtered to survivors — the materializer counterpart of
+    ``dedup.dedup_exact_keep_first`` for TRANSITIVE near-dup clusters."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    losers = comp.filter(F.col("node") != F.col("comp")) \
+        .select(F.col("node").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")

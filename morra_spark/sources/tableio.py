@@ -60,3 +60,45 @@ def write_partitioned(df: DataFrame, target: str, partition_col: str,
         w.createOrReplace()
     else:
         raise ValueError(f"unsupported mode {mode!r} for Iceberg writeTo")
+
+
+def merge_upsert(df: DataFrame, target: str, keys: list[str]) -> None:
+    """B-T4's strongest form: keyed upsert (update-or-insert by ``keys``).
+
+    Iceberg path — a real ``MERGE INTO``: atomic snapshot commit,
+    exactly-once under concurrent readers, no table rewrite; this is the
+    production form for streaming ``foreachBatch`` triple upserts.
+
+    Parquet path — documented EMULATION for the jar-less sandbox:
+    read current table, anti-join rows being replaced, union the new
+    rows, write to a sibling temp dir, swap. Correct for a single
+    writer and crash-safe up to the final directory swap (the swap is
+    two FS metadata ops, not atomic like an Iceberg commit — exactly
+    the gap Iceberg closes, which is why production uses the catalog
+    path). Semantics are identical either way, so tests written against
+    this seam transfer to the cluster unchanged.
+    """
+    spark = df.sparkSession
+    if _is_path(target):
+        import os
+        import shutil
+
+        try:
+            cur = spark.read.parquet(target)
+            out = cur.join(df.select(*keys).distinct(), keys, "left_anti") \
+                .unionByName(df)
+        except Exception:  # first write: nothing to merge
+            out = df
+        tmp = target.rstrip("/") + "__upsert_tmp"
+        out.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target):
+            shutil.rmtree(target)
+        os.rename(tmp, target)
+        return
+    if not iceberg_available(spark):
+        raise RuntimeError(f"no Iceberg catalog for table '{target}'")
+    df.createOrReplaceTempView("_merge_upsert_src")
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+    spark.sql(f"MERGE INTO {target} t USING _merge_upsert_src s ON {cond} "
+              "WHEN MATCHED THEN UPDATE SET * "
+              "WHEN NOT MATCHED THEN INSERT *")

@@ -275,3 +275,35 @@ def test_ivf_assign_partitions_corpus_completely(spark):
     out = ivf_assign(emb, C)
     cids = [r.cid for r in out.select("cid").collect()]
     assert len(cids) == 50 and all(0 <= c < 5 for c in cids)
+
+
+def test_connected_components_chain_and_survivors(spark):
+    """A near-dup CHAIN (0-1, 1-2, 2-3) must collapse to ONE component
+    even though 0~3 was never scored (the transitive case pairwise dedup
+    misses); disjoint pair (10, 11) forms its own; pointer jumping
+    converges and labels with the component-min id."""
+    from morra_spark.operators.components import (connected_components,
+                                                  dedup_survivors)
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "src long, dst long")
+    comp = {r.node: r.comp for r in connected_components(pairs).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc{i}") for i in (0, 1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string")
+    kept = sorted(r.doc_id for r in dedup_survivors(pairs, docs).collect())
+    assert kept == [0, 10, 99]  # one per cluster + untouched isolate
+
+
+def test_connected_components_long_path_log_rounds(spark):
+    """A 64-node path graph (diameter 63) must converge within the
+    25-round cap — pointer jumping halves label-tree height per round;
+    plain propagation would need 63 rounds and time out the cap."""
+    from morra_spark.operators.components import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(63)],
+                                  "src long, dst long")
+    rows = connected_components(pairs, max_iter=25).collect()
+    assert len(rows) == 64 and all(r.comp == 0 for r in rows)

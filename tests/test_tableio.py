@@ -24,3 +24,30 @@ def test_catalog_table_fails_fast_without_iceberg(spark):
         read_table(spark, "cat.db.transcripts")
     with pytest.raises(RuntimeError, match="Iceberg catalog"):
         write_partitioned(spark.range(1), "cat.db.t", "id")
+
+
+def test_merge_upsert_parquet_emulation(spark, tmp_path):
+    """Keyed upsert semantics through the seam (parquet emulation):
+    insert, update-in-place by key, idempotent re-apply — the same
+    contract the Iceberg MERGE INTO path provides atomically."""
+    from morra_spark.sources.tableio import merge_upsert
+
+    t = str(tmp_path / "upsert")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    merge_upsert(base, t, ["k"])  # first write: plain insert
+    assert {(r.k, r.v) for r in spark.read.parquet(t).collect()} \
+        == {(1, "a"), (2, "b"), (3, "c")}
+
+    delta = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "k long, v string")
+    merge_upsert(delta, t, ["k"])  # update k=2, insert k=4
+    got = {(r.k, r.v) for r in spark.read.parquet(t).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+
+    merge_upsert(delta, t, ["k"])  # idempotent re-apply (batch retry)
+    got2 = {(r.k, r.v) for r in spark.read.parquet(t).collect()}
+    assert got2 == got
+
+    with pytest.raises(RuntimeError, match="Iceberg catalog"):
+        merge_upsert(delta, "cat.db.triples", ["k"])
