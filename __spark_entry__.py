@@ -455,6 +455,90 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id"))
 
 
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per doc: duplicate-word fraction
+    (map-only) + most-frequent-bigram fraction (explode + two
+    doc_id-keyed partial aggregations — the n-gram is never a grouping
+    key, so a degenerate 'aaa aaa ...' doc can't become a hot shuffle
+    key). Flags docs whose top bigram fills >= 20% of bigram slots."""
+    from morra_spark.operators.curation import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents")) \
+        .orderBy("doc_id")
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction accounting per source: emails / IPv4s /
+    phone numbers found, docs containing any, chars removed by
+    redaction. The synthetic corpus has no PII, so known PII is first
+    PLANTED deterministically from doc_id (docs % 7 get an email, % 11
+    an IPv4, % 13 a phone) — the oracle plants the identical strings,
+    so the scan is verified against exact ground truth. Map-only JVM
+    regex scan + one 20-row groupBy."""
+    from morra_spark.operators.curation import pii_scan, plant_pii
+
+    d = plant_pii(_t(spark, sf_dir, "documents"))
+    return pii_scan(d).orderBy("source")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling accounting: per-source keep
+    rates (src0-4 100%, src5-9 50%, src10-14 25%, src15-19 10%) applied
+    via the engine-portable md5 bucket of doc_id — a map-only filter
+    with no RNG state that makes the identical keep/drop decision on
+    any partitioning, any retry, and in the DuckDB oracle. Returns the
+    realized per-source accounting over the kept set."""
+    from morra_spark.operators.curation import stratified_keep
+
+    snum = F.substring("source", 4, 10).cast("int")
+    rate = (F.when(snum < 5, 1000).when(snum < 10, 500)
+            .when(snum < 15, 250).otherwise(100))
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = stratified_keep(d, rate)
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+            .join(totals, "source", "right")
+            .withColumn("n_kept", F.coalesce("n_kept", F.lit(0)).cast("long"))
+            .withColumn("kept_frac",
+                        F.round(F.col("n_kept") / F.col("n_total"), 4))
+            .select("source", "n_total", "n_kept", "kept_frac")
+            .orderBy("source"))
+
+
+MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
+MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
+
+
+def q_mixture_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training data-mixture sizing report per language: token
+    totals, corpus share, target mixture weight, and epochs of each
+    language needed to fill a 10^9-token budget at that weight.
+    Map-only token count + a 5-row groupBy; the corpus total is a
+    broadcast 1-row cross join, not a collect."""
+    from morra_spark.operators.curation import mixture_tokens
+
+    return mixture_tokens(_t(spark, sf_dir, "documents"), MIXTURE_WEIGHTS,
+                          MIXTURE_TOKEN_BUDGET).orderBy("lang")
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph centrality over a bipartite entity co-occurrence graph
+    (users <-> event types from ``events``): 3 synchronous PageRank
+    iterations, damping 0.85. The fixed iteration count keeps the whole
+    computation SQL-expressible — the DuckDB oracle unrolls the same 3
+    levels as chained CTEs and reproduces every rank (rounded to 5
+    decimals). Per iteration: ONE equi-join + ONE partial-aggregating
+    groupBy on the degree-weighted edge list (folded once, reused)."""
+    from morra_spark.operators.components import pagerank_fixed
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"))
+        .distinct())
+    return pagerank_fixed(edges).orderBy("node")
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup accounting per source (hash-groupBy shape)."""
     d = _t(spark, sf_dir, "documents")
@@ -810,6 +894,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "quality_filter": q_quality_filter,
         "token_count": q_token_count,
+        "repetition_filter": q_repetition_filter,
+        "pii_scan": q_pii_scan,
+        "sample_stratified": q_sample_stratified,
+        "mixture_tokens": q_mixture_tokens,
+        "graph_pagerank": q_graph_pagerank,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1037,6 +1126,133 @@ def oracle_sql() -> dict[str, str]:
                            ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+')), 1), 4)
                      AS chars_per_token
             FROM documents ORDER BY doc_id
+        """,
+        "repetition_filter": """
+            WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words
+                       FROM documents),
+            stats AS (SELECT doc_id, LEN(words) AS n_words,
+                             LEN(LIST_DISTINCT(words)) AS n_distinct_words
+                      FROM w),
+            g AS (SELECT doc_id,
+                         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(words) - 1, 0))) AS i,
+                         words FROM w),
+            bg AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg FROM g),
+            cnts AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+            top AS (SELECT doc_id, MAX(cnt) AS top_bigram_n FROM cnts
+                    GROUP BY doc_id)
+            SELECT s.doc_id, s.n_words,
+                   CAST(GREATEST(s.n_words - 1, 0) AS BIGINT) AS n_bigrams,
+                   ROUND(1 - s.n_distinct_words * 1.0
+                         / GREATEST(s.n_words, 1), 4) AS dup_word_frac,
+                   CAST(COALESCE(t.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+                   ROUND(COALESCE(t.top_bigram_n, 0) * 1.0
+                         / GREATEST(s.n_words - 1, 1), 4) AS top_bigram_frac,
+                   ROUND(COALESCE(t.top_bigram_n, 0) * 1.0
+                         / GREATEST(s.n_words - 1, 1), 4) >= 0.2 AS repetitive
+            FROM stats s LEFT JOIN top t USING (doc_id)
+            ORDER BY s.doc_id
+        """,
+        "pii_scan": """
+            WITH planted AS (
+              SELECT source, text
+                || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+                        || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN ' server 10.'
+                        || CAST(doc_id % 256 AS VARCHAR) || '.0.1 up'
+                        ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN ' call +1-555-'
+                        || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                        ELSE '' END AS text
+              FROM documents),
+            m AS (SELECT source,
+                LEN(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS ne,
+                LEN(regexp_extract_all(text,
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS ni,
+                LEN(regexp_extract_all(text, '\\+1-\\d{3}-\\d{4}')) AS np,
+                LENGTH(text) - LENGTH(regexp_replace(regexp_replace(
+                    regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                    '[EMAIL]', 'g'),
+                    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                    '[IP]', 'g'),
+                    '\\+1-\\d{3}-\\d{4}', '[PHONE]', 'g')) AS removed
+              FROM planted)
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN ne + ni + np > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_docs_with_pii,
+                   CAST(SUM(ne) AS BIGINT) AS n_emails,
+                   CAST(SUM(ni) AS BIGINT) AS n_ips,
+                   CAST(SUM(np) AS BIGINT) AS n_phones,
+                   CAST(SUM(removed) AS BIGINT) AS chars_removed
+            FROM m GROUP BY source ORDER BY source
+        """,
+        "sample_stratified": """
+            WITH k AS (SELECT source, doc_id,
+                CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 1000 AS bucket,
+                CASE WHEN CAST(SUBSTRING(source, 4) AS INT) < 5 THEN 1000
+                     WHEN CAST(SUBSTRING(source, 4) AS INT) < 10 THEN 500
+                     WHEN CAST(SUBSTRING(source, 4) AS INT) < 15 THEN 250
+                     ELSE 100 END AS rate
+              FROM documents)
+            SELECT source, COUNT(*) AS n_total,
+                   CAST(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept,
+                   ROUND(SUM(CASE WHEN bucket < rate THEN 1 ELSE 0 END)
+                         * 1.0 / COUNT(*), 4) AS kept_frac
+            FROM k GROUP BY source ORDER BY source
+        """,
+        "mixture_tokens": """
+            WITH t AS (SELECT lang,
+                  CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+                       ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END
+                    AS n_tok
+                FROM documents),
+            pl AS (SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+                   FROM t GROUP BY lang),
+            tot AS (SELECT SUM(n_tokens) AS total FROM pl),
+            ww AS (SELECT lang, n_tokens,
+                          CAST(CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.2
+                               WHEN 'es' THEN 0.15 WHEN 'de' THEN 0.15
+                               WHEN 'fr' THEN 0.1 ELSE 0.0 END AS DOUBLE)
+                            AS weight
+                   FROM pl)
+            SELECT lang, n_tokens,
+                   ROUND(n_tokens * 1.0 / total, 4) AS corpus_share,
+                   weight,
+                   ROUND(1000000000 * weight / n_tokens, 2) AS epochs
+            FROM ww, tot ORDER BY lang
+        """,
+        "graph_pagerank": """
+            WITH e0 AS (SELECT DISTINCT
+                          'u:' || CAST(user_id AS VARCHAR) AS a,
+                          't:' || event_type AS b
+                        FROM events),
+            edges AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+            deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a),
+            w AS (SELECT e.a, e.b, CAST(1.0 AS DOUBLE) / d.deg AS w
+                  FROM edges e JOIN deg d USING (a)),
+            nn AS (SELECT COUNT(*) AS n FROM deg),
+            pr0 AS (SELECT a AS node, CAST(1.0 AS DOUBLE) / n AS pr
+                    FROM deg, nn),
+            pr1 AS (SELECT w.b AS node,
+                           CAST(0.15 AS DOUBLE) / nn.n
+                           + CAST(0.85 AS DOUBLE) * SUM(p.pr * w.w) AS pr
+                    FROM w JOIN pr0 p ON p.node = w.a, nn
+                    GROUP BY w.b, nn.n),
+            pr2 AS (SELECT w.b AS node,
+                           CAST(0.15 AS DOUBLE) / nn.n
+                           + CAST(0.85 AS DOUBLE) * SUM(p.pr * w.w) AS pr
+                    FROM w JOIN pr1 p ON p.node = w.a, nn
+                    GROUP BY w.b, nn.n),
+            pr3 AS (SELECT w.b AS node,
+                           CAST(0.15 AS DOUBLE) / nn.n
+                           + CAST(0.85 AS DOUBLE) * SUM(p.pr * w.w) AS pr
+                    FROM w JOIN pr2 p ON p.node = w.a, nn
+                    GROUP BY w.b, nn.n)
+            SELECT node, ROUND(pr, 5) AS pr FROM pr3 ORDER BY node
         """,
         "text_quality": """
             WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words

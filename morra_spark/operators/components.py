@@ -94,6 +94,53 @@ def connected_components(pairs: DataFrame, src: str = "src",
         f"connected_components did not converge in {max_iter} rounds")
 
 
+def pagerank_fixed(pairs: DataFrame, src: str = "src", dst: str = "dst",
+                   iters: int = 3, damping: float = 0.85,
+                   round_to: int = 5) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected edge set —
+    (node, pr) after ``iters`` synchronous power iterations with uniform
+    init 1/N and damping ``(1-d)/N + d·Σ pr(u)/deg(u)``.
+
+    Centrality over the KG / near-dup graph ranks canonical candidates
+    and surfaces hub entities. A FIXED iteration count keeps the whole
+    computation SQL-expressible: the DuckDB oracle unrolls the same
+    ``iters`` levels as chained CTEs and must reproduce every rank
+    bit-for-bit (after rounding to ``round_to`` decimals, absorbing
+    summation-order float noise).
+
+    100 TB shape: degrees are folded into the edge list ONCE
+    (``weight = 1/deg(src)``), so each iteration is exactly one
+    equi-join (edges ⋈ ranks on src) + one partial-aggregating
+    groupBy(dst) — no window, no driver state, no per-iteration degree
+    recompute. The weighted edge list is the loop invariant: it is
+    localCheckpointed once and reused, and with a handful of fixed
+    iterations the rank lineage stays shallow (an open-ended variant
+    would checkpoint per round like ``connected_components``).
+    Symmetrized input means no dangling nodes, so total mass is
+    conserved without a dangling-redistribution term.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"))).distinct()
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (edges.join(deg, "a")
+              .select("a", "b", (F.lit(1.0) / F.col("deg")).alias("w"))
+              .localCheckpoint(eager=True))
+    n = wedges.select("a").distinct().count()
+    ranks = (wedges.select("a").distinct()
+             .withColumn("pr", F.lit(1.0 / n)))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (wedges.join(ranks, "a")
+                   .groupBy("b")
+                   .agg(F.sum(F.col("pr") * F.col("w")).alias("mass")))
+        ranks = contrib.select(
+            F.col("b").alias("a"),
+            (F.lit(base) + F.lit(damping) * F.col("mass")).alias("pr"))
+    return ranks.select(F.col("a").alias("node"),
+                        F.round("pr", round_to).alias("pr"))
+
+
 def dedup_survivors(pairs: DataFrame, docs: DataFrame,
                     id_col: str = "doc_id", src: str = "src",
                     dst: str = "dst") -> DataFrame:

@@ -1,0 +1,177 @@
+"""Training-data curation operators beyond dedup: repetition filtering,
+PII scanning/redaction, stratified sampling, and token-mixture
+accounting (SURVEY.md §2, LLM-data-pipeline block).
+
+All four are pure DataFrame plans — JVM-side expressions end to end, no
+Python UDFs — and every one has a DuckDB oracle twin in
+``__spark_entry__.oracle_sql()`` (the hash used for sampling is the
+repo's engine-portable md5 family, so the oracle replays the exact
+keep/drop decision bit-for-bit).
+
+Scale notes (100 TB):
+- ``repetition_metrics`` is one explode + two partial-aggregating
+  groupBys keyed by doc_id (never by n-gram), so a pathologically
+  repetitive document cannot become a hot shuffle key: its bigram
+  counts partial-aggregate map-side within the doc's own partition.
+- ``pii_scan`` and ``mixture_tokens`` are map-only scans followed by a
+  low-cardinality groupBy (source / lang) — partial aggregation reduces
+  each task's output to a handful of rows before the shuffle.
+- ``sample_stratified`` is a map-only filter: the keep/drop decision is
+  a deterministic hash of the row's own id, so it needs no shuffle, no
+  state, and resamples identically on retry/resume at any partitioning.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Gopher-style repetition gate: docs whose single most frequent word
+# bigram accounts for >= this fraction of all bigram slots are flagged.
+TOP_BIGRAM_FRAC_MAX = 0.2
+
+# PII patterns, restricted to syntax that parses identically under
+# Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+1-\d{3}-\d{4}"
+
+
+def _portable_bucket(col: Column, buckets: int = 1000) -> Column:
+    """Engine-portable hash bucket: decimal value of the first 15 hex
+    chars of md5, mod ``buckets`` — bit-identical in any engine with
+    md5 (same family as ``dedup._portable_hash60``)."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+            .cast("long") % buckets)
+
+
+def repetition_metrics(docs: DataFrame,
+                       top_frac_max: float = TOP_BIGRAM_FRAC_MAX) -> DataFrame:
+    """Per-document repetition metrics (Gopher-style quality signals):
+
+    - ``dup_word_frac``: 1 - distinct words / words (map-only:
+      ``array_distinct`` on the already-split array, no shuffle).
+    - ``top_bigram_frac``: occurrences of the single most frequent word
+      bigram over total bigram slots; ``repetitive`` flags docs at or
+      above ``top_frac_max``.
+
+    The bigram max is grouped by doc_id at every stage — the n-gram
+    string itself is never a grouping key, so "aaa aaa aaa ..." degrades
+    to one row per doc, not one hot key per corpus.
+    """
+    w = F.col("words")
+    base = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("words"))
+    stats = base.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct_words"))
+
+    idxs = F.when(F.size(w) >= 2, F.sequence(F.lit(0), F.size(w) - 2)) \
+        .otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idxs, lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
+                                    F.element_at(w, i + 2)))
+    top = (base.select("doc_id", F.explode(bigrams).alias("bg"))
+           .groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+           .groupBy("doc_id").agg(F.max("cnt").alias("top_bigram_n")))
+
+    out = (stats.join(top, "doc_id", "left")
+           .withColumn("top_bigram_n",
+                       F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long"))
+           .withColumn("n_bigrams",
+                       F.greatest(F.col("n_words") - 1, F.lit(0)).cast("long"))
+           .withColumn("dup_word_frac", F.round(
+               1 - F.col("n_distinct_words") /
+               F.greatest(F.col("n_words"), F.lit(1)), 4))
+           .withColumn("top_bigram_frac", F.round(
+               F.col("top_bigram_n") /
+               F.greatest(F.col("n_bigrams"), F.lit(1)), 4))
+           .withColumn("repetitive",
+                       F.col("top_bigram_frac") >= F.lit(top_frac_max)))
+    return out.select("doc_id", "n_words", "n_bigrams", "dup_word_frac",
+                      "top_bigram_n", "top_bigram_frac", "repetitive")
+
+
+def plant_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically plant PII into a synthetic corpus (which has
+    none) so the scanner's find/redact path is exercised with known
+    ground truth: docs with doc_id % 7 == 0 get an email, % 11 an IPv4,
+    % 13 a phone number — all derived from doc_id, so the DuckDB oracle
+    plants the exact same strings. Loudly synthetic: this is test
+    scaffolding, not part of the scan operator itself."""
+    did = F.col("doc_id")
+    email = F.when(did % 7 == 0, F.concat(
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com")))
+    ip = F.when(did % 11 == 0, F.concat(
+        F.lit(" server 10."), (did % 256).cast("string"), F.lit(".0.1 up")))
+    phone = F.when(did % 13 == 0, F.concat(
+        F.lit(" call +1-555-"), F.lpad((did % 10000).cast("string"), 4, "0")))
+    planted = F.concat(F.col("text"),
+                       F.coalesce(email, F.lit("")),
+                       F.coalesce(ip, F.lit("")),
+                       F.coalesce(phone, F.lit("")))
+    return docs.withColumn("text", planted)
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Per-source PII accounting + redaction cost: counts of emails,
+    IPv4 addresses, and NANP-style phone numbers, docs containing any,
+    and total characters removed by redaction (``[EMAIL]`` / ``[IP]`` /
+    ``[PHONE]`` placeholders). Map-only regex scan (JVM regexp, no
+    Python) + one low-cardinality groupBy."""
+    t = F.col("text")
+    n_email = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_ip = F.regexp_count(t, F.lit(IPV4_RE))
+    n_phone = F.regexp_count(t, F.lit(PHONE_RE))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "[EMAIL]"),
+            IPV4_RE, "[IP]"),
+        PHONE_RE, "[PHONE]")
+    per_doc = docs.select(
+        "source", n_email.alias("ne"), n_ip.alias("ni"),
+        n_phone.alias("np"),
+        (F.length(t) - F.length(redacted)).alias("removed"))
+    return (per_doc.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum((F.col("ne") + F.col("ni") + F.col("np") > 0)
+                       .cast("long")).alias("n_docs_with_pii"),
+                 F.sum("ne").cast("long").alias("n_emails"),
+                 F.sum("ni").cast("long").alias("n_ips"),
+                 F.sum("np").cast("long").alias("n_phones"),
+                 F.sum("removed").cast("long").alias("chars_removed")))
+
+
+def stratified_keep(docs: DataFrame, rate_permille: Column) -> DataFrame:
+    """Deterministic per-stratum sampling materializer: keep a row iff
+    its portable-md5 bucket (0..999 on doc_id) falls below the stratum's
+    per-mille rate. Map-only — no shuffle, no RNG state; the same row
+    makes the same keep/drop decision on any partitioning, any retry,
+    and in the DuckDB oracle."""
+    return (docs.withColumn("bucket", _portable_bucket(F.col("doc_id")))
+            .filter(F.col("bucket") < rate_permille))
+
+
+def mixture_tokens(docs: DataFrame, weights: dict[str, float],
+                   token_budget: int) -> DataFrame:
+    """Data-mixture accounting per language: whitespace-token totals,
+    corpus share, target mixture weight, and the number of epochs of
+    each language needed to fill ``token_budget`` tokens at that weight
+    — the sizing report a pre-training data run starts from. Map-only
+    token count + one 5-row groupBy; the total is a broadcast scalar
+    (computed as a windowless cross-aggregate, not a collect)."""
+    trimmed = F.trim(F.col("text"))
+    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
+    per_lang = (docs.select("lang", n_tok.alias("n_tok"))
+                .groupBy("lang").agg(F.sum("n_tok").alias("n_tokens")))
+    total = per_lang.agg(F.sum("n_tokens").alias("total"))
+    weight = F.coalesce(*[F.when(F.col("lang") == k, F.lit(v))
+                          for k, v in weights.items()], F.lit(0.0))
+    return (per_lang.crossJoin(F.broadcast(total))
+            .withColumn("corpus_share",
+                        F.round(F.col("n_tokens") / F.col("total"), 4))
+            .withColumn("weight", weight)
+            .withColumn("epochs", F.round(
+                F.lit(token_budget) * F.col("weight") / F.col("n_tokens"), 2))
+            .select("lang", "n_tokens", "corpus_share", "weight", "epochs"))

@@ -1,0 +1,142 @@
+"""Unit tests for the curation operators (repetition, PII, stratified
+sampling, mixture accounting) and fixed-iteration PageRank — the
+engine-equivalence check vs DuckDB lives in scripts/oracle_check.py;
+these cover edge cases and pure-Python reference parity."""
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from morra_spark.session import get_spark
+    return get_spark("test_curation")
+
+
+def test_repetition_metrics_flags_and_edges(spark):
+    from morra_spark.operators.curation import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "spam ham spam ham spam ham spam ham spam ham"),
+         (2, "one two three four five six seven eight nine ten"),
+         (3, "word"),
+         (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in repetition_metrics(docs).collect()}
+    # doc 1: bigrams alternate "spam ham"/"ham spam"; top covers 5/9
+    assert out[1].top_bigram_n == 5 and out[1].n_bigrams == 9
+    assert out[1].repetitive is True
+    assert out[1].dup_word_frac == pytest.approx(1 - 2 / 10)
+    # doc 2: all bigrams unique
+    assert out[2].top_bigram_n == 1 and out[2].repetitive is False
+    assert out[2].dup_word_frac == 0.0
+    # doc 3: single word -> no bigrams, not repetitive, no crash
+    assert out[3].n_bigrams == 0 and out[3].top_bigram_n == 0
+    assert out[3].repetitive is False
+    # doc 4: empty text -> split yields [''], 1 word, 0 bigrams
+    assert out[4].n_bigrams == 0 and out[4].repetitive is False
+
+
+def test_pii_scan_finds_exactly_planted(spark):
+    from morra_spark.operators.curation import pii_scan, plant_pii
+
+    # ids chosen so 0 gets all three, 7 email only, 11 ip only,
+    # 13 phone only, 1 none
+    docs = spark.createDataFrame(
+        [(i, "clean text here", "s") for i in (0, 1, 7, 11, 13)],
+        "doc_id long, text string, source string")
+    out = pii_scan(plant_pii(docs)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_docs == 5 and r.n_docs_with_pii == 4
+    assert r.n_emails == 2 and r.n_ips == 2 and r.n_phones == 2
+    # redaction removes chars: every planted artifact is longer than
+    # its placeholder
+    assert r.chars_removed > 0
+
+
+def test_pii_redaction_leaves_clean_text_untouched(spark):
+    from morra_spark.operators.curation import pii_scan
+
+    docs = spark.createDataFrame(
+        [(1, "no personal data in this row at all", "s")],
+        "doc_id long, text string, source string")
+    r = pii_scan(docs).collect()[0]
+    assert r.n_docs_with_pii == 0 and r.chars_removed == 0
+
+
+def test_stratified_keep_deterministic_and_rate_bounded(spark):
+    from morra_spark.operators.curation import stratified_keep
+
+    docs = spark.createDataFrame(
+        [(i, "src") for i in range(2000)], "doc_id long, source string")
+    kept1 = sorted(r.doc_id for r in
+                   stratified_keep(docs, F.lit(250)).collect())
+    kept2 = sorted(r.doc_id for r in
+                   stratified_keep(docs.repartition(13), F.lit(250))
+                   .collect())
+    assert kept1 == kept2, "keep decision must not depend on partitioning"
+    # md5 buckets are near-uniform: 25% +- a few points on 2000 ids
+    assert 0.2 < len(kept1) / 2000 < 0.3
+    # rate 1000 keeps everything, rate 0 nothing
+    assert stratified_keep(docs, F.lit(1000)).count() == 2000
+    assert stratified_keep(docs, F.lit(0)).count() == 0
+
+
+def test_mixture_tokens_shares_and_epochs(spark):
+    from morra_spark.operators.curation import mixture_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "en"), (2, "e f", "en"), (3, "x y z w", "zh")],
+        "doc_id long, text string, lang string")
+    out = {r.lang: r for r in
+           mixture_tokens(docs, {"en": 0.6, "zh": 0.4}, 100).collect()}
+    assert out["en"].n_tokens == 6 and out["zh"].n_tokens == 4
+    assert out["en"].corpus_share == 0.6 and out["zh"].corpus_share == 0.4
+    assert out["en"].epochs == 10.0   # 100*0.6/6
+    assert out["zh"].epochs == 10.0   # 100*0.4/4
+
+
+def _pagerank_reference(edges, iters=3, d=0.85):
+    """Pure-Python synchronous PageRank on the symmetrized graph."""
+    sym = set()
+    for a, b in edges:
+        sym.add((a, b))
+        sym.add((b, a))
+    nodes = sorted({a for a, _ in sym})
+    deg = {a: sum(1 for x, _ in sym if x == a) for a in nodes}
+    n = len(nodes)
+    pr = {a: 1.0 / n for a in nodes}
+    for _ in range(iters):
+        new = {}
+        for b in nodes:
+            mass = sum(pr[a] / deg[a] for a, bb in sym if bb == b)
+            new[b] = (1 - d) / n + d * mass
+        pr = new
+    return pr
+
+
+def test_pagerank_matches_python_reference(spark):
+    from morra_spark.operators.components import pagerank_fixed
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.pr for r in pagerank_fixed(df).collect()}
+    want = _pagerank_reference(edges)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-5)
+    # total mass conserved (no dangling nodes on a symmetrized graph)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    from morra_spark.operators.components import pagerank_fixed
+
+    # star: node 0 connected to 1..5 — hub must dominate
+    df = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                               "src long, dst long")
+    got = {r.node: r.pr for r in pagerank_fixed(df).collect()}
+    assert got[0] > max(got[i] for i in range(1, 6)) * 2
