@@ -539,6 +539,72 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(edges).orderBy("node")
 
 
+def q_percentile_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p95 + IQR) of event value per
+    type — Spark's ``percentile`` and DuckDB's ``quantile_cont`` share
+    the linear-interpolation definition, so the oracle is exact. At
+    100 TB the exact form buffers each group's values; the scale path is
+    ``approx_percentile`` (same call shape, mergeable sketch, bounded
+    memory) — approx results aren't oracle-replayable, so the exact form
+    is the checked one and the approx swap is a one-word change."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))")
+                 .alias("p"))
+            .select("event_type",
+                    F.round(F.element_at("p", 2), 4).alias("p50"),
+                    F.round(F.element_at("p", 4), 4).alias("p95"),
+                    F.round(F.element_at("p", 3) - F.element_at("p", 1), 4)
+                    .alias("iqr"))
+            .orderBy("event_type"))
+
+
+PIVOT_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type count matrix. The pivot domain is
+    PINNED (the at-scale discipline: an unpinned pivot costs an extra
+    distinct pass over the corpus and makes the output schema
+    data-dependent) and expressed as conditional aggregation — ONE
+    partial-aggregating groupBy(user_id), one shuffle. The built-in
+    ``.pivot()`` would plan an extra (user_id, event_type) exchange
+    before its pivotfirst step (measured; see
+    test_pivot_pinned_domain_is_single_aggregate), so the CASE form is
+    strictly better here. Oracle: COUNT(*) FILTER per type."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("long").alias(f"n_{t}") for t in PIVOT_EVENT_TYPES]
+    return ev.groupBy("user_id").agg(*aggs).orderBy("user_id")
+
+
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 / gaps-and-islands: collapse each user's event stream into
+    runs of consecutive equal event_type with effective_from /
+    effective_to validity ranges (next run's start; open for the current
+    run) — the slowly-changing-dimension build a KG entity table needs
+    for temporal attributes. Two windows over the same
+    (user_id, ts, event_id) ordering — Catalyst plans them in ONE sort —
+    then a partial-aggregating groupBy and a lead over runs."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")), 1) \
+        .otherwise(0)
+    runs = (ev.select("user_id", "ts", "event_id", "event_type")
+            .withColumn("run_id", F.sum(chg).over(w))
+            .groupBy("user_id", "run_id", "event_type")
+            .agg(F.min("ts").alias("effective_from"),
+                 F.count(F.lit(1)).alias("n_events")))
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return (runs.withColumn("effective_to",
+                            F.lead("effective_from").over(w2))
+            .select("user_id", "event_type", "effective_from",
+                    "effective_to", "n_events")
+            .orderBy("user_id", "effective_from"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup accounting per source (hash-groupBy shape)."""
     d = _t(spark, sf_dir, "documents")
@@ -899,6 +965,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "mixture_tokens": q_mixture_tokens,
         "graph_pagerank": q_graph_pagerank,
+        "percentile_metrics": q_percentile_metrics,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "scd2_intervals": q_scd2_intervals,
         "dedup_exact": q_dedup_exact,
         "dedup_exact_keep": q_dedup_exact_keep,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1253,6 +1322,47 @@ def oracle_sql() -> dict[str, str]:
                     FROM w JOIN pr2 p ON p.node = w.a, nn
                     GROUP BY w.b, nn.n)
             SELECT node, ROUND(pr, 5) AS pr FROM pr3 ORDER BY node
+        """,
+        "percentile_metrics": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.95), 4) AS p95,
+                   ROUND(quantile_cont(value, 0.75)
+                         - quantile_cont(value, 0.25), 4) AS iqr
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "pivot_event_matrix": """
+            SELECT user_id,
+                   COUNT(*) FILTER (event_type = 'click') AS n_click,
+                   COUNT(*) FILTER (event_type = 'error') AS n_error,
+                   COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+                   COUNT(*) FILTER (event_type = 'view') AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "scd2_intervals": """
+            WITH o AS (SELECT user_id, ts, event_id, event_type,
+                              LAG(event_type) OVER
+                                (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+                       FROM events),
+            marked AS (SELECT *, CASE WHEN prev IS NULL
+                                        OR prev <> event_type
+                                      THEN 1 ELSE 0 END AS chg
+                       FROM o),
+            runs0 AS (SELECT *, SUM(chg) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS run_id
+                      FROM marked),
+            runs AS (SELECT user_id, run_id, event_type,
+                            MIN(ts) AS effective_from,
+                            COUNT(*) AS n_events
+                     FROM runs0 GROUP BY 1, 2, 3)
+            SELECT user_id, event_type, effective_from,
+                   LEAD(effective_from) OVER
+                     (PARTITION BY user_id ORDER BY run_id) AS effective_to,
+                   n_events
+            FROM runs ORDER BY user_id, effective_from
         """,
         "text_quality": """
             WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words

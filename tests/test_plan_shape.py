@@ -176,3 +176,57 @@ def test_ivf_probe_join_broadcasts_and_single_python_stage(spark):
     # assignment on the pre-assigned input); the corpus-side join input
     # must be a plain scan with no shuffle before the broadcast join
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_stratified_keep_is_shuffle_free(spark):
+    """The sampling materializer must be a pure map-only filter — zero
+    exchanges of any kind: the keep/drop decision reads only the row's
+    own id, so any shuffle in this plan is a regression."""
+    from morra_spark.operators.curation import stratified_keep
+
+    d = spark.range(1000).select(F.col("id").alias("doc_id"),
+                                 F.lit("s").alias("source"))
+    plan = _spark_plan(stratified_keep(d, F.lit(250)))
+    assert _shuffle_exchanges(plan) == 0, plan
+    assert _broadcast_exchanges(plan) == 0, plan
+
+
+def test_repetition_metrics_groups_by_doc_not_ngram(spark):
+    """Repetition metrics must aggregate keyed by doc_id (possibly with
+    the bigram as a secondary key) — never by the n-gram alone, which
+    would make a corpus-wide hot phrase a hot shuffle key. All
+    hash-partitionings in the plan must include doc_id."""
+    from morra_spark.operators.curation import repetition_metrics
+
+    d = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    plan = _spark_plan(repetition_metrics(d))
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert parts, plan
+    for keys in parts:
+        assert "doc_id#" in keys, plan
+    assert "Window" not in plan, plan
+
+
+def test_scd2_single_sort_for_both_windows(spark):
+    """The lag-mark and running-sum windows in the SCD2 build share one
+    (user_id, ts, event_id) ordering: Catalyst must plan them in a
+    single Sort+Window pass over one exchange, not two sorts."""
+    import __spark_entry__ as E
+
+    df = E.q_scd2_intervals(spark, "/root/testdata/sf0.001")
+    plan = _spark_plan(df)
+    # exchanges: one for the event-stream window partitioning, one for
+    # the run-level lead window, one for the final orderBy (range).
+    assert _shuffle_exchanges(plan) <= 3, plan
+    assert plan.count("Window") <= 3, plan
+
+
+def test_pivot_pinned_domain_is_single_aggregate(spark):
+    """A pinned-domain pivot must compile to one partial-aggregating
+    groupBy (single hash exchange on user_id) — no extra distinct pass
+    over the corpus for the pivot values."""
+    import __spark_entry__ as E
+
+    df = E.q_pivot_event_matrix(spark, "/root/testdata/sf0.001")
+    plan = _spark_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
