@@ -505,6 +505,64 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("source"))
 
 
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation funnel over the documents corpus: quality
+    gate → exact dedup → n-gram-Jaccard near-dup clustering, reported
+    as the per-stage accounting a 100 TB curation run ships (each doc
+    labeled with the stage that dropped it, or 'kept').
+
+    The input is the corpus UNIONed with a doc_id-shifted copy of
+    itself so the exact-dedup stage provably fires (the synthetic
+    corpus has no natural byte-identical dups); the shifted copies die
+    at exact-dedup (originals have lower ids), so the near-dup stage
+    sees exactly the original survivors and its components match
+    ``dedup_cluster``. Single-pass design: one CASE labels every doc
+    (quality reason / exact_dup / near_dup / kept), then ONE
+    low-cardinality groupBy — no per-stage recount of the corpus. At
+    scale each stage would checkpoint its survivors (plans/checkpoint);
+    this is the single-plan, SQL-oracled form of the same funnel."""
+    from morra_spark.operators.components import connected_components
+    from morra_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    words = F.split(F.trim(F.col("text")), " ")
+    n = F.size(words)
+    en = F.size(F.filter(words, lambda x: x.isin("the", "a", "of", "and"))) / n
+    qreason = (F.when(n < 8, "too_short")
+               .when(n > 2000, "too_long")
+               .when(en < 0.05, "low_en"))
+    staged = d.select("doc_id", "text", n.cast("long").alias("n_tok"),
+                      qreason.alias("qreason"))
+    passed = staged.filter(F.col("qreason").isNull())
+    # exact dedup among quality survivors: min doc_id per distinct text
+    # wins (deterministic; same caveat as dedup_exact_keep_first — the
+    # text-key window is fine for bounded docs, salt via text-hash
+    # prefix if a single byte-identical doc dominates the corpus)
+    exact = passed.withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("text").orderBy("doc_id")))
+    surv = exact.filter(F.col("rn") == 1).select("doc_id", "text")
+    comp = connected_components(
+        ngram_jaccard_pairs(surv, n=3, min_jaccard=0.05,
+                            df_cap=NGRAM_DF_CAP).select("da", "db"),
+        src="da", dst="db")
+    labeled = (staged
+               .join(exact.select("doc_id", "rn"), "doc_id", "left")
+               .join(comp.withColumnRenamed("node", "doc_id"),
+                     "doc_id", "left")
+               .withColumn("stage", F.coalesce(
+                   F.col("qreason"),
+                   F.when(F.col("rn") > 1, "exact_dup"),
+                   F.when(F.col("comp") < F.col("doc_id"), "near_dup"),
+                   F.lit("kept"))))
+    return (labeled.groupBy("stage")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").cast("long").alias("n_tokens"))
+            .orderBy("stage"))
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -622,45 +680,17 @@ NGRAM_DF_CAP = 100  # drop shingles shared by more docs: a ubiquitous
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: word-3-gram Jaccard via inverted-index
-    self-join with a shingle document-frequency cap. The LSH-pruned form
-    (exact-score only MinHash candidates) is
+    self-join with a shingle document-frequency cap
+    (``operators.dedup.ngram_jaccard_pairs`` — groupBy-based df cap,
+    no count-over-window skew). The LSH-pruned form (exact-score only
+    MinHash candidates) is
     ``morra_spark.operators.dedup.verify_lsh_candidates``; this standalone
     inverted-index form is the SQL-oracled one."""
-    d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.trim(F.col("text")), " ").alias("words"))
-    w = F.col("words")
-    # words is a projected column, not an inline split: higher-order
-    # lambdas get no CSE, an inline expression would re-split per element.
-    # Index domain gated on size >= 3: short docs emit no shingles instead
-    # of tripping ANSI INVALID_ARRAY_INDEX via element_at past the end.
-    idxs = F.when(F.size(w) >= 3, F.sequence(F.lit(0), F.size(w) - 3)) \
-        .otherwise(F.array().cast("array<int>"))
-    tris = F.transform(
-        idxs,
-        lambda i: F.concat_ws(" ", F.element_at(w, i + 1),
-                              F.element_at(w, i + 2), F.element_at(w, i + 3)))
-    raw = (d.select("doc_id", F.explode(tris).alias("tri")).distinct())
-    # df cap via groupBy + left-semi join, NOT a count-over-Window: the
-    # window form funneled every row of a truly ubiquitous shingle onto
-    # one window task (the exact hot key the cap exists to kill);
-    # groupBy partial-aggregates map-side so the skewed key reduces to
-    # one (tri, count) row before the shuffle (VERDICT r2 #5).
-    keep = (raw.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= NGRAM_DF_CAP).select("tri"))
-    grams = raw.join(keep, "tri", "left_semi")
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = grams.alias("a"), grams.alias("b")
-    inter = (a.join(b, (F.col("a.tri") == F.col("b.tri"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-             .agg(F.count(F.lit(1)).alias("inter")))
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    return (inter.join(F.broadcast(sa), "da").join(F.broadcast(sb), "db")
-            .withColumn("jaccard", F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4))
-            .filter(F.col("jaccard") >= 0.05)
-            .select("da", "db", "jaccard")
+    from morra_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (ngram_jaccard_pairs(d, n=3, min_jaccard=0.05,
+                                df_cap=NGRAM_DF_CAP)
             .orderBy("da", "db"))
 
 
@@ -963,6 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_filter": q_repetition_filter,
         "pii_scan": q_pii_scan,
         "sample_stratified": q_sample_stratified,
+        "curation_funnel": q_curation_funnel,
         "mixture_tokens": q_mixture_tokens,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
@@ -1405,6 +1436,65 @@ def oracle_sql() -> dict[str, str]:
                          ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) rn
                   FROM u)
             SELECT doc_id, source FROM r WHERE rn = 1 ORDER BY doc_id
+        """,
+        "curation_funnel": """
+            WITH RECURSIVE
+            u AS (SELECT doc_id, text FROM documents
+                  UNION ALL
+                  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+            st AS (SELECT doc_id, text,
+                          LEN(STRING_SPLIT(TRIM(text), ' ')) AS n_tok,
+                          LEN(LIST_FILTER(STRING_SPLIT(TRIM(text), ' '),
+                              x -> x IN ('the', 'a', 'of', 'and'))) * 1.0
+                            / LEN(STRING_SPLIT(TRIM(text), ' ')) AS en
+                   FROM u),
+            lab AS (SELECT doc_id, text, n_tok,
+                           CASE WHEN n_tok < 8 THEN 'too_short'
+                                WHEN n_tok > 2000 THEN 'too_long'
+                                WHEN en < 0.05 THEN 'low_en' END AS qreason
+                    FROM st),
+            ex AS (SELECT doc_id, text,
+                          ROW_NUMBER() OVER (PARTITION BY text
+                                             ORDER BY doc_id) AS rn
+                   FROM lab WHERE qreason IS NULL),
+            w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words
+                  FROM ex WHERE rn = 1),
+            g AS (SELECT doc_id,
+                         UNNEST(GENERATE_SERIES(1, GREATEST(LEN(words) - 2, 0))) AS i,
+                         words FROM w),
+            tg0 AS (SELECT DISTINCT doc_id,
+                          words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS tri
+                   FROM g),
+            tg AS (SELECT doc_id, tri FROM tg0
+                   QUALIFY COUNT(*) OVER (PARTITION BY tri) <= 100),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM tg GROUP BY doc_id),
+            p0 AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+                   FROM tg a JOIN tg b ON a.tri = b.tri AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+            pairs AS (SELECT da, db FROM p0
+                      JOIN sizes sa ON da = sa.doc_id
+                      JOIN sizes sb ON db = sb.doc_id
+                      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.05),
+            edges AS (SELECT da AS a, db AS b FROM pairs
+                      UNION SELECT db AS a, da AS b FROM pairs),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+            ),
+            comp AS (SELECT node, MIN(r) AS component
+                     FROM reach GROUP BY node),
+            final AS (SELECT l.n_tok,
+                             COALESCE(l.qreason,
+                               CASE WHEN e.rn > 1 THEN 'exact_dup'
+                                    WHEN c.component < l.doc_id THEN 'near_dup'
+                                    ELSE 'kept' END) AS stage
+                      FROM lab l
+                      LEFT JOIN ex e ON e.doc_id = l.doc_id
+                      LEFT JOIN comp c ON c.node = l.doc_id)
+            SELECT stage, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM final GROUP BY stage ORDER BY stage
         """,
         "dedup_ngram_jaccard": """
             WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words

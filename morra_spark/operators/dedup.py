@@ -12,8 +12,8 @@ construction (hash-distributed keys).
 Exact n-gram-Jaccard verification of the LSH candidates is
 ``verify_lsh_candidates`` (cost bounded by the candidate pairs); the
 standalone inverted-index form — with a shingle document-frequency cap
-against hot-shingle blowup — is ``__spark_entry__.q_dedup_ngram_jaccard``
-(SQL-expressible, oracle-checked).
+against hot-shingle blowup — is ``ngram_jaccard_pairs`` (SQL-expressible,
+oracle-checked through ``__spark_entry__.q_dedup_ngram_jaccard``).
 """
 
 from __future__ import annotations
@@ -179,6 +179,42 @@ def simhash_signatures(docs: DataFrame, bits: int = 32,
     return (sim.withColumn(
         "prefix16", F.shiftrightunsigned(F.col("simhash"), bits - 16))
         .orderBy("doc_id"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        min_jaccard: float = 0.05,
+                        df_cap: int = 100) -> DataFrame:
+    """Standalone near-dup candidates: word-n-gram Jaccard via an
+    inverted-index self-join with a shingle document-frequency cap
+    (shingles shared by more than ``df_cap`` docs are dropped — a
+    ubiquitous shingle is a quadratic hot key in the self-join; the cap
+    bounds each index entry's fan-out). The cap is computed with a
+    partial-aggregating groupBy, NOT a count-over-window, so the hot
+    shingle's own rows reduce map-side before any shuffle.
+
+    Returns (da, db, jaccard) with da < db and jaccard >= min_jaccard.
+    The LSH-pruned alternative (exact scores for MinHash candidates
+    only) is ``verify_lsh_candidates``.
+    """
+    raw = _word_shingles(docs, n=n)  # already distinct (doc_id, tri)
+    keep = (raw.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= df_cap).select("tri"))
+    grams = raw.join(keep, "tri", "left_semi")
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    inter = (a.join(b, (F.col("a.tri") == F.col("b.tri"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("da"),
+                      F.col("b.doc_id").alias("db"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
+    return (inter.join(F.broadcast(sa), "da").join(F.broadcast(sb), "db")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                4))
+            .filter(F.col("jaccard") >= min_jaccard)
+            .select("da", "db", "jaccard"))
 
 
 def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:

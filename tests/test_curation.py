@@ -140,3 +140,37 @@ def test_pagerank_hub_outranks_leaf(spark):
                                "src long, dst long")
     got = {r.node: r.pr for r in pagerank_fixed(df).collect()}
     assert got[0] > max(got[i] for i in range(1, 6)) * 2
+
+
+def test_curation_funnel_partitions_corpus(spark):
+    """The funnel stages must PARTITION the (doubled) corpus: every doc
+    lands in exactly one stage, totals reconcile, and each dedup stage
+    provably fires on a hand-built corpus."""
+    import __spark_entry__ as E
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat of a red house today"),   # kept
+         (2, "the cat sat on the mat of a red house today"),   # exact dup of 1
+         (3, "the cat sat on the mat of a red house now"),     # near dup of 1
+         (4, "zz yy xx ww vv uu tt ss rr qq"),                 # low_en
+         (5, "too short")],                                    # too_short
+        "doc_id long, text string, source string".replace(
+            ", source string", ""))
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r.stage: r for r in
+               E.q_curation_funnel(spark, d).collect()}
+    # doubled corpus: 10 docs total across all stages
+    assert sum(r.n_docs for r in out.values()) == 10
+    # every original quality-passer's shifted twin dies at exact dedup:
+    # passers are docs 1,2,3 (x2) -> 6; shifted 1',2',3' are exact dups
+    # of {1,2,3}, and doc 2 itself duplicates doc 1 -> 4 exact_dup
+    assert out["exact_dup"].n_docs == 4
+    # near-dup: doc 3 clusters with doc 1 (9/11 shared shingle Jaccard)
+    assert out["near_dup"].n_docs == 1
+    assert out["kept"].n_docs == 1
+    assert out["too_short"].n_docs == 2 and out["low_en"].n_docs == 2
+    # token accounting: sum over stages == total tokens of doubled corpus
+    total = sum(r.n_tokens for r in out.values())
+    assert total == 2 * (11 + 11 + 11 + 10 + 2)
