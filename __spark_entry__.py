@@ -563,6 +563,44 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("stage"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/PaLM recipe): flag training
+    docs sharing any word-8-gram with the eval split. Eval split =
+    doc_id % 97 == 0; known contamination is PLANTED (same fixed phrase
+    appended to eval docs and to doc_id % 31 training docs) so the scan
+    has exact ground truth the oracle replays. Eval shingle set is
+    broadcast — the corpus never shuffles for the check."""
+    from morra_spark.operators.curation import (contamination_report,
+                                                plant_contamination)
+
+    d = plant_contamination(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "source"))
+    ev = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return contamination_report(train, ev, n=8).orderBy("source")
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: per-doc placement into
+    512-token context windows per source stream (token offsets, chunk
+    id, boundary-straddle flag) — the layout pass a pretraining data
+    run does last. One running-sum window per stream."""
+    from morra_spark.operators.curation import pack_sequences
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return pack_sequences(d, ctx_len=512).orderBy("doc_id")
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab sizing: per-lang fraction of token occurrences
+    covered by the top-50 words (count desc, word asc tie-break). The
+    rank window runs over the aggregated vocab, not corpus rows."""
+    from morra_spark.operators.curation import vocab_coverage
+
+    d = _t(spark, sf_dir, "documents").select("lang", "text")
+    return vocab_coverage(d, top_k=50).orderBy("lang")
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -994,6 +1032,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": q_pii_scan,
         "sample_stratified": q_sample_stratified,
         "curation_funnel": q_curation_funnel,
+        "decontaminate": q_decontaminate,
+        "sequence_packing": q_sequence_packing,
+        "vocab_coverage": q_vocab_coverage,
         "mixture_tokens": q_mixture_tokens,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
@@ -1495,6 +1536,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT stage, COUNT(*) AS n_docs,
                    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
             FROM final GROUP BY stage ORDER BY stage
+        """,
+        "decontaminate": """
+            WITH d AS (SELECT doc_id, source,
+                   CASE WHEN doc_id % 97 = 0 OR doc_id % 31 = 0
+                        THEN text ||
+                 ' alpha bravo charlie delta echo foxtrot golf hotel india'
+                        ELSE text END AS text
+                 FROM documents),
+            ev AS (SELECT STRING_SPLIT(TRIM(text), ' ') AS words
+                   FROM d WHERE doc_id % 97 = 0),
+            evg0 AS (SELECT UNNEST(GENERATE_SERIES(
+                         1, GREATEST(LEN(words) - 7, 0))) AS i, words
+                     FROM ev),
+            evg AS (SELECT DISTINCT
+                        words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        || ' ' || words[i+3] || ' ' || words[i+4] || ' '
+                        || words[i+5] || ' ' || words[i+6] || ' '
+                        || words[i+7] AS tri
+                    FROM evg0),
+            tr AS (SELECT doc_id, source,
+                          STRING_SPLIT(TRIM(text), ' ') AS words
+                   FROM d WHERE doc_id % 97 <> 0),
+            trg0 AS (SELECT doc_id, UNNEST(GENERATE_SERIES(
+                         1, GREATEST(LEN(words) - 7, 0))) AS i, words
+                     FROM tr),
+            trg AS (SELECT DISTINCT doc_id,
+                        words[i] || ' ' || words[i+1] || ' ' || words[i+2]
+                        || ' ' || words[i+3] || ' ' || words[i+4] || ' '
+                        || words[i+5] || ' ' || words[i+6] || ' '
+                        || words[i+7] AS tri
+                    FROM trg0),
+            hits AS (SELECT DISTINCT doc_id FROM trg
+                     WHERE tri IN (SELECT tri FROM evg))
+            SELECT t.source, COUNT(*) AS n_docs,
+                   CAST(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_contaminated,
+                   ROUND(SUM(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END)
+                         * 1.0 / COUNT(*), 4) AS contamination_rate
+            FROM tr t LEFT JOIN hits h ON h.doc_id = t.doc_id
+            GROUP BY t.source ORDER BY t.source
+        """,
+        "sequence_packing": """
+            WITH n AS (SELECT doc_id, source,
+                   CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END
+                     AS n_tok
+                 FROM documents),
+            p AS (SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+                         CAST(SUM(n_tok) OVER (PARTITION BY source
+                              ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                              AS BIGINT) AS end_off
+                  FROM n)
+            SELECT doc_id, source, n_tok,
+                   end_off - n_tok AS start_off, end_off,
+                   CAST(FLOOR((end_off - n_tok) / 512.0) AS BIGINT)
+                     AS chunk_id,
+                   CAST(FLOOR((end_off - 1) / 512.0) AS BIGINT) >
+                   CAST(FLOOR((end_off - n_tok) / 512.0) AS BIGINT)
+                     AS straddles
+            FROM p ORDER BY doc_id
+        """,
+        "vocab_coverage": """
+            WITH w AS (SELECT lang, UNNEST(STRING_SPLIT_REGEX(
+                           TRIM(text), '\\s+')) AS word
+                       FROM documents),
+            f AS (SELECT lang, word, COUNT(*) AS cnt FROM w
+                  WHERE word <> '' GROUP BY lang, word),
+            r AS (SELECT lang, cnt, ROW_NUMBER() OVER (
+                      PARTITION BY lang ORDER BY cnt DESC, word ASC) AS rnk
+                  FROM f)
+            SELECT lang, COUNT(*) AS n_vocab,
+                   CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN rnk <= 50 THEN cnt ELSE 0 END)
+                        AS BIGINT) AS top_k_tokens,
+                   ROUND(SUM(CASE WHEN rnk <= 50 THEN cnt ELSE 0 END)
+                         * 1.0 / SUM(cnt), 4) AS coverage
+            FROM r GROUP BY lang ORDER BY lang
         """,
         "dedup_ngram_jaccard": """
             WITH w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words

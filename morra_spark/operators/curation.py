@@ -152,6 +152,116 @@ def stratified_keep(docs: DataFrame, rate_permille: Column) -> DataFrame:
             .filter(F.col("bucket") < rate_permille))
 
 
+CONTAM_PHRASE = "alpha bravo charlie delta echo foxtrot golf hotel india"
+
+
+def plant_contamination(docs: DataFrame, every: int = 31,
+                        eval_every: int = 97) -> DataFrame:
+    """Deterministically plant eval-set overlap into a synthetic corpus
+    (whose random-word docs share no natural long n-grams): eval docs
+    (doc_id % eval_every == 0) AND a known slice of training docs
+    (doc_id % every == 0, excluding eval docs) both get the same fixed
+    9-word phrase appended, so the scanner has exact ground truth — any
+    engine can replay the plant with a CASE. Test scaffolding, not part
+    of the scan operator."""
+    did = F.col("doc_id")
+    hit = (did % eval_every == 0) | (did % every == 0)
+    return docs.withColumn("text", F.when(
+        hit, F.concat(F.col("text"), F.lit(" " + CONTAM_PHRASE)))
+        .otherwise(F.col("text")))
+
+
+def contamination_report(docs: DataFrame, eval_docs: DataFrame,
+                         n: int = 8) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM recipe, word-n-gram
+    form): a training doc is CONTAMINATED if it shares any word-n-gram
+    with the eval set. Returns per-source accounting over the training
+    split: docs, contaminated docs, contamination rate.
+
+    100 TB shape: the eval side is a benchmark suite — thousands of
+    docs, millions of shingles — so its distinct-shingle set is
+    BROADCAST and the check is a map-side left-semi probe of the
+    training shingles; the corpus never shuffles. Per-doc fan-out is
+    bounded by the doc's own shingle count (no self-join, so no df cap
+    needed). Swap the broadcast for a shuffled semi-join only if the
+    eval suite outgrows executor memory."""
+    from morra_spark.operators.dedup import _word_shingles
+
+    ev = _word_shingles(eval_docs, n=n).select("tri").distinct()
+    hits = (_word_shingles(docs, n=n)
+            .join(F.broadcast(ev), "tri", "left_semi")
+            .select("doc_id").distinct()
+            .withColumn("contaminated", F.lit(1)))
+    return (docs.join(hits, "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.coalesce("contaminated", F.lit(0)))
+                  .cast("long").alias("n_contaminated"))
+            .withColumn("contamination_rate", F.round(
+                F.col("n_contaminated") / F.col("n_docs"), 4)))
+
+
+def pack_sequences(docs: DataFrame, ctx_len: int,
+                   order_col: str = "doc_id",
+                   stream_col: str = "source") -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    layout): within each stream, documents are concatenated in
+    ``order_col`` order and split into fixed ``ctx_len``-token context
+    windows. Returns per-doc placement: token start/end offsets, the
+    chunk the doc starts in, and whether it straddles a chunk boundary
+    (those docs get split across two training sequences).
+
+    100 TB shape: ONE running-sum window per stream (the sort is the
+    cost; at scale the stream key is (source, shard) so each window
+    partition is bounded), everything else map-only arithmetic. No
+    first-fit bin packing — concat-and-chunk is order-preserving, so
+    it needs no driver state and resumes deterministically."""
+    trimmed = F.trim(F.col("text"))
+    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(stream_col).orderBy(order_col)
+    placed = (docs.withColumn("n_tok", n_tok)
+              .withColumn("end_off", F.sum("n_tok").over(w))
+              .withColumn("start_off", F.col("end_off") - F.col("n_tok")))
+    return (placed
+            .withColumn("chunk_id",
+                        (F.col("start_off") / ctx_len).cast("long"))
+            .withColumn("straddles",
+                        ((F.col("end_off") - 1) / ctx_len).cast("long")
+                        > F.col("chunk_id"))
+            .select("doc_id", stream_col, "n_tok", "start_off",
+                    "end_off", "chunk_id", "straddles"))
+
+
+def vocab_coverage(docs: DataFrame, top_k: int = 50) -> DataFrame:
+    """Tokenizer-vocab sizing accounting: per language, what fraction
+    of all token OCCURRENCES the top-``top_k`` most frequent words
+    cover (the curve a vocab-size decision reads). Deterministic
+    tie-break: (count desc, word asc). Explode + two partial-aggregating
+    groupBys keyed by (lang, word) then lang; the per-lang rank window
+    runs over the already-aggregated vocab (|vocab| rows, not corpus
+    rows), so the sort input is tiny at any corpus scale."""
+    from pyspark.sql.window import Window
+    words = (docs.select("lang", F.explode(
+        F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word").agg(F.count(F.lit(1)).alias("cnt")))
+    r = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("word")))
+    ranked = words.withColumn("rnk", r)
+    return (ranked.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_vocab"),
+                 F.sum("cnt").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("rnk") <= top_k, F.col("cnt"))
+                       .otherwise(F.lit(0))).cast("long")
+                  .alias("top_k_tokens"))
+            .withColumn("coverage", F.round(
+                F.col("top_k_tokens") / F.col("n_tokens"), 4))
+            .select("lang", "n_vocab", "n_tokens", "top_k_tokens",
+                    "coverage"))
+
+
 def mixture_tokens(docs: DataFrame, weights: dict[str, float],
                    token_budget: int) -> DataFrame:
     """Data-mixture accounting per language: whitespace-token totals,

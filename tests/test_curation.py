@@ -174,3 +174,48 @@ def test_curation_funnel_partitions_corpus(spark):
     # token accounting: sum over stages == total tokens of doubled corpus
     total = sum(r.n_tokens for r in out.values())
     assert total == 2 * (11 + 11 + 11 + 10 + 2)
+
+
+def test_contamination_report_exact_overlap(spark):
+    from morra_spark.operators.curation import contamination_report
+
+    ev = spark.createDataFrame(
+        [(100, "q w e r t y u i o p", "eval")],
+        "doc_id long, text string, source string")
+    train = spark.createDataFrame(
+        [(1, "x q w e r t y u i o z", "s"),   # contains eval 8-gram q..i
+         (2, "totally different words here none shared with anything at all", "s"),
+         (3, "q w e r t y u z", "s")],        # only a 7-gram prefix -> clean
+        "doc_id long, text string, source string")
+    r = contamination_report(train, ev, n=8).collect()[0]
+    assert r.n_docs == 3 and r.n_contaminated == 1
+    assert r.contamination_rate == pytest.approx(1 / 3, abs=1e-4)
+
+
+def test_pack_sequences_offsets_and_straddle(spark):
+    from morra_spark.operators.curation import pack_sequences
+
+    # stream s: 3 + 4 + 5 tokens, ctx=8 -> doc 3 starts at 7, ends 12:
+    # straddles the chunk-0/1 boundary; doc 1,2 fit in chunk 0
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s"), (2, "d e f g", "s"), (3, "h i j k l", "s"),
+         (4, "", "t")],                        # empty text -> 0 tokens
+        "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in pack_sequences(docs, ctx_len=8).collect()}
+    assert (out[1].start_off, out[1].end_off, out[1].chunk_id,
+            out[1].straddles) == (0, 3, 0, False)
+    assert (out[2].start_off, out[2].end_off) == (3, 7)
+    assert out[3].chunk_id == 0 and out[3].straddles is True
+    assert out[4].n_tok == 0 and out[4].straddles is False
+
+
+def test_vocab_coverage_top1(spark):
+    from morra_spark.operators.curation import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "the the the cat", "en"), (2, "the dog", "en")],
+        "doc_id long, text string, lang string")
+    r = vocab_coverage(docs, top_k=1).collect()[0]
+    # 6 tokens, 'the' x4 -> coverage 4/6
+    assert r.n_vocab == 3 and r.n_tokens == 6 and r.top_k_tokens == 4
+    assert r.coverage == pytest.approx(4 / 6, abs=1e-4)

@@ -230,3 +230,38 @@ def test_pivot_pinned_domain_is_single_aggregate(spark):
     df = E.q_pivot_event_matrix(spark, "/root/testdata/sf0.001")
     plan = _spark_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval-suite shingle probe must be a BROADCAST left-semi: the
+    training corpus never shuffles for the contamination check (the
+    eval side is the small one — a benchmark suite, not the corpus)."""
+    import __spark_entry__ as E
+
+    plan = _spark_plan(E.q_decontaminate(spark, "/root/testdata/sf0.001"))
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan), plan
+
+
+def test_sequence_packing_single_window_sort(spark):
+    """Concat-and-chunk packing is ONE running-sum window per stream —
+    exactly one hash exchange (the stream repartition) and one Window;
+    chunk/straddle math is map-only on top of it."""
+    import __spark_entry__ as E
+
+    plan = _spark_plan(E.q_sequence_packing(spark, "/root/testdata/sf0.001"))
+    # global orderBy adds a range exchange; the packing itself
+    # contributes exactly one hash exchange + one Window
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert plan.count("Window") >= 1, plan
+
+
+def test_vocab_coverage_ranks_aggregated_vocab_only(spark):
+    """The rank window input must be the aggregated (lang, word) vocab
+    — HashAggregate BELOW the Window in the plan — never raw corpus
+    rows (|vocab| not |tokens| feeds the sort)."""
+    import __spark_entry__ as E
+
+    plan = _spark_plan(E.q_vocab_coverage(spark, "/root/testdata/sf0.001"))
+    wpos = plan.find("Window")
+    apos = plan.rfind("HashAggregate")
+    assert wpos != -1 and apos != -1 and apos > wpos, plan
