@@ -591,6 +591,52 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(d, ctx_len=512).orderBy("doc_id")
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-dup accounting (Lee-et-al substring dedup,
+    word-8-gram form): per-doc tokens inside any span occurring >= 2
+    times corpus-wide, as the UNION of duplicated-span intervals (one
+    window pass, no interval-merge groupBy). Known repeated spans are
+    planted as a fixed 12-word boilerplate on doc_id % 5 == 0 — the
+    license-footer case span dedup exists for."""
+    from morra_spark.operators.dedup import (duplicated_span_stats,
+                                             plant_boilerplate)
+
+    d = plant_boilerplate(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
+    return duplicated_span_stats(d, n=8).orderBy("doc_id")
+
+
+FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel over the event log: users reaching signup → view
+    → click → purchase, each step strictly after the previous step's
+    first completion AND within a 48 h conversion window (without the
+    window every long-lived user trivially converts). ONE shuffle
+    total: per-user ordered fold (operators/funnel.py) instead of the
+    chained per-step join-back."""
+    from morra_spark.operators.funnel import funnel_counts
+
+    return (funnel_counts(_t(spark, sf_dir, "events"), FUNNEL_STEPS,
+                          within_hours=48)
+            .orderBy("step_idx"))
+
+
+def q_dedup_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity downsampling: ≤1 survivor per simhash-prefix16 bucket
+    (SemDeDup idea on hash buckets). Doubled corpus (doc_id-shifted
+    union) plants guaranteed bucket collisions, so the cap provably
+    fires for every bucket; portable simhash lets DuckDB replay the
+    exact keep set. Skew-aware: only over-cap buckets are sorted."""
+    from morra_spark.operators.dedup import diverse_sample
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    return diverse_sample(d, per_bucket=1).orderBy("doc_id")
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-vocab sizing: per-lang fraction of token occurrences
     covered by the top-50 words (count desc, word asc tie-break). The
@@ -1034,6 +1080,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": q_curation_funnel,
         "decontaminate": q_decontaminate,
         "sequence_packing": q_sequence_packing,
+        "span_dedup": q_span_dedup,
+        "funnel_steps": q_funnel_steps,
+        "dedup_diverse_sample": q_dedup_diverse_sample,
         "vocab_coverage": q_vocab_coverage,
         "mixture_tokens": q_mixture_tokens,
         "graph_pagerank": q_graph_pagerank,
@@ -1596,6 +1645,108 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((end_off - n_tok) / 512.0) AS BIGINT)
                      AS straddles
             FROM p ORDER BY doc_id
+        """,
+        "funnel_steps": """
+            WITH s1 AS (SELECT user_id,
+                    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+                 FROM events GROUP BY user_id),
+            s2 AS (SELECT e.user_id, ANY_VALUE(s1.t1) AS t1,
+                    MIN(CASE WHEN event_type = 'view' AND e.ts > s1.t1
+                             AND e.ts <= s1.t1 + INTERVAL '48 hours'
+                             THEN e.ts END) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, ANY_VALUE(s2.t1) AS t1,
+                    ANY_VALUE(s2.t2) AS t2,
+                    MIN(CASE WHEN event_type = 'click' AND e.ts > s2.t2
+                             AND e.ts <= s2.t2 + INTERVAL '48 hours'
+                             THEN e.ts END) AS t3
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   GROUP BY e.user_id),
+            s4 AS (SELECT e.user_id, ANY_VALUE(s3.t1) AS t1,
+                    ANY_VALUE(s3.t2) AS t2, ANY_VALUE(s3.t3) AS t3,
+                    MIN(CASE WHEN event_type = 'purchase' AND e.ts > s3.t3
+                             AND e.ts <= s3.t3 + INTERVAL '48 hours'
+                             THEN e.ts END) AS t4
+                   FROM events e JOIN s3 ON e.user_id = s3.user_id
+                   GROUP BY e.user_id),
+            c AS (SELECT CAST(COUNT(t1) AS BIGINT) AS n1,
+                         CAST(COUNT(t2) AS BIGINT) AS n2,
+                         CAST(COUNT(t3) AS BIGINT) AS n3,
+                         CAST(COUNT(t4) AS BIGINT) AS n4 FROM s4)
+            SELECT step_idx, step, n_users,
+                   ROUND(n_users * 1.0 / GREATEST(n1, 1), 4) AS conversion
+            FROM (SELECT 1 AS step_idx, 'signup' AS step, n1 AS n_users, n1 FROM c
+                  UNION ALL SELECT 2, 'view', n2, n1 FROM c
+                  UNION ALL SELECT 3, 'click', n3, n1 FROM c
+                  UNION ALL SELECT 4, 'purchase', n4, n1 FROM c)
+            ORDER BY step_idx
+        """,
+        "dedup_diverse_sample": """
+            WITH u AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+            wd AS (SELECT doc_id,
+                          UNNEST(LIST_DISTINCT(STRING_SPLIT(TRIM(text), ' ')))
+                            AS word
+                   FROM u),
+            h AS (SELECT doc_id,
+                         CAST('0x' || SUBSTRING(MD5(word), 1, 15) AS BIGINT) AS h
+                  FROM wd),
+            b AS (SELECT doc_id, j,
+                         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                  FROM h, (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS j)
+                  GROUP BY doc_id, j),
+            sim AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN s >= 0
+                                         THEN CAST(1 AS BIGINT) << j
+                                         ELSE 0 END) AS BIGINT) AS simhash
+                    FROM b GROUP BY doc_id),
+            pb AS (SELECT doc_id, CAST(simhash >> 16 AS BIGINT) AS prefix16
+                   FROM sim),
+            r AS (SELECT doc_id, prefix16,
+                         CAST(COUNT(*) OVER (PARTITION BY prefix16) AS BIGINT)
+                           AS bucket_n,
+                         ROW_NUMBER() OVER (PARTITION BY prefix16
+                                            ORDER BY doc_id) AS rn
+                  FROM pb)
+            SELECT doc_id, prefix16, bucket_n FROM r WHERE rn <= 1
+            ORDER BY doc_id
+        """,
+        "span_dedup": """
+            WITH d AS (SELECT doc_id,
+                   CASE WHEN doc_id % 5 = 0 THEN text ||
+                 ' all rights reserved redistribution permitted provided this notice appears in copies'
+                        ELSE text END AS text
+                 FROM documents),
+            w AS (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS words
+                  FROM d),
+            sizes AS (SELECT doc_id, LEN(words) AS n_tokens FROM w),
+            g AS (SELECT doc_id, UNNEST(GENERATE_SERIES(
+                      1, GREATEST(LEN(words) - 7, 0))) AS pos, words
+                  FROM w),
+            sp AS (SELECT doc_id, pos,
+                       words[pos] || ' ' || words[pos+1] || ' ' ||
+                       words[pos+2] || ' ' || words[pos+3] || ' ' ||
+                       words[pos+4] || ' ' || words[pos+5] || ' ' ||
+                       words[pos+6] || ' ' || words[pos+7] AS span
+                   FROM g),
+            dup AS (SELECT span FROM sp GROUP BY span HAVING COUNT(*) >= 2),
+            hits AS (SELECT doc_id, pos, pos + 7 AS e FROM sp
+                     WHERE span IN (SELECT span FROM dup)),
+            cov AS (SELECT doc_id, GREATEST(0, e - GREATEST(
+                        COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                            ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0), pos - 1)) AS a
+                    FROM hits),
+            pd AS (SELECT doc_id, CAST(SUM(a) AS BIGINT) AS n_dup_tokens
+                   FROM cov GROUP BY doc_id)
+            SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+                   COALESCE(p.n_dup_tokens, 0) AS n_dup_tokens,
+                   ROUND(COALESCE(p.n_dup_tokens, 0) * 1.0 /
+                         GREATEST(s.n_tokens, 1), 4) AS dup_frac
+            FROM sizes s LEFT JOIN pd p ON p.doc_id = s.doc_id
+            ORDER BY s.doc_id
         """,
         "vocab_coverage": """
             WITH w AS (SELECT lang, UNNEST(STRING_SPLIT_REGEX(

@@ -217,6 +217,107 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
             .select("da", "db", "jaccard"))
 
 
+def diverse_sample(docs: DataFrame, per_bucket: int = 1) -> DataFrame:
+    """Near-dup-aware diversity downsampling (the SemDeDup idea on hash
+    buckets): keep at most ``per_bucket`` docs per simhash-prefix16
+    bucket (lowest doc_ids win, deterministic). Near-identical docs
+    share a bucket, so capping the bucket is a cheap semantic-diversity
+    proxy with no pairwise scoring.
+
+    Skew-aware two-phase plan: bucket counts first (partial-aggregating
+    groupBy, broadcast back — ≤ 2^16 buckets), then ONLY over-cap
+    buckets pass through the rank window; under-cap buckets are kept
+    with zero sort. A degenerate corpus (everything in one bucket)
+    sorts only that bucket, not the corpus. Portable simhash, so any
+    md5-capable engine replays the exact keep set.
+
+    Returns kept (doc_id, prefix16, bucket_n).
+    """
+    sig = (simhash_signatures(docs, portable=True)
+           .select("doc_id", "prefix16"))
+    cnt = sig.groupBy("prefix16").agg(
+        F.count(F.lit(1)).cast("long").alias("bucket_n"))
+    sig2 = sig.join(F.broadcast(cnt), "prefix16")
+    small = sig2.filter(F.col("bucket_n") <= per_bucket)
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("prefix16").orderBy("doc_id")
+    kept_big = (sig2.filter(F.col("bucket_n") > per_bucket)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= per_bucket).drop("rn"))
+    return (small.unionByName(kept_big)
+            .select("doc_id", "prefix16", "bucket_n"))
+
+
+BOILERPLATE = ("all rights reserved redistribution permitted provided this "
+               "notice appears in copies")  # 12 words
+
+
+def plant_boilerplate(docs: DataFrame, every: int = 5) -> DataFrame:
+    """Deterministically append a fixed 12-word boilerplate paragraph to
+    docs with doc_id % every == 0 — the synthetic corpus has no natural
+    repeated spans, so this gives the span-dedup scanner exact ground
+    truth (license/footer boilerplate is precisely what span-level dedup
+    exists to catch). Test scaffolding, replayable by any engine."""
+    return docs.withColumn("text", F.when(
+        F.col("doc_id") % every == 0,
+        F.concat(F.col("text"), F.lit(" " + BOILERPLATE)))
+        .otherwise(F.col("text")))
+
+
+def duplicated_span_stats(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Span-level exact-dup accounting (the Lee-et-al substring-dedup
+    measurement, word-n-gram form): per doc, how many tokens sit inside
+    some word-n-gram that occurs MORE THAN ONCE in the corpus (counting
+    multiplicity — within-doc repeats count too). Returns
+    (doc_id, n_tokens, n_dup_tokens, dup_frac).
+
+    Token coverage is the UNION of the duplicated spans' [pos, pos+n-1]
+    intervals, computed in one window pass — each span adds
+    ``max(0, end - max(prev_max_end, pos-1))`` new tokens, so no
+    interval-merge groupBy is needed. 100 TB shape: one explode + one
+    span-string groupBy (partial-aggregating; the span is a grouping
+    key only for a global COUNT, never a join fan-out) + one per-doc
+    window (bounded by the doc's own span count).
+    """
+    words_df = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("words"))
+    w = F.col("words")
+    sizes = words_df.select(
+        "doc_id", F.size(w).cast("long").alias("n_tokens"))
+    idxs = F.when(F.size(w) >= n, F.sequence(F.lit(1), F.size(w) - n + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    spans = words_df.select(
+        "doc_id",
+        F.explode(F.transform(idxs, lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
+             .alias("span")))).alias("s")) \
+        .select("doc_id", F.col("s.pos").alias("pos"),
+                F.col("s.span").alias("span"))
+    dup = (spans.groupBy("span").agg(F.count(F.lit(1)).alias("m"))
+           .filter(F.col("m") >= 2).select("span"))
+    hits = spans.join(dup, "span", "left_semi") \
+        .withColumn("end", F.col("pos") + n - 1)
+    from pyspark.sql.window import Window
+    prev = Window.partitionBy("doc_id").orderBy("pos") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    add = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("end") - F.greatest(
+            F.coalesce(F.max("end").over(prev), F.lit(0)),
+            F.col("pos") - 1))
+    per_doc = (hits.withColumn("add", add)
+               .groupBy("doc_id")
+               .agg(F.sum("add").cast("long").alias("n_dup_tokens")))
+    return (sizes.join(per_doc, "doc_id", "left")
+            .withColumn("n_dup_tokens",
+                        F.coalesce("n_dup_tokens", F.lit(0)).cast("long"))
+            .withColumn("dup_frac", F.round(
+                F.col("n_dup_tokens") /
+                F.greatest(F.col("n_tokens"), F.lit(1)), 4))
+            .select("doc_id", "n_tokens", "n_dup_tokens", "dup_frac"))
+
+
 def dedup_exact_keep_first(docs: DataFrame) -> DataFrame:
     """Exact-dedup materializer: one survivor per distinct text, the
     lowest doc_id (deterministic). A ranking window over the text key —

@@ -345,3 +345,22 @@ def test_connected_components_vs_union_find_random_graphs(spark):
         got = {r.node: r.comp
                for r in connected_components(df, max_iter=25).collect()}
         assert got == want, (n_nodes, n_edges)
+
+
+def test_duplicated_span_stats_interval_union(spark):
+    """Hand-computed span coverage incl. the overlap case: the window
+    union must count overlapping duplicated spans' tokens once."""
+    from morra_spark.operators.dedup import duplicated_span_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d x a b c d"),       # "a b c d" @1 and @6 -> 8/9
+         (2, "p q r s t u"),             # [1-4] U [2-5] = 5/6
+         (3, "p q r s t z z z"),         # [1-4] U [2-5] = 5/8
+         (4, "m n o")],                  # shorter than n -> 0 spans
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicated_span_stats(docs, n=4).collect()}
+    assert (out[1].n_tokens, out[1].n_dup_tokens) == (9, 8)
+    assert (out[2].n_tokens, out[2].n_dup_tokens) == (6, 5)
+    assert (out[3].n_tokens, out[3].n_dup_tokens) == (8, 5)
+    assert (out[4].n_tokens, out[4].n_dup_tokens) == (3, 0)
+    assert out[2].dup_frac == pytest.approx(5 / 6, abs=1e-4)

@@ -1,0 +1,91 @@
+"""Funnel fold edge cases: ordering, ties, conversion window — the
+engine-equivalence check vs the chained-aggregation DuckDB form lives
+in scripts/oracle_check.py (funnel_steps)."""
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from morra_spark.session import get_spark
+    return get_spark("test_funnel")
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(u, datetime(2024, 1, 1, h, m), t) for u, h, m, t in rows],
+        "user_id long, ts timestamp, event_type string")
+
+
+STEPS = ["signup", "view", "buy"]
+
+
+def test_funnel_full_path_and_order(spark):
+    from morra_spark.operators.funnel import funnel_user_steps
+
+    ev = _ev(spark, [
+        (1, 1, 0, "signup"), (1, 2, 0, "view"), (1, 3, 0, "buy"),
+        # user 2: view BEFORE signup, never after -> stops at signup
+        (2, 2, 0, "view"), (2, 3, 0, "signup"), (2, 1, 0, "buy"),
+        # user 3: no signup at all
+        (3, 1, 0, "view"), (3, 2, 0, "buy")])
+    out = {r.user_id: r for r in funnel_user_steps(ev, STEPS).collect()}
+    assert out[1].t1 and out[1].t2 and out[1].t3
+    assert out[2].t1 is not None and out[2].t2 is None and out[2].t3 is None
+    assert out[3].t1 is None
+
+
+def test_funnel_tie_is_not_progress(spark):
+    from morra_spark.operators.funnel import funnel_user_steps
+
+    # view at EXACTLY the signup ts: strictly-after fails both engines
+    ev = _ev(spark, [(1, 1, 0, "signup"), (1, 1, 0, "view"),
+                     (1, 2, 0, "view")])
+    r = funnel_user_steps(ev, STEPS).collect()[0]
+    assert r.t2 == datetime(2024, 1, 2 - 1, 2, 0)
+
+
+def test_funnel_conversion_window(spark):
+    from morra_spark.operators.funnel import funnel_counts, funnel_user_steps
+
+    ev = _ev(spark, [
+        (1, 1, 0, "signup"), (1, 2, 0, "view"),    # within 1h: ok
+        (2, 1, 0, "signup"), (2, 4, 0, "view")])   # 3h later: expired
+    out = {r.user_id: r
+           for r in funnel_user_steps(ev, STEPS, within_hours=2).collect()}
+    assert out[1].t2 is not None and out[2].t2 is None
+    rows = {r.step: r for r in
+            funnel_counts(ev, STEPS, within_hours=2).collect()}
+    assert rows["signup"].n_users == 2 and rows["view"].n_users == 1
+    assert rows["view"].conversion == pytest.approx(0.5)
+    assert rows["buy"].n_users == 0
+
+
+def test_funnel_takes_first_eligible_not_any(spark):
+    from morra_spark.operators.funnel import funnel_user_steps
+
+    # two views after signup: t2 must be the FIRST one
+    ev = _ev(spark, [(1, 1, 0, "signup"), (1, 2, 30, "view"),
+                     (1, 5, 0, "view")])
+    r = funnel_user_steps(ev, STEPS).collect()[0]
+    assert r.t2 == datetime(2024, 1, 1, 2, 30)
+
+
+def test_diverse_sample_caps_buckets(spark):
+    from morra_spark.operators.dedup import diverse_sample
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma delta"),      # identical -> same bucket
+         (3, "alpha beta gamma delta"),
+         (4, "totally different content here")],
+        "doc_id long, text string")
+    kept = {r.doc_id: r for r in diverse_sample(docs, per_bucket=1).collect()}
+    assert 1 in kept and 4 in kept          # lowest id survives per bucket
+    assert 2 not in kept and 3 not in kept
+    assert kept[1].bucket_n == 3 and kept[4].bucket_n == 1
+    kept2 = {r.doc_id for r in diverse_sample(docs, per_bucket=2).collect()}
+    assert kept2 == {1, 2, 4}
