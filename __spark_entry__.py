@@ -606,6 +606,27 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_stats(d, n=8).orderBy("doc_id")
 
 
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-based quality score: per-doc bits-per-token under an
+    add-one-smoothed corpus unigram model (the CCNet perplexity-filter
+    idea at its cheapest). One word-count shuffle + a co-keyed join
+    back + per-doc sum."""
+    from morra_spark.operators.curation import unigram_lm_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_lm_score(d).orderBy("doc_id")
+
+
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 keywords by smoothed TF-IDF, deterministic
+    (rounded-score desc, word asc). Rank window bounded by per-doc
+    vocabulary."""
+    from morra_spark.operators.curation import tfidf_keywords
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(d, top_k=3).orderBy("doc_id", "rnk")
+
+
 FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
 
 
@@ -1082,6 +1103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "span_dedup": q_span_dedup,
         "funnel_steps": q_funnel_steps,
+        "lm_quality": q_lm_quality,
+        "tfidf_keywords": q_tfidf_keywords,
         "dedup_diverse_sample": q_dedup_diverse_sample,
         "vocab_coverage": q_vocab_coverage,
         "mixture_tokens": q_mixture_tokens,
@@ -1645,6 +1668,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR((end_off - n_tok) / 512.0) AS BIGINT)
                      AS straddles
             FROM p ORDER BY doc_id
+        """,
+        "lm_quality": """
+            WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(
+                              TRIM(text), '\\s+')) AS word
+                          FROM documents),
+            t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+            freq AS (SELECT word, COUNT(*) AS c FROM t2 GROUP BY word),
+            tot AS (SELECT SUM(c) AS N, COUNT(*) AS V FROM freq),
+            sc AS (SELECT doc_id,
+                          -LOG2((c + 1) * 1.0 / (N + V)) AS bits
+                   FROM t2 JOIN freq USING (word) CROSS JOIN tot)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(SUM(bits) / COUNT(*), 4) AS bits_per_token
+            FROM sc GROUP BY doc_id ORDER BY doc_id
+        """,
+        "tfidf_keywords": """
+            WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(
+                              TRIM(text), '\\s+')) AS word
+                          FROM documents),
+            t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t2
+                   GROUP BY doc_id, word),
+            dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+            d AS (SELECT COUNT(*) AS D FROM documents),
+            sc AS (SELECT doc_id, word, ROUND(
+                       tf * LN((D + 1) * 1.0 / (df + 1)), 4) AS score
+                   FROM tf JOIN dfq USING (word) CROSS JOIN d),
+            r AS (SELECT doc_id, word, score,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, word ASC) AS INTEGER)
+                           AS rnk
+                  FROM sc)
+            SELECT doc_id, rnk, word, score FROM r WHERE rnk <= 3
+            ORDER BY doc_id, rnk
         """,
         "funnel_steps": """
             WITH s1 AS (SELECT user_id,

@@ -262,6 +262,58 @@ def vocab_coverage(docs: DataFrame, top_k: int = 50) -> DataFrame:
                     "coverage"))
 
 
+def unigram_lm_score(docs: DataFrame) -> DataFrame:
+    """LM-based quality scoring (the CCNet idea with the cheapest
+    possible LM): per-doc bits-per-token under an add-one-smoothed
+    unigram model fit on the corpus itself — boilerplate-ish docs full
+    of corpus-frequent words score low (likely), lexically weird docs
+    score high. Returns (doc_id, n_tokens, bits_per_token).
+
+    Plan: one explode + (word) count → joined back per occurrence on
+    the same key (co-partitioned with the counting shuffle) → per-doc
+    sum. The corpus totals (N, V) ride along as a broadcast 1-row
+    cross join, not a driver collect."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+        .alias("word")).filter(F.col("word") != "")
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    totals = freq.agg(F.sum("c").alias("N"),
+                      F.count(F.lit(1)).alias("V"))
+    scored = (toks.join(freq, "word")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("bits", -F.log2(
+                  (F.col("c") + 1) / (F.col("N") + F.col("V")))))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.round(F.sum("bits") / F.count(F.lit(1)), 4)
+                  .alias("bits_per_token")))
+
+
+def tfidf_keywords(docs: DataFrame, top_k: int = 3) -> DataFrame:
+    """Per-doc keyword extraction: top-``top_k`` terms by smoothed
+    TF-IDF (tf × ln((D+1)/(df+1)); ties broken word-asc so the result
+    is deterministic in any engine). The rank window is per doc over
+    the doc's own distinct terms — bounded by doc vocabulary, never
+    corpus-sized."""
+    from pyspark.sql.window import Window
+    tf = (docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+        .alias("word")).filter(F.col("word") != "")
+        .groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("word").agg(
+        F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("D"))
+    scored = (tf.join(df_, "word").crossJoin(F.broadcast(n_docs))
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log((F.col("D") + 1) / (F.col("df") + 1)),
+                  4)))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("word"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= top_k)
+            .select("doc_id", "rnk", "word", "score"))
+
+
 def mixture_tokens(docs: DataFrame, weights: dict[str, float],
                    token_budget: int) -> DataFrame:
     """Data-mixture accounting per language: whitespace-token totals,

@@ -219,3 +219,34 @@ def test_vocab_coverage_top1(spark):
     # 6 tokens, 'the' x4 -> coverage 4/6
     assert r.n_vocab == 3 and r.n_tokens == 6 and r.top_k_tokens == 4
     assert r.coverage == pytest.approx(4 / 6, abs=1e-4)
+
+
+def test_unigram_lm_score_hand_computed(spark):
+    from morra_spark.operators.curation import unigram_lm_score
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    # freq: a=2 b=2 c=1; N=5 V=3; p_add1(a)=p(b)=3/8, p(c)=2/8
+    out = {r.doc_id: r for r in unigram_lm_score(docs).collect()}
+    assert out[1].n_tokens == 3
+    assert out[1].bits_per_token == pytest.approx(
+        math.log2(8 / 3), abs=1e-4)
+    assert out[2].bits_per_token == pytest.approx(
+        (math.log2(8 / 3) + math.log2(4)) / 2, abs=1e-4)
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    from morra_spark.operators.curation import tfidf_keywords
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "x x y"), (2, "y z")], "doc_id long, text string")
+    rows = tfidf_keywords(docs, top_k=2).collect()
+    got = {(r.doc_id, r.rnk): (r.word, r.score) for r in rows}
+    # df: x=1 y=2 z=1; D=2; idf(x)=idf(z)=ln(3/2), idf(y)=ln(1)=0
+    assert got[(1, 1)][0] == "x"
+    assert got[(1, 1)][1] == pytest.approx(
+        round(2 * math.log(3 / 2), 4), abs=1e-6)
+    assert got[(1, 2)] == ("y", 0.0)
+    assert got[(2, 1)][0] == "z" and got[(2, 2)][0] == ("y")
