@@ -89,3 +89,26 @@ def test_diverse_sample_caps_buckets(spark):
     assert kept[1].bucket_n == 3 and kept[4].bucket_n == 1
     kept2 = {r.doc_id for r in diverse_sample(docs, per_bucket=2).collect()}
     assert kept2 == {1, 2, 4}
+
+
+def test_interval_overlap_join_exact_pairs(spark):
+    """Hand-built intervals: boundary touch counts as overlap, the
+    multi-cell pair dedups to one row, disjoint pairs are absent."""
+    from datetime import datetime
+    from morra_spark.operators.intervals import interval_overlap_join
+
+    def iv(rows):
+        return spark.createDataFrame(
+            [(i, datetime(2024, 1, 1, s), datetime(2024, 1, 1, e))
+             for i, s, e in rows],
+            "id long, s timestamp, e timestamp")
+
+    left = iv([(1, 0, 2), (2, 5, 6), (3, 10, 11)])
+    right = iv([(10, 1, 3),   # overlaps 1 ([1,2])
+                (11, 2, 4),   # touches 1 at exactly 02:00 -> overlap 0
+                (12, 6, 9),   # touches 2 at 06:00
+                (13, 12, 13)])  # disjoint from everything
+    # cell = 1h: the (1,10) pair shares cells 1 and 2 -> must dedup
+    out = {(r.a_id, r.b_id): r.overlap_sec for r in
+           interval_overlap_join(left, right, cell_seconds=3600).collect()}
+    assert out == {(1, 10): 3600.0, (1, 11): 0.0, (2, 12): 0.0}

@@ -265,3 +265,16 @@ def test_vocab_coverage_ranks_aggregated_vocab_only(spark):
     wpos = plan.find("Window")
     apos = plan.rfind("HashAggregate")
     assert wpos != -1 and apos != -1 and apos > wpos, plan
+
+
+def test_interval_join_is_equi_not_nested_loop(spark):
+    """The grid-cell rewrite must plan a hash/sort-merge EQUI-join on
+    the cell id — never the BroadcastNestedLoopJoin / CartesianProduct
+    the naive range predicate gets (quadratic at scale)."""
+    import __spark_entry__ as E
+
+    plan = _spark_plan(
+        E.q_interval_overlap_join(spark, "/root/testdata/sf0.001"))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
+                     r" \[cell", plan), plan
