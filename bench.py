@@ -93,7 +93,11 @@ def micro_queries(spark, sf_dir: str) -> dict[str, float]:
 
     names = ["hash_agg", "sortmerge_join", "broadcast_join_dim",
              "salted_skew_join", "window_lag_gap", "sessionize",
-             "dedup_minhash_lsh_fast", "ann_cosine_topk"]
+             "dedup_minhash_lsh_fast", "ann_cosine_topk",
+             # round-3 heavies: end-to-end curation funnel (quality →
+             # exact → near-dup clustering), span-level dup accounting,
+             # grid-cell interval-overlap join
+             "curation_funnel", "span_dedup", "interval_overlap_join"]
     qs = E.queries()
     out: dict[str, float] = {}
     for name in names:

@@ -64,7 +64,8 @@ def connected_components(pairs: DataFrame, src: str = "src",
               .withColumn("comp", F.col("node"))
               .localCheckpoint(eager=True))
     for _ in range(max_iter):
-        # 1) propagate: min neighbor label per node
+        # 1) propagate: min neighbor label per node (the pre-round label
+        # rides along as `old` so convergence needs no join-back)
         nbr_min = (edges
                    .join(labels.select(F.col("node").alias("b"),
                                        F.col("comp").alias("comp_b")),
@@ -73,7 +74,7 @@ def connected_components(pairs: DataFrame, src: str = "src",
         prop = (labels
                 .join(nbr_min.withColumnRenamed("a", "node"),
                       "node", "left")
-                .select("node",
+                .select("node", F.col("comp").alias("old"),
                         F.least("comp", F.coalesce("nbr", "comp"))
                         .alias("comp")))
         # 2) compress (pointer jumping): comp := comp(comp)
@@ -81,15 +82,15 @@ def connected_components(pairs: DataFrame, src: str = "src",
                              F.col("comp").alias("comp_parent"))
         new = (prop.join(parent, "comp", "left")
                .select("node", F.coalesce("comp_parent", "comp")
-                       .alias("comp"))
-               .localCheckpoint(eager=True))  # truncate lineage — see
-        # module docstring: without this the plan doubles every round
-        changed = (new.join(labels.withColumnRenamed("comp", "old"),
-                            "node")
-                   .filter(F.col("comp") != F.col("old")).count())
-        labels = new
+                       .alias("comp"), "old")
+               .localCheckpoint(eager=False))  # truncate lineage — see
+        # module docstring: without this the plan doubles every round.
+        # eager=False: the convergence count below is the materializing
+        # action, so each round runs ONE Spark job, not two.
+        changed = new.filter(F.col("comp") != F.col("old")).count()
+        labels = new.select("node", "comp")
         if changed == 0:
-            return labels.select("node", "comp")
+            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds")
 
