@@ -1015,8 +1015,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH bucketing over embeddings (the scale path for
-    ANN; rows-only)."""
+    """Random-hyperplane LSH bucketing over embeddings (the scale path
+    for ANN). Oracled since r3: the planes are seed-deterministic
+    literals, so DuckDB replays the exact sign-pattern bucketing
+    (``_lsh_bucket_oracle``)."""
     from morra_spark.operators.similarity import lsh_bucket_stats
 
     return lsh_bucket_stats(_t(spark, sf_dir, "embeddings"), dim=64)
@@ -1163,8 +1165,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lsh_bucket_oracle() -> str:
+    """DuckDB twin of q_ann_lsh_bucketed: the hyperplanes are a
+    seed-deterministic literal matrix (similarity._hyperplanes), so the
+    oracle embeds the exact same doubles and replays the sign-pattern
+    bucketing. Cross-engine float-summation order can only flip a
+    bucket bit at |dot| ≈ 0 (probability ~0 for random 64-dim data)."""
+    from morra_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(8, 64)
+    terms = []
+    for p in range(8):
+        arr = "[" + ", ".join(repr(float(v)) for v in planes[p]) + "]"
+        terms.append(
+            f"(CASE WHEN LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, 64),\n"
+            f"  i -> CAST(embedding[i] AS DOUBLE) * ({arr}::DOUBLE[])[i]))\n"
+            f"  > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = "\n + ".join(terms)
+    return f"""
+        WITH b AS (SELECT CAST({bucket} AS BIGINT) AS bucket, label
+                   FROM embeddings)
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels
+        FROM b GROUP BY bucket ORDER BY bucket
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_lsh_bucketed": _lsh_bucket_oracle(),
         "hash_agg": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

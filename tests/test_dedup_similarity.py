@@ -364,3 +364,35 @@ def test_duplicated_span_stats_interval_union(spark):
     assert (out[3].n_tokens, out[3].n_dup_tokens) == (8, 5)
     assert (out[4].n_tokens, out[4].n_dup_tokens) == (3, 0)
     assert out[2].dup_frac == pytest.approx(5 / 6, abs=1e-4)
+
+
+def test_duplicated_span_stats_random_vs_bruteforce(spark):
+    """Randomized cross-check of the interval-union window math against
+    a per-doc brute-force set union over duplicated span positions."""
+    import random
+
+    from morra_spark.operators.dedup import duplicated_span_stats
+
+    rng = random.Random(7)
+    n = 4
+    docs = [(i, " ".join(rng.choice("abcd") for _ in range(rng.randint(1, 30))))
+            for i in range(40)]
+    spans = {}  # span -> count
+    per_doc = {}
+    for did, text in docs:
+        ws = text.split(" ")
+        ps = [(p, " ".join(ws[p:p + n])) for p in range(len(ws) - n + 1)]
+        per_doc[did] = (len(ws), ps)
+        for _p, sp in ps:
+            spans[sp] = spans.get(sp, 0) + 1
+    want = {}
+    for did, (n_tok, ps) in per_doc.items():
+        covered = set()
+        for p, sp in ps:
+            if spans[sp] >= 2:
+                covered.update(range(p, p + n))
+        want[did] = (n_tok, len(covered))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_dup_tokens)
+           for r in duplicated_span_stats(df, n=n).collect()}
+    assert got == want

@@ -112,3 +112,34 @@ def test_interval_overlap_join_exact_pairs(spark):
     out = {(r.a_id, r.b_id): r.overlap_sec for r in
            interval_overlap_join(left, right, cell_seconds=3600).collect()}
     assert out == {(1, 10): 3600.0, (1, 11): 0.0, (2, 12): 0.0}
+
+
+def test_interval_overlap_join_random_vs_bruteforce(spark):
+    """Randomized cross-check: grid-cell equi-join ≡ O(n²) reference on
+    arbitrary interval sets, across cell widths (incl. widths far
+    smaller/larger than the intervals)."""
+    import random
+    from datetime import datetime, timedelta
+    from morra_spark.operators.intervals import interval_overlap_join
+
+    rng = random.Random(42)
+    base = datetime(2024, 1, 1)
+
+    def mk(n, id0):
+        rows = []
+        for i in range(n):
+            s = rng.randint(0, 50_000)
+            rows.append((id0 + i, base + timedelta(seconds=s),
+                         base + timedelta(seconds=s + rng.randint(0, 9_000))))
+        return rows
+
+    for cell in (600, 3600, 40_000):
+        la, rb = mk(60, 0), mk(60, 1000)
+        want = {(a[0], b[0]) for a in la for b in rb
+                if a[1] <= b[2] and b[1] <= a[2]}
+        left = spark.createDataFrame(la, "id long, s timestamp, e timestamp")
+        right = spark.createDataFrame(rb, "id long, s timestamp, e timestamp")
+        got = [(r.a_id, r.b_id) for r in
+               interval_overlap_join(left, right, cell_seconds=cell).collect()]
+        assert len(got) == len(set(got)), "duplicate pairs leaked"
+        assert set(got) == want
