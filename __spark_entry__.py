@@ -518,46 +518,21 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees exactly the original survivors and its components match
     ``dedup_cluster``. Single-pass design: one CASE labels every doc
     (quality reason / exact_dup / near_dup / kept), then ONE
-    low-cardinality groupBy — no per-stage recount of the corpus. At
-    scale each stage would checkpoint its survivors (plans/checkpoint);
-    this is the single-plan, SQL-oracled form of the same funnel."""
-    from morra_spark.operators.components import connected_components
-    from morra_spark.operators.dedup import ngram_jaccard_pairs
+    low-cardinality groupBy — no per-stage recount of the corpus. The
+    labeling is ``plans.curate.label_documents`` — the exact code path
+    the production runner (`python -m morra_spark.plans.curate`) and
+    the streaming ingest's quality gate share, so the oracle checks
+    them too."""
+    from morra_spark.plans.curate import label_documents
 
     base = _t(spark, sf_dir, "documents").select("doc_id", "text")
     d = base.unionByName(
         base.withColumn("doc_id", F.col("doc_id") + 1_000_000))
-    words = F.split(F.trim(F.col("text")), " ")
-    n = F.size(words)
-    en = F.size(F.filter(words, lambda x: x.isin("the", "a", "of", "and"))) / n
-    qreason = (F.when(n < 8, "too_short")
-               .when(n > 2000, "too_long")
-               .when(en < 0.05, "low_en"))
-    staged = d.select("doc_id", "text", n.cast("long").alias("n_tok"),
-                      qreason.alias("qreason"))
-    passed = staged.filter(F.col("qreason").isNull())
-    # exact dedup among quality survivors: min doc_id per distinct text
-    # wins (deterministic; same caveat as dedup_exact_keep_first — the
-    # text-key window is fine for bounded docs, salt via text-hash
-    # prefix if a single byte-identical doc dominates the corpus)
-    exact = passed.withColumn(
-        "rn", F.row_number().over(
-            Window.partitionBy("text").orderBy("doc_id")))
-    surv = exact.filter(F.col("rn") == 1).select("doc_id", "text")
-    comp = connected_components(
-        ngram_jaccard_pairs(surv, n=3, min_jaccard=0.05,
-                            df_cap=NGRAM_DF_CAP).select("da", "db"),
-        src="da", dst="db")
-    labeled = (staged
-               .join(exact.select("doc_id", "rn"), "doc_id", "left")
-               .join(comp.withColumnRenamed("node", "doc_id"),
-                     "doc_id", "left")
-               .withColumn("stage", F.coalesce(
-                   F.col("qreason"),
-                   F.when(F.col("rn") > 1, "exact_dup"),
-                   F.when(F.col("comp") < F.col("doc_id"), "near_dup"),
-                   F.lit("kept"))))
-    return (labeled.groupBy("stage")
+    labeled = label_documents(d, n=3, min_jaccard=0.05,
+                              df_cap=NGRAM_DF_CAP)
+    n_tok = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    return (labeled.withColumn("n_tok", n_tok)
+            .groupBy("stage")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tok").cast("long").alias("n_tokens"))
             .orderBy("stage"))

@@ -1,0 +1,103 @@
+"""Batch curation pipeline runner (the production form of
+``__spark_entry__.q_curation_funnel``): quality gate → exact dedup →
+n-gram-Jaccard near-dup clustering over a documents table, materializing
+the survivor corpus plus the per-stage funnel report.
+
+    python -m morra_spark.plans.curate --docs <parquet> --out <dir>
+
+Unlike the oracle query (which labels every doc in one plan so DuckDB
+can replay it), the runner MATERIALIZES the survivor set — the thing a
+curation run actually ships — and derives the report from the same
+labeled frame, so the two cannot drift. Output:
+
+    {out}/survivors/   surviving (doc_id, text, ...) rows
+    {out}/report/      (stage, n_docs, n_tokens) funnel accounting
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def label_documents(docs: DataFrame, n: int = 3,
+                    min_jaccard: float = 0.05,
+                    df_cap: int = 100) -> DataFrame:
+    """Every input doc labeled with the funnel stage that dropped it
+    ('too_short'/'too_long'/'low_en'/'exact_dup'/'near_dup') or 'kept'.
+    Single-pass: quality CASE + text-key rank + component join feed one
+    CASE — no per-stage recount of the corpus."""
+    from morra_spark.operators.components import connected_components
+    from morra_spark.operators.dedup import ngram_jaccard_pairs
+    from morra_spark.streaming.curation import quality_reason
+
+    staged = docs.withColumn("qreason", quality_reason())
+    passed = staged.filter(F.col("qreason").isNull())
+    exact = passed.select("doc_id", "text").withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("text").orderBy("doc_id")))
+    surv = exact.filter(F.col("rn") == 1).select("doc_id", "text")
+    comp = connected_components(
+        ngram_jaccard_pairs(surv, n=n, min_jaccard=min_jaccard,
+                            df_cap=df_cap).select("da", "db"),
+        src="da", dst="db")
+    return (staged
+            .join(exact.select("doc_id", "rn"), "doc_id", "left")
+            .join(comp.withColumnRenamed("node", "doc_id"),
+                  "doc_id", "left")
+            .withColumn("stage", F.coalesce(
+                F.col("qreason"),
+                F.when(F.col("rn") > 1, "exact_dup"),
+                F.when(F.col("comp") < F.col("doc_id"), "near_dup"),
+                F.lit("kept")))
+            .drop("qreason", "rn", "comp"))
+
+
+def run_curation(spark: SparkSession, *, docs_path: str, out_dir: str,
+                 n: int = 3, min_jaccard: float = 0.05,
+                 df_cap: int = 100) -> dict:
+    """Materialize survivors + funnel report; returns the report rows.
+
+    The labeled frame is localCheckpointed once so the survivor write
+    and the report aggregate share one computation of the (expensive)
+    dedup cascade instead of running it twice."""
+    docs = spark.read.parquet(docs_path)
+    labeled = label_documents(docs, n=n, min_jaccard=min_jaccard,
+                              df_cap=df_cap).localCheckpoint(eager=False)
+    (labeled.filter(F.col("stage") == "kept").drop("stage")
+     .write.mode("overwrite").parquet(f"{out_dir}/survivors"))
+    n_tok = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
+    report = (labeled.withColumn("n_tok", n_tok)
+              .groupBy("stage")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("n_tok").cast("long").alias("n_tokens"))
+              .orderBy("stage"))
+    report.write.mode("overwrite").parquet(f"{out_dir}/report")
+    return {r["stage"]: (r["n_docs"], r["n_tokens"])
+            for r in report.collect()}
+
+
+def main() -> None:
+    from morra_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--docs", required=True,
+                    help="documents parquet path (doc_id, text, ...)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--ngram", type=int, default=3)
+    ap.add_argument("--min-jaccard", type=float, default=0.05)
+    ap.add_argument("--df-cap", type=int, default=100)
+    args = ap.parse_args()
+    spark = get_spark("curate")
+    rep = run_curation(spark, docs_path=args.docs, out_dir=args.out,
+                       n=args.ngram, min_jaccard=args.min_jaccard,
+                       df_cap=args.df_cap)
+    for stage, (nd, nt) in sorted(rep.items()):
+        print(f"{stage:>10}: {nd} docs, {nt} tokens")
+
+
+if __name__ == "__main__":
+    main()

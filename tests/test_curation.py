@@ -250,3 +250,28 @@ def test_tfidf_keywords_hand_computed(spark):
         round(2 * math.log(3 / 2), 4), abs=1e-6)
     assert got[(1, 2)] == ("y", 0.0)
     assert got[(2, 1)][0] == "z" and got[(2, 2)][0] == ("y")
+
+
+def test_run_curation_materializes_survivors_and_report(spark, tmp_path):
+    """The curate runner's survivor parquet and report must reconcile:
+    stages partition the corpus, survivors == 'kept' rows, and known
+    docs land in known stages."""
+    from morra_spark.plans.curate import run_curation
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat of a red house today"),
+         (2, "the cat sat on the mat of a red house today"),   # exact dup
+         (3, "the cat sat on the mat of a red house now"),     # near dup
+         (4, "zz yy xx ww vv uu tt ss rr qq"),                 # low_en
+         (5, "too short")],                                    # too_short
+        "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    rep = run_curation(spark, docs_path=src, out_dir=str(tmp_path / "o"))
+    assert rep == {"kept": (1, 11), "exact_dup": (1, 11),
+                   "near_dup": (1, 11), "low_en": (1, 10),
+                   "too_short": (1, 2)}
+    surv = spark.read.parquet(str(tmp_path / "o" / "survivors"))
+    assert [r.doc_id for r in surv.collect()] == [1]
+    rdf = spark.read.parquet(str(tmp_path / "o" / "report"))
+    assert rdf.agg(F.sum("n_docs")).collect()[0][0] == 5

@@ -213,3 +213,58 @@ def test_stateful_cross_batch_tool_alignment(spark, fixture_dir, model_path,
             .select("conv_id", "turn_idx"),
         ["conv_id", "turn_idx"], "left_semi")
     assert crossers.count() > 0
+
+
+def test_streaming_curation_dedups_across_batches_and_restarts(spark, tmp_path):
+    """Quality gate + whole-stream exact dedup: duplicate texts arriving
+    in LATER micro-batches (and later restarts) must not re-emit; the
+    survivor text set equals the batch-computed expectation; accounting
+    rows reconcile with the survivor dirs."""
+    from morra_spark.streaming.curation import (quality_reason,
+                                                start_curation_ingest)
+
+    good = ("the cat sat of a mat and the dog ran over the hill today %d")
+    docs_a = [(i, good % i, "en", "s0", 50) for i in range(5)]
+    docs_b = ([(10 + i, good % i, "en", "s0", 50) for i in range(3)]  # dups of A
+              + [(20, good % 20, "en", "s0", 50),                    # fresh
+                 (21, "too short", "en", "s0", 9),                   # quality-drop
+                 (22, "zz yy xx ww vv uu tt ss rr qq", "en", "s0", 29)])
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    src = tmp_path / "docs_src"
+    spark.createDataFrame(docs_a, schema).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f=a"))
+    spark.createDataFrame(docs_b, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src / "f=b"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = start_curation_ingest(spark, docs_path=str(src), out_dir=out,
+                              checkpoint_location=ckpt,
+                              max_files_per_trigger=1,
+                              trigger_available_now=True)
+    q.awaitTermination(120)
+    surv = spark.read.parquet(f"{out}/docs")
+    texts = {r.text for r in surv.select("text").collect()}
+    assert texts == {good % i for i in range(5)} | {good % 20}
+    assert surv.count() == 6
+    # accounting reconciles with the data dirs
+    acct = spark.read.parquet(f"{out}/accounting")
+    assert acct.agg(F.sum("n_docs")).collect()[0][0] == 6
+
+    # restart with a new file: one fresh doc + one historical dup
+    docs_c = [(30, good % 30, "en", "s0", 50),
+              (31, good % 0, "en", "s0", 50)]
+    spark.createDataFrame(docs_c, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src / "f=c"))
+    q2 = start_curation_ingest(spark, docs_path=str(src), out_dir=out,
+                               checkpoint_location=ckpt,
+                               max_files_per_trigger=1,
+                               trigger_available_now=True)
+    q2.awaitTermination(120)
+    surv2 = spark.read.parquet(f"{out}/docs")
+    assert surv2.count() == 7  # only doc 30 added; doc 31 deduped vs history
+    assert good % 30 in {r.text for r in surv2.select("text").collect()}
+    # the quality chain is the batch funnel's: same reasons fire
+    qr = spark.createDataFrame(docs_b, schema) \
+        .select("doc_id", quality_reason().alias("r")).collect()
+    assert {r.doc_id: r.r for r in qr}[21] == "too_short"
+    assert {r.doc_id: r.r for r in qr}[22] == "low_en"
