@@ -666,6 +666,49 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(d, top_k=50).orderBy("lang")
 
 
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, round 1: global top-20 adjacent char
+    pairs by frequency (Sennrich-style merge candidates). The pair
+    explode runs over the aggregated vocabulary, never corpus tokens;
+    top-k plans TakeOrderedAndProject."""
+    from morra_spark.operators.curation import bpe_merge_pairs
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return bpe_merge_pairs(d, top_k=20)
+
+
+def q_adaptive_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language adaptive length gate: exact p05/p95 token-count
+    bounds per lang (broadcast join-back), outliers flagged. The
+    data-driven form of the fixed min/max length filter; swap
+    approx_percentile at 100 TB (documented in the operator)."""
+    from morra_spark.operators.curation import adaptive_length_bounds
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return adaptive_length_bounds(d).orderBy("doc_id")
+
+
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by portable-md5
+    bucket of doc_id: map-only, stable under retry/repartition/resume —
+    unlike randomSplit. DuckDB replays the exact assignment."""
+    from morra_spark.operators.curation import split_assign
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return split_assign(d).orderBy("doc_id")
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character Shannon entropy (bits/char) with a low-entropy
+    gibberish flag — both shuffles doc_id-keyed and partial-aggregating
+    (per-doc alphabet is bounded, so map-side combine collapses each
+    doc before the exchange)."""
+    from morra_spark.operators.curation import char_entropy
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_entropy(d).orderBy("doc_id")
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1109,6 +1152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_diverse_sample": q_dedup_diverse_sample,
         "vocab_coverage": q_vocab_coverage,
         "mixture_tokens": q_mixture_tokens,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
+        "adaptive_length_filter": q_adaptive_length_filter,
+        "split_assign": q_split_assign,
+        "char_entropy": q_char_entropy,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -1465,6 +1512,62 @@ def oracle_sql() -> dict[str, str]:
                    weight,
                    ROUND(1000000000 * weight / n_tokens, 2) AS epochs
             FROM ww, tot ORDER BY lang
+        """,
+        "bpe_merge_pairs": """
+            WITH toks AS (SELECT UNNEST(STRING_SPLIT_REGEX(
+                              TRIM(text), '\\s+')) AS word
+                          FROM documents),
+            w AS (SELECT word, COUNT(*) AS freq FROM toks
+                  WHERE word <> '' GROUP BY word),
+            ix AS (SELECT word, freq,
+                          UNNEST(GENERATE_SERIES(1, LENGTH(word) - 1)) AS i
+                   FROM w WHERE LENGTH(word) >= 2),
+            p AS (SELECT SUBSTR(word, i, 1) || ' ' || SUBSTR(word, i + 1, 1)
+                             AS pair, freq
+                  FROM ix)
+            SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+            FROM p GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20
+        """,
+        "adaptive_length_filter": """
+            WITH t AS (SELECT doc_id, lang,
+                  CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+                       ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END
+                    AS n_tokens
+                FROM documents),
+            b AS (SELECT lang,
+                         ROUND(QUANTILE_CONT(n_tokens, 0.05), 4) AS lo,
+                         ROUND(QUANTILE_CONT(n_tokens, 0.95), 4) AS hi
+                  FROM t GROUP BY lang)
+            SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   lo, hi, (n_tokens >= lo AND n_tokens <= hi) AS keep
+            FROM t JOIN b USING (lang) ORDER BY doc_id
+        """,
+        "split_assign": """
+            WITH k AS (SELECT doc_id, lang,
+                CAST('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 15)
+                     AS BIGINT) % 1000 AS bucket
+              FROM documents)
+            SELECT doc_id, lang, bucket,
+                   CASE WHEN bucket < 800 THEN 'train'
+                        WHEN bucket < 900 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM k ORDER BY doc_id
+        """,
+        "char_entropy": """
+            WITH d AS (SELECT doc_id, text, LENGTH(text) AS n
+                       FROM documents WHERE LENGTH(text) >= 1),
+            ix AS (SELECT doc_id, n, text,
+                          UNNEST(GENERATE_SERIES(1, n)) AS i FROM d),
+            cc AS (SELECT doc_id, n, SUBSTR(text, i, 1) AS ch,
+                          COUNT(*) AS c
+                   FROM ix GROUP BY doc_id, n, SUBSTR(text, i, 1)),
+            e AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars_text,
+                         ROUND(-SUM((c * 1.0 / n) * LOG2(c * 1.0 / n)), 4)
+                             AS entropy_bits
+                  FROM cc GROUP BY doc_id)
+            SELECT doc_id, n_chars_text, entropy_bits,
+                   (entropy_bits < 2.0) AS low_entropy
+            FROM e ORDER BY doc_id
         """,
         "graph_pagerank": """
             WITH e0 AS (SELECT DISTINCT

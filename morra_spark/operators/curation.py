@@ -337,3 +337,116 @@ def mixture_tokens(docs: DataFrame, weights: dict[str, float],
             .withColumn("epochs", F.round(
                 F.lit(token_budget) * F.col("weight") / F.col("n_tokens"), 2))
             .select("lang", "n_tokens", "corpus_share", "weight", "epochs"))
+
+
+def bpe_merge_pairs(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """First step of BPE tokenizer training: the global top-``top_k``
+    adjacent character pairs by corpus frequency — the merge candidates
+    a BPE trainer would fuse first (SURVEY.md §2, LLM-data-pipeline
+    block; Sennrich et al. 2016 merge counting, single round).
+
+    Scale shape: the ONLY corpus-sized shuffle is the word-frequency
+    groupBy (partial-aggregating, map-side combine). The pair explode
+    runs over the AGGREGATED vocabulary — bounded by distinct words,
+    not corpus tokens — weighted by word frequency, exactly like a real
+    BPE trainer's word-count preprocessing. Top-k is a
+    TakeOrderedAndProject (per-partition heads, driver merge), never a
+    global sort. Deterministic tie-break: count desc, pair asc.
+
+    Portable: character indexing via sequence+substring matches DuckDB
+    ``substr`` code-point semantics, so the oracle replays the exact
+    counts.
+    """
+    trimmed = F.trim(F.col("text"))
+    words = (docs.select(F.explode(F.split(trimmed, r"\s+")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    idxs = F.when(F.length("word") >= 2,
+                  F.sequence(F.lit(1), F.length("word") - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idxs, lambda i: F.concat_ws(
+            " ", F.substring(F.col("word"), i, 1),
+            F.substring(F.col("word"), i + 1, 1)))
+    return (words.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair").agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair")).limit(top_k)
+            .select("pair", F.col("n").cast("long").alias("n")))
+
+
+def adaptive_length_bounds(docs: DataFrame) -> DataFrame:
+    """Per-language adaptive length filter: exact interpolated p05/p95
+    of the whitespace-token count per ``lang``, joined back (broadcast —
+    languages are few) to flag outlier docs. The data-driven version of
+    the fixed min/max length gate every curation pass ships: thresholds
+    adapt per language instead of punishing terse scripts (zh) with an
+    English-calibrated bound.
+
+    Exact ``percentile`` (same linear interpolation as DuckDB
+    ``quantile_cont``) is the oracle-checkable form; at 100 TB swap in
+    ``approx_percentile(..., accuracy)`` — same plan shape, the per-lang
+    sort becomes a mergeable sketch. Bounds are rounded to 4 dp in BOTH
+    engines before the keep comparison, so the decision replays
+    bit-for-bit.
+    """
+    trimmed = F.trim(F.col("text"))
+    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
+    toks = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    bounds = (toks.groupBy("lang")
+              .agg(F.round(F.expr("percentile(n_tokens, 0.05)"), 4)
+                   .alias("lo"),
+                   F.round(F.expr("percentile(n_tokens, 0.95)"), 4)
+                   .alias("hi")))
+    return (toks.join(F.broadcast(bounds), "lang")
+            .withColumn("keep", (F.col("n_tokens") >= F.col("lo"))
+                        & (F.col("n_tokens") <= F.col("hi")))
+            .select("doc_id", "lang", "n_tokens", "lo", "hi", "keep"))
+
+
+def split_assign(docs: DataFrame, train_permille: int = 800,
+                 val_permille: int = 900) -> DataFrame:
+    """Deterministic train/val/test split assignment (80/10/10 by
+    default) via the portable-md5 bucket of ``doc_id`` — the hold-out
+    construction step of a training-data pipeline. Map-only: no RNG
+    state, no shuffle; the same row lands in the same split on any
+    partitioning, any retry, any engine with md5 (the DuckDB oracle
+    replays the exact assignment). Unlike ``randomSplit`` the result is
+    stable under resume and under repartitioning — the property that
+    actually matters when the split decides what a model may ever see.
+    """
+    b = _portable_bucket(F.col("doc_id"))
+    split = (F.when(b < train_permille, F.lit("train"))
+             .when(b < val_permille, F.lit("val"))
+             .otherwise(F.lit("test")))
+    return docs.select("doc_id", "lang", b.alias("bucket"),
+                       split.alias("split"))
+
+
+def char_entropy(docs: DataFrame, min_bits: float = 2.0) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution
+    (bits/char) — the cheap gibberish/boilerplate detector: natural
+    prose sits near 4 bits, "aaaa..." near 0, base64 blobs near 6. Docs
+    below ``min_bits`` are flagged ``low_entropy``.
+
+    Plan: explode to (doc_id, char) — both shuffles are keyed by
+    doc_id, and the per-doc alphabet is bounded (≤ charset size), so
+    map-side partial aggregation collapses each doc's chars to at most
+    a few hundred rows before any exchange. Character indexing uses
+    sequence+substring (code-point semantics shared with DuckDB
+    ``substr``), so the oracle replays the exact entropy.
+    """
+    # empty texts are excluded (Spark's sequence(1, 0) is DESCENDING
+    # [1, 0], not empty — it would fabricate two '' chars per empty doc)
+    chars = (docs.filter(F.length("text") >= 1).select(
+        "doc_id", "text", F.length("text").alias("n"),
+        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"))
+        .select("doc_id", "n",
+                F.substring(F.col("text"), F.col("i"), 1).alias("ch")))
+    counts = (chars.groupBy("doc_id", "n", "ch")
+              .agg(F.count(F.lit(1)).alias("c")))
+    p = F.col("c") / F.col("n")
+    return (counts.groupBy("doc_id")
+            .agg(F.max("n").cast("long").alias("n_chars_text"),
+                 F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"))
+            .withColumn("low_entropy", F.col("entropy_bits") < F.lit(min_bits)))

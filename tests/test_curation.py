@@ -275,3 +275,69 @@ def test_run_curation_materializes_survivors_and_report(spark, tmp_path):
     assert [r.doc_id for r in surv.collect()] == [1]
     rdf = spark.read.parquet(str(tmp_path / "o" / "report"))
     assert rdf.agg(F.sum("n_docs")).collect()[0][0] == 5
+
+
+def test_bpe_merge_pairs_hand_counted(spark):
+    from morra_spark.operators.curation import bpe_merge_pairs
+
+    # vocab: "aab" x2 docs-worth, "ab" x1; pairs per occurrence:
+    #   aab -> ("a a", "a b"), ab -> ("a b")
+    # freq(aab)=3 (appears 3 times), freq(ab)=2
+    docs = spark.createDataFrame(
+        [(1, "aab ab aab"), (2, "aab ab")], "doc_id long, text string")
+    out = {r.pair: r.n for r in bpe_merge_pairs(docs, top_k=10).collect()}
+    assert out == {"a a": 3, "a b": 5}
+
+
+def test_bpe_merge_pairs_single_char_words_and_ties(spark):
+    from morra_spark.operators.curation import bpe_merge_pairs
+
+    # single-char words contribute no pairs; tie broken pair-asc
+    docs = spark.createDataFrame(
+        [(1, "x y z xy yz")], "doc_id long, text string")
+    rows = bpe_merge_pairs(docs, top_k=1).collect()
+    assert len(rows) == 1 and rows[0].pair == "x y" and rows[0].n == 1
+
+
+def test_adaptive_length_bounds_flags_outliers_per_lang(spark):
+    from morra_spark.operators.curation import adaptive_length_bounds
+
+    # en: 19 docs of 10 tokens + 1 of 1000 -> the 1000er is above p95;
+    # zh: uniform 3 tokens -> everything kept (lo == hi == 3)
+    rows = [(i, "en", " ".join(["w"] * 10)) for i in range(19)]
+    rows.append((19, "en", " ".join(["w"] * 1000)))
+    rows += [(100 + i, "zh", "一 二 三") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {r.doc_id: r for r in adaptive_length_bounds(docs).collect()}
+    assert out[19].keep is False and out[19].n_tokens == 1000
+    assert all(out[i].keep for i in range(19))
+    assert all(out[100 + i].keep for i in range(5))
+    assert out[100].lo == 3.0 and out[100].hi == 3.0
+
+
+def test_split_assign_deterministic_and_partition_invariant(spark):
+    from morra_spark.operators.curation import split_assign
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(1000)], "doc_id long, lang string")
+    a = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    b = {r.doc_id: r.split
+         for r in split_assign(docs.repartition(17)).collect()}
+    assert a == b  # same assignment on any partitioning
+    frac = {s: sum(1 for v in a.values() if v == s) / 1000
+            for s in ("train", "val", "test")}
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.07 < frac["val"] < 0.13 and 0.07 < frac["test"] < 0.13
+
+
+def test_char_entropy_hand_computed(spark):
+    from morra_spark.operators.curation import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert out[1].entropy_bits == 0.0 and out[1].low_entropy is True
+    assert out[2].entropy_bits == 1.0 and out[2].low_entropy is True
+    assert out[3].entropy_bits == 2.0 and out[3].low_entropy is False
+    assert 4 not in out  # empty docs excluded, not fabricated
