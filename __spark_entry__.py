@@ -709,6 +709,40 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_entropy(d).orderBy("doc_id")
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-version CDC: per-doc added/removed/changed/unchanged
+    labeling between snapshot v1 (documents) and a deterministically
+    evolved v2. One co-keyed full-outer join over map-side md5
+    fingerprints — the exchange never carries document bodies."""
+    from morra_spark.operators.snapshot import evolve_corpus, snapshot_diff
+
+    v1 = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return snapshot_diff(v1, evolve_corpus(v1)).orderBy("doc_id")
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts on the near-dup candidate graph
+    (portable-simhash prefix16 bucket cliques over a tripled corpus, so
+    every doc sits in a >= 3-clique and triangles provably exist).
+    Degree orientation bounds every join fan-out by O(sqrt(E)) under
+    skew; the oracle enumerates the same triangles id-ordered — counts
+    are orientation-invariant."""
+    from morra_spark.operators.components import triangle_count
+    from morra_spark.operators.dedup import simhash_signatures
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000)).unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 2_000_000))
+    sig = simhash_signatures(d, portable=True).select("doc_id", "prefix16")
+    other = sig.select(F.col("prefix16"),
+                       F.col("doc_id").alias("dst"))
+    edges = (sig.join(other, "prefix16")
+             .filter(F.col("doc_id") < F.col("dst"))
+             .select(F.col("doc_id").alias("src"), "dst"))
+    return triangle_count(edges).orderBy("node")
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1156,6 +1190,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adaptive_length_filter": q_adaptive_length_filter,
         "split_assign": q_split_assign,
         "char_entropy": q_char_entropy,
+        "snapshot_diff": q_snapshot_diff,
+        "graph_triangles": q_graph_triangles,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -1568,6 +1604,67 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars_text, entropy_bits,
                    (entropy_bits < 2.0) AS low_entropy
             FROM e ORDER BY doc_id
+        """,
+        "snapshot_diff": """
+            WITH v2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                            ELSE text END AS text
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+                WHERE doc_id % 11 = 0),
+            o AS (SELECT doc_id, MD5(text) AS old_fp FROM documents),
+            n AS (SELECT doc_id, MD5(text) AS new_fp FROM v2)
+            SELECT doc_id,
+                   CASE WHEN old_fp IS NULL THEN 'added'
+                        WHEN new_fp IS NULL THEN 'removed'
+                        WHEN old_fp = new_fp THEN 'unchanged'
+                        ELSE 'changed' END AS status,
+                   old_fp, new_fp
+            FROM o FULL OUTER JOIN n USING (doc_id) ORDER BY doc_id
+        """,
+        "graph_triangles": """
+            WITH u AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 2000000, text FROM documents),
+            wd AS (SELECT doc_id,
+                          UNNEST(LIST_DISTINCT(
+                              STRING_SPLIT(TRIM(text), ' '))) AS word
+                   FROM u),
+            h AS (SELECT doc_id,
+                         CAST('0x' || SUBSTRING(MD5(word), 1, 15) AS BIGINT)
+                             AS h
+                  FROM wd),
+            b AS (SELECT doc_id, j,
+                         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                             AS s
+                  FROM h, (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS j)
+                  GROUP BY doc_id, j),
+            sim AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN s >= 0
+                                         THEN CAST(1 AS BIGINT) << j
+                                         ELSE 0 END) AS BIGINT) >> 16
+                               AS prefix16
+                    FROM b GROUP BY doc_id),
+            e AS (SELECT a.doc_id AS x, c.doc_id AS y
+                  FROM sim a JOIN sim c USING (prefix16)
+                  WHERE a.doc_id < c.doc_id),
+            tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+                    FROM e e1
+                    JOIN e e2 ON e2.x = e1.y
+                    JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+            pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+                   FROM (SELECT a AS node FROM tri
+                         UNION ALL SELECT b FROM tri
+                         UNION ALL SELECT c FROM tri)
+                   GROUP BY node)
+            SELECT s.doc_id AS node,
+                   COALESCE(pn.n_triangles, 0) AS n_triangles
+            FROM sim s LEFT JOIN pn ON pn.node = s.doc_id
+            ORDER BY node
         """,
         "graph_pagerank": """
             WITH e0 AS (SELECT DISTINCT

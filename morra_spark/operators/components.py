@@ -153,3 +153,65 @@ def dedup_survivors(pairs: DataFrame, docs: DataFrame,
     losers = comp.filter(F.col("node") != F.col("comp")) \
         .select(F.col("node").alias(id_col))
     return docs.join(losers, id_col, "left_anti")
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts over an undirected graph — the
+    clustering-coefficient numerator, and on a near-dup candidate graph
+    a direct read on how clique-like (template/boilerplate families) vs
+    chain-like (drifting revisions) the duplicate structure is.
+
+    Algorithm: degree orientation + two equi-joins (the MapReduce
+    triangle-enumeration standard, cf. Suri & Vassilvitskii's MR_NI /
+    Cohen's MapReduce graph-twiddling): orient every edge from the
+    (degree, id)-SMALLER endpoint to the larger, so each triangle is
+    enumerated EXACTLY once as u→v, u→w, v→w with rank(u)<rank(v)<rank(w),
+    and — the scale property that matters — every node's out-degree is
+    O(sqrt(|E|)) regardless of raw degree skew: a celebrity node with
+    10^6 neighbors is never the join fan-out side. Both joins are hash
+    equi-joins on a node key; no node ranking is materialized globally
+    (the (deg, id) tuple comparison happens edge-local).
+
+    Input edges may carry duplicates, self-loops, or either direction;
+    they are canonicalized first (one distinct). Returns
+    ``(node, n_triangles)`` for every node of the graph (zero-triangle
+    nodes included via a left join against the node set).
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (edges.filter(a != b)
+             .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+             .distinct())
+    deg = (canon.select(F.col("x").alias("node"))
+           .unionAll(canon.select(F.col("y").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg")))
+    dx = deg.select(F.col("node").alias("x"), F.col("deg").alias("dx"))
+    dy = deg.select(F.col("node").alias("y"), F.col("deg").alias("dy"))
+    # orient x→y iff (deg, id) of x < (deg, id) of y
+    fwd = (F.col("dx") < F.col("dy")) | \
+        ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    oriented = (canon.join(dx, "x").join(dy, "y")
+                .select(F.when(fwd, F.col("x")).otherwise(F.col("y"))
+                        .alias("u"),
+                        F.when(fwd, F.col("y")).otherwise(F.col("x"))
+                        .alias("v"),
+                        F.when(fwd, F.col("dx")).otherwise(F.col("dy"))
+                        .alias("du"),
+                        F.when(fwd, F.col("dy")).otherwise(F.col("dx"))
+                        .alias("dv")))
+    e1 = oriented.select("u", "v", "dv")
+    e2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"),
+                         F.col("dv").alias("dw"))
+    wedges = (e1.join(e2, e1["u"] == e2["u2"])
+              .filter((F.col("dv") < F.col("dw"))
+                      | ((F.col("dv") == F.col("dw"))
+                         & (F.col("v") < F.col("w"))))
+              .select("u", "v", "w"))
+    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])  # u < v < w in rank order
+    per_node = (tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+                .groupBy("node")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    return (deg.select("node").join(per_node, "node", "left")
+            .select("node", F.coalesce(F.col("n_triangles"), F.lit(0))
+                    .cast("long").alias("n_triangles")))

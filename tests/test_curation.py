@@ -341,3 +341,52 @@ def test_char_entropy_hand_computed(spark):
     assert out[2].entropy_bits == 1.0 and out[2].low_entropy is True
     assert out[3].entropy_bits == 2.0 and out[3].low_entropy is False
     assert 4 not in out  # empty docs excluded, not fabricated
+
+
+def test_triangle_count_k4_pendant_and_noise_edges(spark):
+    from morra_spark.operators.components import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3), pendant 5-1,
+    # plus a self-loop, a duplicate, and a reversed edge to exercise
+    # canonicalization
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (5, 1), (2, 1), (3, 3), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+
+def test_triangle_count_star_has_none(spark):
+    from morra_spark.operators.components import triangle_count
+
+    df = spark.createDataFrame([(0, i) for i in range(1, 6)],
+                               "src long, dst long")
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert set(out) == set(range(6)) and all(v == 0 for v in out.values())
+
+
+def test_snapshot_diff_labels_all_four_statuses(spark):
+    from morra_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.status for r in snapshot_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_evolve_corpus_plants_expected_churn(spark):
+    from morra_spark.operators.snapshot import evolve_corpus, snapshot_diff
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(40)], "doc_id long, text string")
+    out = {r.doc_id: r.status
+           for r in snapshot_diff(docs, evolve_corpus(docs)).collect()}
+    assert out[7] == "removed" and out[14] == "removed"
+    assert out[5] == "changed" and out[25] == "changed"
+    assert out[100000] == "added" and out[100011] == "added"
+    assert out[35] == "removed"  # %7 dominates %5: dropped before mutate
+    assert out[1] == "unchanged"
