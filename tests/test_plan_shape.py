@@ -278,3 +278,57 @@ def test_interval_join_is_equi_not_nested_loop(spark):
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)"
                      r" \[cell", plan), plan
+
+
+def test_adaptive_length_bounds_joins_broadcast(spark):
+    """The per-lang bound table (a handful of rows) must come back as a
+    BroadcastHashJoin — the corpus never shuffles for the gate."""
+    from morra_spark.operators.curation import adaptive_length_bounds
+
+    docs = spark.createDataFrame(
+        [(i, "en", "a b c") for i in range(50)],
+        "doc_id long, lang string, text string")
+    plan = _spark_plan(adaptive_length_bounds(docs))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_merge_pairs_topk_never_global_sorts(spark):
+    """Top-k must plan TakeOrderedAndProject (per-partition heads), not
+    a range-exchange global sort; the pair explode must sit above the
+    aggregated vocab, not corpus rows."""
+    from morra_spark.operators.curation import bpe_merge_pairs
+
+    docs = spark.createDataFrame([(1, "ab ba ab")], "doc_id long, text string")
+    plan = _spark_plan(bpe_merge_pairs(docs, top_k=5))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_triangle_count_all_equi_joins(spark):
+    """Every join in the triangle plan must be a hash/sort-merge EQUI
+    join — no BroadcastNestedLoopJoin / CartesianProduct (the quadratic
+    trap for inequality-only joins)."""
+    from morra_spark.operators.components import triangle_count
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 20) for i in range(20)], "src long, dst long")
+    plan = _spark_plan(triangle_count(edges))
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_snapshot_diff_shuffles_fingerprints_not_bodies(spark):
+    """The full-outer exchange must carry (key, 32-byte md5), never the
+    text column: fingerprinting happens below the join."""
+    from morra_spark.operators.snapshot import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x" * 100)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "y" * 100)], "doc_id long, text string")
+    plan = _spark_plan(snapshot_diff(old, new))
+    m = re.search(r"Exchange hashpartitioning\(doc_id[^)]*\)[^\n]*", plan)
+    # text# must not appear in any exchange's output column list
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, plan
+    assert m is not None or "BroadcastHashJoin" in plan, plan
