@@ -257,7 +257,8 @@ def read_pruned_parts(spark: SparkSession, path: str,
 def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
                  model_path: str, run_id: str | None = None,
                  n_parts: int = 64, pos_mode: str | None = None,
-                 ner_mode: str | None = None) -> dict:
+                 ner_mode: str | None = None,
+                 only_part_keys: list[int] | None = None) -> dict:
     """Full resumable job: annotate+extract → triples sink + checkpoint.
 
     Returns summary counters. Re-running with the same ``run_id`` after a
@@ -284,6 +285,11 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
 
     src = load_transcripts(spark, transcripts_path)
     src = CK.add_part_key(src, n_parts)
+    if only_part_keys is not None:
+        # incremental maintenance (plans/incremental_kg.py): restrict
+        # the whole job to the affected partitions via a static isin —
+        # a literal filter on the partition key, pushed to the scan
+        src = src.filter(F.col("part_key").isin(only_part_keys))
 
     def transform(pending: DataFrame, _pending_keys: list[int]) -> DataFrame:
         # role filter runs JVM-side BEFORE the Python stage; the slim
