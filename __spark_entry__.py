@@ -743,6 +743,30 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges).orderBy("node")
 
 
+def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles: NTILE(10) over the unigram-LM
+    bits-per-token score (tier 1 = best). Exact NTILE is the
+    oracle-checkable form; the approx-boundary + map-bin swap at 100 TB
+    is documented in the operator."""
+    from morra_spark.operators.curation import quality_tiers
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return quality_tiers(d, tiers=10).orderBy("doc_id")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES /
+    Efraimidis-Spirakis): top-50 docs by -ln(u)/w with u a portable-md5
+    uniform and w = n_chars. Map pass + TakeOrderedAndProject; no RNG
+    state; replays identically on any partitioning and in DuckDB."""
+    from morra_spark.operators.curation import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("double").alias("n_chars"))
+    return weighted_sample(d, k=50, weight=F.col("n_chars")) \
+        .orderBy("es_key", "doc_id")
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1192,6 +1216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy": q_char_entropy,
         "snapshot_diff": q_snapshot_diff,
         "graph_triangles": q_graph_triangles,
+        "quality_tiers": q_quality_tiers,
+        "weighted_sample": q_weighted_sample,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -1623,6 +1649,37 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'changed' END AS status,
                    old_fp, new_fp
             FROM o FULL OUTER JOIN n USING (doc_id) ORDER BY doc_id
+        """,
+        "quality_tiers": """
+            WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(
+                              TRIM(text), '\\s+')) AS word
+                          FROM documents),
+            t2 AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+            freq AS (SELECT word, COUNT(*) AS c FROM t2 GROUP BY word),
+            tot AS (SELECT SUM(c) AS N, COUNT(*) AS V FROM freq),
+            sc AS (SELECT doc_id,
+                          -LOG2((c + 1) * 1.0 / (N + V)) AS bits
+                   FROM t2 JOIN freq USING (word) CROSS JOIN tot),
+            bpt AS (SELECT doc_id,
+                           ROUND(SUM(bits) / COUNT(*), 4) AS bits_per_token
+                    FROM sc GROUP BY doc_id)
+            SELECT d.doc_id, d.lang, b.bits_per_token,
+                   CAST(NTILE(10) OVER (PARTITION BY d.lang
+                        ORDER BY b.bits_per_token ASC, d.doc_id ASC)
+                       AS INTEGER) AS tier
+            FROM documents d JOIN bpt b ON b.doc_id = d.doc_id
+            ORDER BY d.doc_id
+        """,
+        "weighted_sample": """
+            WITH k AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+                ROUND(-LN((CAST('0x' || SUBSTRING(
+                               MD5(CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) + 0.5)
+                          / 1152921504606846976.0)
+                      / CAST(n_chars AS DOUBLE), 8) AS es_key
+              FROM documents)
+            SELECT doc_id, w, es_key FROM k
+            ORDER BY es_key ASC, doc_id ASC LIMIT 50
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents

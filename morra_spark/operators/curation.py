@@ -450,3 +450,46 @@ def char_entropy(docs: DataFrame, min_bits: float = 2.0) -> DataFrame:
             .agg(F.max("n").cast("long").alias("n_chars_text"),
                  F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"))
             .withColumn("low_entropy", F.col("entropy_bits") < F.lit(min_bits)))
+
+
+def quality_tiers(docs: DataFrame, tiers: int = 10) -> DataFrame:
+    """Per-language quality tiering: NTILE(``tiers``) over the unigram-LM
+    bits-per-token score (best = tier 1) — the binning step behind
+    quality-bucketed mixing (e.g. upsample the top tier, drop the
+    bottom). Composes ``unigram_lm_score``; ordering is fully
+    deterministic (score asc, doc_id asc), so the tier assignment
+    replays bit-for-bit in any engine with NTILE.
+
+    Scale note: NTILE needs each language's docs sorted — one range
+    exchange per lang partition. At 100 TB swap the exact NTILE for
+    approx_percentile tier BOUNDARIES (computed on a sketch, mergeable)
+    + a map-only bin lookup: same output contract, no global sort. The
+    exact form is the oracle-checkable one.
+    """
+    from pyspark.sql.window import Window
+
+    scored = unigram_lm_score(docs.select("doc_id", "text")) \
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("bits_per_token"), F.asc("doc_id"))
+    return (scored.withColumn("tier", F.ntile(tiers).over(w))
+            .select("doc_id", "lang", "bits_per_token", "tier"))
+
+
+def weighted_sample(docs: DataFrame, k: int, weight: Column) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (top-``k``
+    by weight-scaled exponential order statistics — the A-ES /
+    Efraimidis–Spirakis recipe): each row draws key = -ln(u) / w with u
+    a portable-md5 uniform of its own doc_id, and the k SMALLEST keys
+    win. One map pass + a TakeOrderedAndProject; no RNG state, no
+    shuffle beyond the top-k merge, the same rows win on any
+    partitioning / retry / engine with md5+ln (the oracle replays the
+    draw exactly; keys are rounded to 8 dp with a doc_id tie-break so
+    cross-engine float noise cannot flip the cut).
+    """
+    # u in (0, 1): 60-bit md5 prefix scaled; +0.5 keeps u > 0
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("double") + 0.5) / F.lit(float(1 << 60))
+    key = F.round(-F.log(u) / weight, 8)
+    return (docs.select("doc_id", weight.alias("w"), key.alias("es_key"))
+            .orderBy(F.asc("es_key"), F.asc("doc_id")).limit(k))

@@ -390,3 +390,46 @@ def test_evolve_corpus_plants_expected_churn(spark):
     assert out[100000] == "added" and out[100011] == "added"
     assert out[35] == "removed"  # %7 dominates %5: dropped before mutate
     assert out[1] == "unchanged"
+
+
+def test_quality_tiers_monotonic_and_balanced(spark):
+    from morra_spark.operators.curation import quality_tiers
+
+    rows = [(i, "en", "common common common") for i in range(6)]
+    rows += [(10 + i, "en", f"rare{i} unique{i} single{i}") for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = quality_tiers(docs, tiers=4).collect()
+    # tiers must be monotone in (score, doc_id) order and balanced
+    ordered = sorted(out, key=lambda r: (r.bits_per_token, r.doc_id))
+    tiers = [r.tier for r in ordered]
+    assert tiers == sorted(tiers) and set(tiers) == {1, 2, 3, 4}
+    sizes = [tiers.count(t) for t in (1, 2, 3, 4)]
+    assert max(sizes) - min(sizes) <= 1
+    # the repetitive common-word docs compress better -> lower bits
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[0].bits_per_token < by_id[10].bits_per_token
+
+
+def test_weighted_sample_deterministic_and_weight_sensitive(spark):
+    from morra_spark.operators.curation import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 1.0 if i else 1e9) for i in range(100)],
+        "doc_id long, w double")
+    a = [r.doc_id for r in
+         weighted_sample(docs, k=10, weight=F.col("w")).collect()]
+    b = [r.doc_id for r in
+         weighted_sample(docs.repartition(13), k=10,
+                         weight=F.col("w")).collect()]
+    assert a == b  # partitioning-invariant selection
+    assert a[0] == 0  # the 10^9-weight doc always wins rank 1
+    assert len(a) == 10 and len(set(a)) == 10  # without replacement
+
+
+def test_weighted_sample_k_exceeding_n_returns_all(spark):
+    from morra_spark.operators.curation import weighted_sample
+
+    docs = spark.createDataFrame([(i, 2.0) for i in range(5)],
+                                 "doc_id long, w double")
+    out = weighted_sample(docs, k=50, weight=F.col("w")).collect()
+    assert sorted(r.doc_id for r in out) == [0, 1, 2, 3, 4]
