@@ -1,0 +1,68 @@
+"""Sorted corpus layout — range-partitioned global-order parquet writes
+(SURVEY.md §2 B-O1 materialized as a SINK property, not just a query).
+
+Why a layout pass exists at 100 TB: a corpus written in ingestion order
+answers "give me the top quality tier" or "stream docs curriculum-style
+from easy to hard" only by scanning everything. Writing it ONCE in
+global sort order makes every later range predicate on the sort key a
+file-skipping operation — parquet footers carry per-column min/max, so
+a reader of ``quality_tier BETWEEN 1 AND 2`` opens only the files whose
+range overlaps, and a curriculum trainer reads files in name order and
+gets globally ordered data without any runtime sort.
+
+``write_sorted`` plans exactly one range exchange (sampling the sort
+key to build balanced range bounds — Spark's RangePartitioner) followed
+by a per-partition local sort; there is no global merge step, because
+file N's key range precedes file N+1's by construction. That is the
+cheapest possible global sort: the same two steps any engine must do,
+with the merge replaced by naming.
+
+Skew note: range bounds come from reservoir sampling, so a heavily
+repeated sort-key value (every doc scoring exactly 0.0) can overfill
+one range. Passing ``salt_within_ties=True`` appends a portable hash of
+the row id as a final sort column — same global order on the real key,
+ties spread across their range instead of one writer task.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def write_sorted(df: DataFrame, path: str, sort_cols: list[str],
+                 n_files: int, id_col: str = "doc_id",
+                 salt_within_ties: bool = True) -> None:
+    """Write ``df`` as ``n_files`` parquet files globally ordered by
+    ``sort_cols`` (file k's key range entirely precedes file k+1's)."""
+    cols: list[Column] = [F.col(c) for c in sort_cols]
+    if salt_within_ties:
+        cols = cols + [F.xxhash64(F.col(id_col))]
+    (df.repartitionByRange(n_files, *cols)
+       .sortWithinPartitions(*cols)
+       .write.mode("overwrite").parquet(path))
+
+
+def file_key_ranges(spark, path: str, key: str) -> list[tuple]:
+    """(file, min(key), max(key)) per parquet file via footer stats —
+    the metadata a range-pruning reader uses; test hook for asserting
+    the global-order contract without reading data pages."""
+    import pyarrow.parquet as pq
+    import os
+
+    out = []
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, fn)).metadata
+        lo, hi = None, None
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for c in range(g.num_columns):
+                col = g.column(c)
+                if col.path_in_schema == key and col.statistics:
+                    s = col.statistics
+                    lo = s.min if lo is None else min(lo, s.min)
+                    hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            out.append((fn, lo, hi))
+    return out

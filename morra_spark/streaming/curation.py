@@ -101,3 +101,69 @@ def start_curation_ingest(spark: SparkSession, *, docs_path: str,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def row_simhash_prefix16(text_col: str = "text", bits: int = 32):
+    """ROW-LOCAL portable simhash prefix16 — bit-identical to the batch
+    ``dedup.simhash_signatures(portable=True)`` bucket key (parity
+    test-asserted), but computed entirely inside one row via
+    higher-order array functions instead of an explode + groupBy.
+
+    Streaming needs this form: a per-row column feeds
+    ``dropDuplicates`` directly, whereas the batch shape's aggregation
+    would force a second stateful operator. The 32 ``aggregate`` folds
+    are one JVM expression tree per row — O(bits × words), the same
+    arithmetic the batch version shuffles for.
+    """
+    from morra_spark.operators.dedup import _portable_hash60
+
+    words = F.array_distinct(F.split(F.trim(F.col(text_col)), " "))
+    hs = F.transform(words, lambda w: _portable_hash60(w))
+
+    def merge_bit(j: int):
+        # closure factory, NOT a default arg: pyspark infers the lambda's
+        # arity from its parameter count, so `lambda acc, h, _j=j` would
+        # be treated as a ternary lambda and mis-bind the variables
+        return lambda acc, h: acc + F.when(
+            F.shiftrightunsigned(h, j).bitwiseAND(1) == 1, 1).otherwise(-1)
+
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        bit_sum = F.aggregate(hs, F.lit(0), merge_bit(j))
+        sim = sim + F.when(bit_sum >= 0, F.lit(1 << j)) \
+            .otherwise(0).cast("long")
+    return F.shiftrightunsigned(sim, bits - 16)
+
+
+def curate_stream_near_dedup(stream: DataFrame) -> DataFrame:
+    """quality gate → whole-stream exact dedup → whole-stream NEAR-dup
+    suppression: at most one survivor per portable-simhash prefix16
+    bucket ever (the streaming twin of ``dedup.diverse_sample``
+    ``per_bucket=1``; with ordered arrival the survivor sets are
+    identical — test-asserted).
+
+    State cost is the part that matters: the bucket key space is 2^16,
+    so the near-dup state is BOUNDED at 65,536 keys regardless of
+    stream length — unlike the exact-dedup state (one key per distinct
+    doc), this stage can run forever without a cutover schedule.
+    """
+    return (curate_stream(stream)
+            .withColumn("nd_bucket", row_simhash_prefix16())
+            .dropDuplicates(["nd_bucket"]))
+
+
+def start_near_dedup_ingest(spark: SparkSession, *, docs_path: str,
+                            out_dir: str, checkpoint_location: str,
+                            max_files_per_trigger: int = 1,
+                            trigger_available_now: bool = False):
+    """Streaming curation with near-dup suppression; same idempotent
+    per-batch sink contract as ``start_curation_ingest``."""
+    stream = curate_stream_near_dedup(read_document_stream(
+        spark, docs_path, max_files_per_trigger))
+    writer = (stream.drop("nd_bucket").writeStream
+              .option("checkpointLocation", checkpoint_location)
+              .foreachBatch(make_doc_batch_writer(out_dir))
+              .outputMode("append"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

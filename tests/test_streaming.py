@@ -268,3 +268,56 @@ def test_streaming_curation_dedups_across_batches_and_restarts(spark, tmp_path):
         .select("doc_id", quality_reason().alias("r")).collect()
     assert {r.doc_id: r.r for r in qr}[21] == "too_short"
     assert {r.doc_id: r.r for r in qr}[22] == "low_en"
+
+
+def test_streaming_near_dedup_matches_batch_diverse_sample(spark, tmp_path):
+    """Near-dup suppression (one survivor per portable-simhash prefix16
+    bucket, whole-stream): with docs arriving one per micro-batch in
+    doc_id order, the streamed survivor set must equal the BATCH
+    diverse_sample(per_bucket=1) keep set; a restart must not re-admit
+    a bucket's doc."""
+    from morra_spark.operators.dedup import diverse_sample
+    from morra_spark.streaming.curation import start_near_dedup_ingest
+
+    base = ("the cat sat of a mat and the dog ran over the hill %s")
+    # pairs of near-identical docs (one changed token -> same bucket,
+    # planted like the batch diverse_sample query's doubled corpus)
+    docs = []
+    for i in range(4):
+        docs.append((2 * i, base % f"t{i} alpha", "en", "s0", 50))
+        docs.append((2 * i + 1, base % f"t{i} alpha", "en", "s0", 50))
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    src = tmp_path / "nd_src"
+    for did, *rest in docs:
+        spark.createDataFrame([(did, *rest)], schema).coalesce(1) \
+            .write.mode("overwrite").parquet(str(src / f"f={did:03d}"))
+
+    out, ckpt = str(tmp_path / "nd_out"), str(tmp_path / "nd_ckpt")
+    q = start_near_dedup_ingest(spark, docs_path=str(src), out_dir=out,
+                                checkpoint_location=ckpt,
+                                max_files_per_trigger=1,
+                                trigger_available_now=True)
+    q.awaitTermination(180)
+
+    streamed = {r.doc_id for r in
+                spark.read.parquet(f"{out}/docs").select("doc_id").collect()}
+    batch_df = spark.createDataFrame(docs, schema)
+    expected = {r.doc_id for r in
+                diverse_sample(batch_df.select("doc_id", "text"),
+                               per_bucket=1).collect()}
+    assert streamed == expected
+    assert streamed == {0, 2, 4, 6}  # lowest doc_id of each near-dup pair
+
+    # restart: replay-adjacent near-dup of bucket 0 must stay suppressed
+    spark.createDataFrame([(100, base % "t0 alpha", "en", "s0", 50)],
+                          schema).coalesce(1) \
+        .write.mode("overwrite").parquet(str(src / "f=100"))
+    q2 = start_near_dedup_ingest(spark, docs_path=str(src), out_dir=out,
+                                 checkpoint_location=ckpt,
+                                 max_files_per_trigger=1,
+                                 trigger_available_now=True)
+    q2.awaitTermination(120)
+    streamed2 = {r.doc_id for r in
+                 spark.read.parquet(f"{out}/docs").select("doc_id").collect()}
+    assert streamed2 == expected  # state survived the restart
