@@ -767,6 +767,37 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("es_key", "doc_id")
 
 
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid + per-dim variance in LONG form
+    (streaming posexplode aggregate — no per-group vector collect; the
+    long form is also what the oracle can float-compare exactly)."""
+    from morra_spark.operators.similarity import embedding_centroids
+
+    v = _t(spark, sf_dir, "embeddings")
+    return embedding_centroids(v).orderBy("grp", "dim")
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostic for events.user_id: top-10 hottest
+    keys with row share + distribution entropy (log2 of effective
+    parallelism). One cardinality-bounded groupBy; measuring skew never
+    suffers it (map-side combine)."""
+    from morra_spark.operators.diagnostics import key_skew_report
+
+    return key_skew_report(_t(spark, sf_dir, "events"), "user_id", top_k=10)
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (long form): users cohorted by ISO week
+    of first event; per (cohort_week, offset) active count + retention
+    vs cohort size. User-keyed aggregates back to back — one shuffle
+    key reused, then a low-cardinality cell aggregate."""
+    from morra_spark.operators.diagnostics import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events")) \
+        .orderBy("cohort_week", "week_offset")
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1218,6 +1249,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "quality_tiers": q_quality_tiers,
         "weighted_sample": q_weighted_sample,
+        "embedding_centroids": q_embedding_centroids,
+        "skew_report": q_skew_report,
+        "cohort_retention": q_cohort_retention,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -1680,6 +1714,62 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT doc_id, w, es_key FROM k
             ORDER BY es_key ASC, doc_id ASC LIMIT 50
+        """,
+        "embedding_centroids": """
+            WITH ix AS (SELECT label AS grp,
+                               UNNEST(GENERATE_SERIES(1, LEN(embedding)))
+                                   AS i,
+                               embedding
+                        FROM embeddings),
+            ex AS (SELECT grp, CAST(i - 1 AS INTEGER) AS dim,
+                          CAST(embedding[i] AS DOUBLE) AS x
+                   FROM ix),
+            a AS (SELECT grp, dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                         ROUND(AVG(x), 6) AS centroid,
+                         ROUND(AVG(x * x), 6) AS ex2
+                  FROM ex GROUP BY grp, dim)
+            SELECT grp, dim, n_vecs, centroid,
+                   ROUND(ex2 - centroid * centroid, 6) AS variance
+            FROM a ORDER BY grp, dim
+        """,
+        "skew_report": """
+            WITH c AS (SELECT user_id AS key_value,
+                              CAST(COUNT(*) AS BIGINT) AS n
+                       FROM events GROUP BY user_id),
+            t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+                         CAST(COUNT(*) AS BIGINT) AS n_keys,
+                         LOG2(SUM(n)) - SUM(n * LOG2(n)) / SUM(n)
+                             AS entropy_bits
+                  FROM c)
+            SELECT key_value, n,
+                   ROUND(n * 1.0 / total_rows, 6) AS share,
+                   total_rows, n_keys,
+                   ROUND(entropy_bits, 4) AS entropy_bits
+            FROM c, t ORDER BY n DESC, key_value ASC LIMIT 10
+        """,
+        "cohort_retention": """
+            WITH wk AS (SELECT user_id AS u,
+                               CAST(DATE_TRUNC('week', ts) AS DATE) AS w
+                        FROM events),
+            f AS (SELECT u, MIN(w) AS cohort_week FROM wk GROUP BY u),
+            act AS (SELECT DISTINCT u, w AS active_week FROM wk),
+            j AS (SELECT a.u, f.cohort_week,
+                         CAST(FLOOR(DATE_DIFF('day', f.cohort_week,
+                                              a.active_week) / 7.0)
+                              AS INTEGER) AS week_offset
+                  FROM act a JOIN f ON a.u = f.u),
+            cell AS (SELECT cohort_week, week_offset,
+                            CAST(COUNT(*) AS BIGINT) AS n_active
+                     FROM j GROUP BY cohort_week, week_offset),
+            sz AS (SELECT cohort_week,
+                          MAX(CASE WHEN week_offset = 0 THEN n_active END)
+                              AS s0
+                   FROM cell GROUP BY cohort_week)
+            SELECT c.cohort_week, c.week_offset, c.n_active,
+                   CAST(sz.s0 AS BIGINT) AS cohort_size,
+                   ROUND(c.n_active * 1.0 / sz.s0, 4) AS retention
+            FROM cell c JOIN sz USING (cohort_week)
+            ORDER BY cohort_week, week_offset
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents

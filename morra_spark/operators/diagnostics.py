@@ -1,0 +1,84 @@
+"""Shuffle-key skew diagnostics (SURVEY.md §4.2 — the measurement side
+of the salting/AQE decisions the join and agg operators make).
+
+Before keying a 100 TB join or aggregation, the question is never "is
+this key skewed?" in the abstract — it's "what share of rows does the
+hottest key own, and how many effective partitions does the
+distribution actually support?". ``key_skew_report`` answers both with
+one partial-aggregating groupBy over the key (cost bounded by key
+cardinality, not row count) and returns the numbers that pick the
+strategy: top-key share ≳ 1/shuffle-partitions → that key is a straggler
+task; entropy in bits ≈ log2(effective key count) → 2^entropy well-spread
+partitions is the most parallelism the key can give you.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def key_skew_report(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Top-``top_k`` hottest values of ``key`` with their row share,
+    plus distribution-level columns repeated per row (total rows,
+    distinct keys, Shannon entropy of the key distribution in bits —
+    log2(effective parallelism)).
+
+    Plan: ONE groupBy(key) count (partial aggregation — a hot key
+    combines map-side, so measuring skew never suffers it), one
+    single-row aggregate over the per-key counts (cardinality-bounded),
+    one broadcast-back, and a TakeOrderedAndProject for the top-k.
+    Deterministic tie-break: count desc, key asc.
+    """
+    counts = df.groupBy(F.col(key).alias("key_value")) \
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    share = F.col("n") / F.col("total_rows")
+    totals = counts.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        (F.log2(F.sum("n"))
+         - F.sum(F.col("n") * F.log2(F.col("n"))) / F.sum("n"))
+        .alias("entropy_bits"))
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("key_value", "n",
+                    F.round(share, 6).alias("share"),
+                    "total_rows", "n_keys",
+                    F.round(F.col("entropy_bits"), 4).alias("entropy_bits"))
+            .orderBy(F.desc("n"), F.asc("key_value")).limit(top_k))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts") -> DataFrame:
+    """Weekly cohort retention in long form: users are cohorted by the
+    ISO week of their FIRST event; for each (cohort_week, week_offset)
+    the count of cohort users active that week and the retention rate
+    vs the cohort's size.
+
+    Plan shape: one user-grain aggregate for the cohort week, one
+    distinct user-week activity set (both partial-aggregating, keyed by
+    user), one user-keyed join (co-partitioned — the same shuffle key
+    back to back, no extra exchange beyond the first), then a
+    low-cardinality (cohort, offset) aggregate. No window over the raw
+    event log.
+    """
+    u, ts = F.col(user_col), F.col(ts_col)
+    wk = F.date_trunc("week", ts).cast("date")
+    first = (events.select(u.alias("user"), wk.alias("w"))
+             .groupBy("user").agg(F.min("w").alias("cohort_week")))
+    active = (events.select(u.alias("user"), wk.alias("active_week"))
+              .distinct())
+    joined = active.join(first, "user")
+    offset = F.floor(F.datediff(F.col("active_week"),
+                                F.col("cohort_week")) / 7).cast("int")
+    per_cell = (joined.select("user", "cohort_week", offset.alias("week_offset"))
+                .groupBy("cohort_week", "week_offset")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_active")))
+    size_w = Window.partitionBy("cohort_week")
+    return (per_cell.withColumn(
+        "cohort_size",
+        F.max(F.when(F.col("week_offset") == 0, F.col("n_active")))
+        .over(size_w).cast("long"))
+        .withColumn("retention",
+                    F.round(F.col("n_active") / F.col("cohort_size"), 4))
+        .select("cohort_week", "week_offset", "n_active", "cohort_size",
+                "retention"))

@@ -245,3 +245,34 @@ def cosine_topk(emb: DataFrame, query: DataFrame, k: int = 20,
     return (j.select("vec_id", "label",
                      (dot / (norm(vec_col) * norm("q"))).alias("cosine"))
             .orderBy(F.desc("cosine"), "vec_id").limit(k))
+
+
+def embedding_centroids(vecs: DataFrame, group_col: str = "label",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Per-group embedding centroid in LONG form — (group, dim, centroid
+    component, per-dim variance, group size). The aggregate behind
+    semantic drift monitoring (compare a source's centroid between
+    snapshots) and per-domain mean-pooled representations.
+
+    Long form is deliberate twice over: (1) posexplode + a (group, dim)
+    partial-aggregating groupBy streams — no per-group collect_list of
+    whole vectors, so a group with 10^9 members costs its row count,
+    never its memory; (2) scalar double columns are what the DuckDB
+    oracle can value-compare exactly (an array<double> column would be
+    string-compared post-round with engine-specific float formatting).
+    Variance uses the population form E[x^2] - E[x]^2 in BOTH engines,
+    computed against the ROUNDED mean so the subtraction replays
+    bit-for-bit.
+    """
+    g = F.col(group_col)
+    ex = vecs.select(g.alias("grp"),
+                     F.posexplode(F.col(vec_col)).alias("dim", "x")) \
+        .withColumn("x", F.col("x").cast("double"))
+    agg = (ex.groupBy("grp", "dim")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"),
+                F.round(F.avg("x"), 6).alias("centroid"),
+                F.round(F.avg(F.col("x") * F.col("x")), 6).alias("ex2")))
+    return (agg.withColumn("variance",
+                           F.round(F.col("ex2")
+                                   - F.col("centroid") * F.col("centroid"), 6))
+            .select("grp", "dim", "n_vecs", "centroid", "variance"))

@@ -1,0 +1,68 @@
+"""Unit tests for skew diagnostics, cohort retention, and embedding
+centroids — hand-computed expectations; engine-equivalence lives in
+scripts/oracle_check.py."""
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from morra_spark.session import get_spark
+    return get_spark("test_diagnostics")
+
+
+def test_key_skew_report_hand_distribution(spark):
+    from morra_spark.operators.diagnostics import key_skew_report
+
+    rows = [("a",)] * 6 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_report(df, "k", top_k=2).collect()
+    assert [(r.key_value, r.n) for r in out] == [("a", 6), ("b", 3)]
+    r = out[0]
+    assert r.total_rows == 10 and r.n_keys == 3
+    assert r.share == 0.6
+    # H = -(0.6 lg 0.6 + 0.3 lg 0.3 + 0.1 lg 0.1)
+    assert r.entropy_bits == pytest.approx(1.2955, abs=1e-4)
+
+
+def test_key_skew_report_uniform_entropy_is_log2_n(spark):
+    from morra_spark.operators.diagnostics import key_skew_report
+
+    df = spark.createDataFrame([(f"k{i}",) for i in range(8)], "k string")
+    out = key_skew_report(df, "k", top_k=3).collect()
+    assert out[0].entropy_bits == pytest.approx(3.0, abs=1e-6)
+    assert out[0].share == 0.125
+
+
+def test_cohort_retention_hand_built(spark):
+    from morra_spark.operators.diagnostics import cohort_retention
+
+    # 2026-01-05 and 2026-01-12 are Mondays
+    rows = [(1, "2026-01-05 10:00:00"), (1, "2026-01-14 10:00:00"),
+            (2, "2026-01-07 10:00:00"),
+            (3, "2026-01-12 10:00:00")]
+    df = spark.createDataFrame(rows, "user_id long, ts string") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {(str(r.cohort_week), r.week_offset): r
+           for r in cohort_retention(df).collect()}
+    assert out[("2026-01-05", 0)].n_active == 2
+    assert out[("2026-01-05", 0)].retention == 1.0
+    assert out[("2026-01-05", 1)].n_active == 1
+    assert out[("2026-01-05", 1)].retention == 0.5
+    assert out[("2026-01-12", 0)].n_active == 1
+    assert out[("2026-01-12", 0)].cohort_size == 1
+    assert len(out) == 3
+
+
+def test_embedding_centroids_hand_computed(spark):
+    from morra_spark.operators.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0], 7), (2, [3.0, 4.0], 7), (3, [10.0, 0.0], 8)],
+        "vec_id long, embedding array<float>, label int")
+    out = {(r.grp, r.dim): r for r in embedding_centroids(df).collect()}
+    assert out[(7, 0)].centroid == 2.0 and out[(7, 0)].variance == 1.0
+    assert out[(7, 1)].centroid == 3.0 and out[(7, 1)].variance == 1.0
+    assert out[(7, 0)].n_vecs == 2
+    assert out[(8, 0)].centroid == 10.0 and out[(8, 0)].variance == 0.0
