@@ -332,3 +332,25 @@ def test_snapshot_diff_shuffles_fingerprints_not_bodies(spark):
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, plan
     assert m is not None or "BroadcastHashJoin" in plan, plan
+
+
+def test_tpch_q5_dimension_chain_broadcasts(spark):
+    """Q5's region→nation→supplier chain and customer must all come in
+    as broadcast builds; the only shuffle-heavy join is the
+    orders⋈lineitem orderkey co-key. Never a nested loop."""
+    import __spark_entry__ as E
+
+    plan = _spark_plan(E.q_tpch_q5(spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q1_is_single_aggregate_scan(spark):
+    """Q1 must be scan→partial agg→exchange→final agg with the shipdate
+    predicate pushed to the parquet scan."""
+    import __spark_entry__ as E
+
+    plan = _spark_plan(E.q_tpch_q1(spark, "/root/testdata/sf0.001"))
+    assert _shuffle_exchanges(plan) <= 2, plan  # agg + final orderBy
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or \
+        "LessThanOrEqual(l_shipdate" in plan, plan
