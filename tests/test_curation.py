@@ -433,3 +433,69 @@ def test_weighted_sample_k_exceeding_n_returns_all(spark):
                                  "doc_id long, w double")
     out = weighted_sample(docs, k=50, weight=F.col("w")).collect()
     assert sorted(r.doc_id for r in out) == [0, 1, 2, 3, 4]
+
+
+def test_triangle_count_matches_bruteforce_random_graphs(spark):
+    import itertools
+    import random
+
+    from morra_spark.operators.components import triangle_count
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        n = 10
+        edges = [(a, b) for a in range(n) for b in range(a + 1, n)
+                 if rng.random() < 0.4]
+        adj = {i: set() for i in range(n)}
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = {i: 0 for i in range(n)}
+        for a, b, c in itertools.combinations(range(n), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                tri[a] += 1
+                tri[b] += 1
+                tri[c] += 1
+        expected = {i: tri[i] for i in range(n) if adj[i]}
+        df = spark.createDataFrame(edges, "src long, dst long")
+        out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+        assert out == expected, f"seed={seed}"
+
+
+def test_char_entropy_matches_python_reference(spark):
+    import math
+    import random
+    from collections import Counter
+
+    from morra_spark.operators.curation import char_entropy
+
+    rng = random.Random(7)
+    texts = ["".join(rng.choice("abcdef ") for _ in range(rng.randint(1, 60)))
+             for _ in range(30)]
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    out = {r.doc_id: r.entropy_bits for r in char_entropy(docs).collect()}
+    for i, t in enumerate(texts):
+        c = Counter(t)
+        h = -sum((v / len(t)) * math.log2(v / len(t)) for v in c.values())
+        assert out[i] == pytest.approx(round(h, 4), abs=2e-4)
+
+
+def test_weighted_sample_matches_python_reference(spark):
+    import hashlib
+    import math
+
+    from morra_spark.operators.curation import weighted_sample
+
+    docs = [(i, float(1 + (i * 37) % 11)) for i in range(200)]
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        u = (h + 0.5) / float(1 << 60)
+        return round(-math.log(u) / w, 8)
+
+    expect = [i for i, w in sorted(docs, key=lambda d: (key(*d), d[0]))[:20]]
+    df = spark.createDataFrame(docs, "doc_id long, w double")
+    got = [r.doc_id for r in
+           weighted_sample(df, 20, F.col("w")).collect()]
+    assert got == expect
