@@ -96,8 +96,10 @@ def micro_queries(spark, sf_dir: str) -> dict[str, float]:
              "dedup_minhash_lsh_fast", "ann_cosine_topk",
              # round-3 heavies: end-to-end curation funnel (quality →
              # exact → near-dup clustering), span-level dup accounting,
-             # grid-cell interval-overlap join
-             "curation_funnel", "span_dedup", "interval_overlap_join"]
+             # grid-cell interval-overlap join, and the classic 6-table
+             # broadcast-chain join (TPC-H Q5 shape)
+             "curation_funnel", "span_dedup", "interval_overlap_join",
+             "tpch_q5"]
     qs = E.queries()
     out: dict[str, float] = {}
     for name in names:
