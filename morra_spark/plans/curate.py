@@ -25,16 +25,54 @@ from pyspark.sql.window import Window
 
 def label_documents(docs: DataFrame, n: int = 3,
                     min_jaccard: float = 0.05,
-                    df_cap: int = 100) -> DataFrame:
+                    df_cap: int = 100,
+                    entropy_min: float | None = None,
+                    adaptive_length: bool = False) -> DataFrame:
     """Every input doc labeled with the funnel stage that dropped it
     ('too_short'/'too_long'/'low_en'/'exact_dup'/'near_dup') or 'kept'.
     Single-pass: quality CASE + text-key rank + component join feed one
-    CASE — no per-stage recount of the corpus."""
+    CASE — no per-stage recount of the corpus.
+
+    Opt-in extra gates, applied after the base quality CASE and before
+    the dedup cascade (both default OFF, keeping the oracle query's
+    labeling bit-identical):
+
+    - ``entropy_min``: drop docs whose char Shannon entropy is below the
+      threshold (stage ``low_entropy``; ``operators.curation.char_entropy``);
+    - ``adaptive_length``: drop per-language token-count outliers
+      outside the lang's exact [p05, p95] (stage ``len_outlier``;
+      ``operators.curation.adaptive_length_bounds`` — requires a
+      ``lang`` column).
+    """
     from morra_spark.operators.components import connected_components
     from morra_spark.operators.dedup import ngram_jaccard_pairs
     from morra_spark.streaming.curation import quality_reason
 
     staged = docs.withColumn("qreason", quality_reason())
+    if entropy_min is not None:
+        from morra_spark.operators.curation import char_entropy
+
+        ent = char_entropy(docs.select("doc_id", "text"),
+                           min_bits=entropy_min) \
+            .select("doc_id", "low_entropy")
+        staged = (staged.join(ent, "doc_id", "left")
+                  .withColumn("qreason", F.coalesce(
+                      F.col("qreason"),
+                      F.when(F.coalesce(F.col("low_entropy"),
+                                        F.lit(True)), "low_entropy")))
+                  .drop("low_entropy"))
+    if adaptive_length:
+        from morra_spark.operators.curation import adaptive_length_bounds
+
+        if "lang" not in docs.columns:
+            raise ValueError("adaptive_length requires a 'lang' column")
+        bounds = adaptive_length_bounds(
+            docs.select("doc_id", "lang", "text")).select("doc_id", "keep")
+        staged = (staged.join(bounds, "doc_id", "left")
+                  .withColumn("qreason", F.coalesce(
+                      F.col("qreason"),
+                      F.when(~F.col("keep"), "len_outlier")))
+                  .drop("keep"))
     passed = staged.filter(F.col("qreason").isNull())
     exact = passed.select("doc_id", "text").withColumn(
         "rn", F.row_number().over(
@@ -58,7 +96,8 @@ def label_documents(docs: DataFrame, n: int = 3,
 
 def run_curation(spark: SparkSession, *, docs_path: str, out_dir: str,
                  n: int = 3, min_jaccard: float = 0.05,
-                 df_cap: int = 100) -> dict:
+                 df_cap: int = 100, entropy_min: float | None = None,
+                 adaptive_length: bool = False) -> dict:
     """Materialize survivors + funnel report; returns the report rows.
 
     The labeled frame is localCheckpointed once so the survivor write
@@ -66,7 +105,9 @@ def run_curation(spark: SparkSession, *, docs_path: str, out_dir: str,
     dedup cascade instead of running it twice."""
     docs = spark.read.parquet(docs_path)
     labeled = label_documents(docs, n=n, min_jaccard=min_jaccard,
-                              df_cap=df_cap).localCheckpoint(eager=False)
+                              df_cap=df_cap, entropy_min=entropy_min,
+                              adaptive_length=adaptive_length) \
+        .localCheckpoint(eager=False)
     (labeled.filter(F.col("stage") == "kept").drop("stage")
      .write.mode("overwrite").parquet(f"{out_dir}/survivors"))
     n_tok = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
@@ -90,11 +131,16 @@ def main() -> None:
     ap.add_argument("--ngram", type=int, default=3)
     ap.add_argument("--min-jaccard", type=float, default=0.05)
     ap.add_argument("--df-cap", type=int, default=100)
+    ap.add_argument("--entropy-min", type=float, default=None,
+                    help="drop docs below this char-entropy (bits)")
+    ap.add_argument("--adaptive-length", action="store_true",
+                    help="drop per-lang [p05, p95] token-count outliers")
     args = ap.parse_args()
     spark = get_spark("curate")
     rep = run_curation(spark, docs_path=args.docs, out_dir=args.out,
                        n=args.ngram, min_jaccard=args.min_jaccard,
-                       df_cap=args.df_cap)
+                       df_cap=args.df_cap, entropy_min=args.entropy_min,
+                       adaptive_length=args.adaptive_length)
     for stage, (nd, nt) in sorted(rep.items()):
         print(f"{stage:>10}: {nd} docs, {nt} tokens")
 

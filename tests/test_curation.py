@@ -499,3 +499,38 @@ def test_weighted_sample_matches_python_reference(spark):
     got = [r.doc_id for r in
            weighted_sample(df, 20, F.col("w")).collect()]
     assert got == expect
+
+
+def test_label_documents_optional_gates(spark, tmp_path):
+    from morra_spark.plans.curate import run_curation
+
+    def good(i: int) -> str:
+        # distinct content words per doc so the near-dup stage can't
+        # collapse the keepers; stopword ratio stays above low_en's 5%
+        return (f"the u{i}a u{i}b of and a u{i}c u{i}d u{i}e u{i}f"
+                f" u{i}g u{i}h extra")
+
+    rows = [(i, good(i), "en", "s0", 60) for i in range(8)]
+    # low entropy, passes base gates; stopword tail ordered "the and of
+    # a" so it shares NO trigram with the keepers (its distinct-trigram
+    # set is tiny, so one shared trigram would exceed the 0.05 Jaccard
+    # and bridge every keeper into one near-dup component)
+    rows.append((50, "aa aa aa aa aa aa aa aa aa the and of a x", "en",
+                 "s0", 41))
+    # len outlier: padded with stopword-rich text so the base low_en
+    # gate does NOT fire first and the length gate is what drops it
+    rows.append((51, good(99) + " the pad" * 150, "en", "s0", 999))
+    schema = ("doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).write.mode("overwrite").parquet(src)
+
+    rep = run_curation(spark, docs_path=src, out_dir=str(tmp_path / "o1"),
+                       entropy_min=2.5, adaptive_length=True)
+    assert rep["low_entropy"][0] == 1
+    assert rep["len_outlier"][0] == 1
+    assert rep["kept"][0] == 8
+    # gates off (defaults): both docs fall through to the base funnel
+    rep0 = run_curation(spark, docs_path=src, out_dir=str(tmp_path / "o0"))
+    assert "low_entropy" not in rep0 and "len_outlier" not in rep0
+    assert rep0["kept"][0] == 10
