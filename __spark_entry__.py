@@ -877,6 +877,18 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("revenue"), "n_name"))
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang distribution drift between corpus v1 and the evolved v2:
+    Jensen-Shannon divergence of log2-binned doc-length histograms —
+    the shape-regression detector a recurring ingest runs before
+    retraining. Nothing scales past the first (group, bin) aggregate."""
+    from morra_spark.operators.diagnostics import corpus_drift
+    from morra_spark.operators.snapshot import evolve_corpus
+
+    v1 = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return corpus_drift(v1, evolve_corpus(v1)).orderBy("grp")
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1334,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "corpus_drift": q_corpus_drift,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -1893,6 +1906,54 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "corpus_drift": """
+            WITH v2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0 THEN text || ' [rev2]'
+                            ELSE text END AS text, lang
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 100000, text, lang FROM documents
+                WHERE doc_id % 11 = 0),
+            ho AS (SELECT lang AS grp,
+                          CAST(FLOOR(LOG2(
+                              CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+                                   ELSE LEN(STRING_SPLIT_REGEX(
+                                        TRIM(text), '\\s+')) END + 1))
+                               AS INTEGER) AS bin,
+                          CAST(COUNT(*) AS BIGINT) AS n_old
+                   FROM documents GROUP BY 1, 2),
+            hn AS (SELECT lang AS grp,
+                          CAST(FLOOR(LOG2(
+                              CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+                                   ELSE LEN(STRING_SPLIT_REGEX(
+                                        TRIM(text), '\\s+')) END + 1))
+                               AS INTEGER) AS bin,
+                          CAST(COUNT(*) AS BIGINT) AS n_new
+                   FROM v2 GROUP BY 1, 2),
+            h AS (SELECT grp, bin,
+                         COALESCE(n_old, 0) AS n_old,
+                         COALESCE(n_new, 0) AS n_new
+                  FROM ho FULL OUTER JOIN hn USING (grp, bin)),
+            tot AS (SELECT grp, CAST(SUM(n_old) AS BIGINT) AS docs_old,
+                           CAST(SUM(n_new) AS BIGINT) AS docs_new
+                    FROM h GROUP BY grp),
+            t AS (SELECT h.grp,
+                         n_old * 1.0 / GREATEST(docs_old, 1) AS p,
+                         n_new * 1.0 / GREATEST(docs_new, 1) AS q,
+                         n_old, n_new, docs_old, docs_new
+                  FROM h JOIN tot ON h.grp = tot.grp)
+            SELECT grp, MAX(docs_old) AS docs_old,
+                   MAX(docs_new) AS docs_new,
+                   ROUND(SUM(
+                       CASE WHEN n_old > 0
+                            THEN 0.5 * p * LOG2(p / ((p + q) / 2))
+                            ELSE 0 END
+                     + CASE WHEN n_new > 0
+                            THEN 0.5 * q * LOG2(q / ((p + q) / 2))
+                            ELSE 0 END), 6) AS js_divergence
+            FROM t GROUP BY grp ORDER BY grp
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents

@@ -82,3 +82,46 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
                     F.round(F.col("n_active") / F.col("cohort_size"), 4))
         .select("cohort_week", "week_offset", "n_active", "cohort_size",
                 "retention"))
+
+
+def corpus_drift(old: DataFrame, new: DataFrame,
+                 group_col: str = "lang") -> DataFrame:
+    """Distribution drift between two corpus versions, per group: doc
+    counts plus the Jensen-Shannon divergence (bits, 0 = identical,
+    1 = disjoint) of the doc-length histograms (log2-binned
+    whitespace-token counts). The regression detector a recurring
+    ingest runs before retraining: a jump in JS for one language means
+    the new crawl changed SHAPE there, not just size.
+
+    Plan: each side is one map pass + a (group, bin) partial aggregate
+    (bin cardinality ~ log2(max doc len), so tiny), a full-outer join
+    of the two histograms on (group, bin), and a per-group fold —
+    nothing scales with corpus rows past the first aggregate.
+    """
+    def hist(df: DataFrame, side: str) -> DataFrame:
+        trimmed = F.trim(F.col("text"))
+        n_tok = F.when(F.length(trimmed) == 0, F.lit(0)) \
+            .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
+        b = F.floor(F.log2(n_tok + 1)).cast("int")
+        return (df.select(F.col(group_col).alias("grp"), b.alias("bin"))
+                .groupBy("grp", "bin")
+                .agg(F.count(F.lit(1)).cast("long").alias(f"n_{side}")))
+
+    h = hist(old, "old").join(hist(new, "new"), ["grp", "bin"],
+                              "full_outer") \
+        .fillna(0, subset=["n_old", "n_new"])
+    tot = h.groupBy("grp").agg(
+        F.sum("n_old").cast("long").alias("docs_old"),
+        F.sum("n_new").cast("long").alias("docs_new"))
+    j = h.join(tot, "grp")
+    p = F.col("n_old") / F.greatest(F.col("docs_old"), F.lit(1))
+    q = F.col("n_new") / F.greatest(F.col("docs_new"), F.lit(1))
+    m = (p + q) / 2
+    term = (F.when(F.col("n_old") > 0, 0.5 * p * F.log2(p / m))
+            .otherwise(F.lit(0.0))
+            + F.when(F.col("n_new") > 0, 0.5 * q * F.log2(q / m))
+            .otherwise(F.lit(0.0)))
+    return (j.groupBy("grp")
+            .agg(F.max("docs_old").alias("docs_old"),
+                 F.max("docs_new").alias("docs_new"),
+                 F.round(F.sum(term), 6).alias("js_divergence")))

@@ -66,3 +66,29 @@ def file_key_ranges(spark, path: str, key: str) -> list[tuple]:
         if lo is not None:
             out.append((fn, lo, hi))
     return out
+
+
+def zorder_key(col_a: Column, col_b: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) key: bit-interleave two ``bits``-wide bucketized
+    ints into one sort key, so ONE ``write_sorted`` pass gives file
+    min/max locality on BOTH columns — the classic multi-dimensional
+    layout trick (Delta/Iceberg OPTIMIZE ZORDER does exactly this):
+    a reader filtering on either column (or a 2-D range) skips most
+    files, where a plain sort on column A leaves column B scattered
+    through every file.
+
+    Pure JVM bit arithmetic (one expression, no UDF): inputs are
+    clamped into [0, 2^bits); bit i of A lands at position 2i+1, bit i
+    of B at 2i. Interleaving is order-preserving per dimension at every
+    shared prefix, which is all range pruning needs.
+    """
+    cap = (1 << bits) - 1
+    a = F.least(F.greatest(col_a.cast("long"), F.lit(0)), F.lit(cap))
+    b = F.least(F.greatest(col_b.cast("long"), F.lit(0)), F.lit(cap))
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        abit = F.shiftrightunsigned(a, i).bitwiseAND(1)
+        bbit = F.shiftrightunsigned(b, i).bitwiseAND(1)
+        key = key + (abit * F.lit(1 << (2 * i + 1))) \
+            + (bbit * F.lit(1 << (2 * i)))
+    return key

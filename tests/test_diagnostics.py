@@ -66,3 +66,53 @@ def test_embedding_centroids_hand_computed(spark):
     assert out[(7, 1)].centroid == 3.0 and out[(7, 1)].variance == 1.0
     assert out[(7, 0)].n_vecs == 2
     assert out[(8, 0)].centroid == 10.0 and out[(8, 0)].variance == 0.0
+
+
+def test_corpus_drift_zero_for_identical_and_one_for_disjoint(spark):
+    from morra_spark.operators.diagnostics import corpus_drift
+
+    a = spark.createDataFrame(
+        [(1, "w " * 10, "en"), (2, "w " * 100, "en")],
+        "doc_id long, text string, lang string")
+    same = {r.grp: r.js_divergence
+            for r in corpus_drift(a, a).collect()}
+    assert same["en"] == 0.0
+    # disjoint length bins: 10-token docs vs 1000-token docs
+    b = spark.createDataFrame(
+        [(1, "w " * 1000, "en"), (2, "w " * 2000, "en")],
+        "doc_id long, text string, lang string")
+    far = {r.grp: r.js_divergence for r in corpus_drift(a, b).collect()}
+    assert far["en"] == 1.0
+
+
+def test_corpus_drift_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from morra_spark.operators.diagnostics import corpus_drift
+
+    def bins(lens):
+        c = Counter(math.floor(math.log2(n + 1)) for n in lens)
+        t = sum(c.values())
+        return {k: v / t for k, v in c.items()}
+
+    la = [3, 5, 9, 17, 33, 120, 9, 5]
+    lb = [3, 3, 70, 17, 500, 9]
+    pa, pb = bins(la), bins(lb)
+    js = 0.0
+    for k in set(pa) | set(pb):
+        p, q = pa.get(k, 0.0), pb.get(k, 0.0)
+        m = (p + q) / 2
+        if p:
+            js += 0.5 * p * math.log2(p / m)
+        if q:
+            js += 0.5 * q * math.log2(q / m)
+    a = spark.createDataFrame(
+        [(i, "w " * n, "en") for i, n in enumerate(la)],
+        "doc_id long, text string, lang string")
+    b = spark.createDataFrame(
+        [(i, "w " * n, "en") for i, n in enumerate(lb)],
+        "doc_id long, text string, lang string")
+    out = {r.grp: r for r in corpus_drift(a, b).collect()}
+    assert out["en"].js_divergence == pytest.approx(round(js, 6), abs=2e-6)
+    assert out["en"].docs_old == 8 and out["en"].docs_new == 6

@@ -62,3 +62,54 @@ def test_write_sorted_tie_salting_spreads_constant_key(spark, tmp_path):
     # a constant key with salting still produces multiple balanced files
     assert len(sizes) >= 4
     assert max(sizes) < 3 * min(sizes)
+
+
+def test_zorder_key_matches_python_morton(spark):
+    from morra_spark.plans.layout import zorder_key
+
+    def morton(a, b, bits=16):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i + 1)
+            k |= ((b >> i) & 1) << (2 * i)
+        return k
+
+    rows = [(i, (i * 37) % 500, (i * 91) % 500) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = {r.id: r.z for r in df.select(
+        "id", zorder_key(F.col("a"), F.col("b")).alias("z")).collect()}
+    for i, a, b in rows:
+        assert out[i] == morton(a, b)
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
+    """Files written in Z-order must let a reader skip most files for a
+    range predicate on EITHER column; an A-sorted layout leaves B
+    scattered through every file."""
+    from morra_spark.plans.layout import (file_key_ranges, write_sorted,
+                                          zorder_key)
+
+    n = 20_000
+    df = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(1024)).alias("a"),
+        F.pmod(F.xxhash64(F.col("id") + 1), F.lit(1024)).alias("b"))
+    zdir, adir = str(tmp_path / "z"), str(tmp_path / "aonly")
+    write_sorted(df.withColumn("z", zorder_key(F.col("a"), F.col("b"),
+                                               bits=10)),
+                 zdir, ["z"], n_files=16, salt_within_ties=False)
+    write_sorted(df, adir, ["a"], n_files=16, salt_within_ties=False)
+
+    def overlap_frac(path, key, lo, hi):
+        ranges = file_key_ranges(spark, path, key)
+        hit = sum(1 for _, mn, mx in ranges if not (mx < lo or mn > hi))
+        return hit / len(ranges)
+
+    # predicate on b in [0, 63] (1/16 of the domain)
+    z_b = overlap_frac(zdir, "b", 0, 63)
+    a_b = overlap_frac(adir, "b", 0, 63)
+    assert a_b == 1.0          # A-sorted layout cannot skip on b
+    assert z_b <= 0.5          # Z-order layout skips at least half
+    # and the z layout still prunes on a too
+    z_a = overlap_frac(zdir, "a", 0, 63)
+    assert z_a <= 0.5
