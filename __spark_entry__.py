@@ -735,12 +735,24 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.withColumn("doc_id", F.col("doc_id") + 1_000_000)).unionByName(
         base.withColumn("doc_id", F.col("doc_id") + 2_000_000))
     sig = simhash_signatures(d, portable=True).select("doc_id", "prefix16")
-    other = sig.select(F.col("prefix16"),
-                       F.col("doc_id").alias("dst"))
-    edges = (sig.join(other, "prefix16")
+    # clique-edge generation is quadratic in bucket size — cap buckets
+    # (like the n-gram df cap / diverse_sample two-phase) so a
+    # degenerate near-identical corpus can't explode the edge list; the
+    # full node universe still appears in the output (capped-out nodes
+    # report 0 triangles, mirrored in the oracle's sim LEFT JOIN)
+    cnt = sig.groupBy("prefix16").agg(F.count(F.lit(1)).alias("bn"))
+    capped = (sig.join(F.broadcast(cnt), "prefix16")
+              .filter(F.col("bn") <= 64).drop("bn"))
+    other = capped.select(F.col("prefix16"), F.col("doc_id").alias("dst"))
+    edges = (capped.join(other, "prefix16")
              .filter(F.col("doc_id") < F.col("dst"))
              .select(F.col("doc_id").alias("src"), "dst"))
-    return triangle_count(edges).orderBy("node")
+    tc = triangle_count(edges)
+    return (sig.select(F.col("doc_id").alias("node")).distinct()
+            .join(tc, "node", "left")
+            .select("node", F.coalesce(F.col("n_triangles"), F.lit(0))
+                    .cast("long").alias("n_triangles"))
+            .orderBy("node"))
 
 
 def q_quality_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1980,9 +1992,12 @@ def oracle_sql() -> dict[str, str]:
                                          ELSE 0 END) AS BIGINT) >> 16
                                AS prefix16
                     FROM b GROUP BY doc_id),
+            sz AS (SELECT prefix16, COUNT(*) AS bn FROM sim
+                   GROUP BY prefix16),
             e AS (SELECT a.doc_id AS x, c.doc_id AS y
                   FROM sim a JOIN sim c USING (prefix16)
-                  WHERE a.doc_id < c.doc_id),
+                  JOIN sz USING (prefix16)
+                  WHERE sz.bn <= 64 AND a.doc_id < c.doc_id),
             tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
                     FROM e e1
                     JOIN e e2 ON e2.x = e1.y

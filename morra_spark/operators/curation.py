@@ -429,27 +429,34 @@ def char_entropy(docs: DataFrame, min_bits: float = 2.0) -> DataFrame:
     prose sits near 4 bits, "aaaa..." near 0, base64 blobs near 6. Docs
     below ``min_bits`` are flagged ``low_entropy``.
 
-    Plan: explode to (doc_id, char) — both shuffles are keyed by
-    doc_id, and the per-doc alphabet is bounded (≤ charset size), so
-    map-side partial aggregation collapses each doc's chars to at most
-    a few hundred rows before any exchange. Character indexing uses
-    sequence+substring (code-point semantics shared with DuckDB
-    ``substr``), so the oracle replays the exact entropy.
+    Plan: MAP-ONLY — zero shuffles. The char array, its distinct set,
+    and the entropy fold are all row-local higher-order functions
+    (transform / filter / aggregate), so no row ever explodes into
+    per-character rows and nothing exchanges. Per-row cost is
+    O(len × distinct_chars) JVM arithmetic — the trade that wins at
+    100 TB, where the exploded form ships one shuffled row per corpus
+    character. Character indexing uses sequence+substring (code-point
+    semantics shared with DuckDB ``substr``), so the oracle replays the
+    exact entropy.
     """
+    n = F.length("text")
+    chars = F.transform(F.sequence(F.lit(1), n),
+                        lambda i: F.substring(F.col("text"), i, 1))
     # empty texts are excluded (Spark's sequence(1, 0) is DESCENDING
-    # [1, 0], not empty — it would fabricate two '' chars per empty doc)
-    chars = (docs.filter(F.length("text") >= 1).select(
-        "doc_id", "text", F.length("text").alias("n"),
-        F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"))
-        .select("doc_id", "n",
-                F.substring(F.col("text"), F.col("i"), 1).alias("ch")))
-    counts = (chars.groupBy("doc_id", "n", "ch")
-              .agg(F.count(F.lit(1)).alias("c")))
-    p = F.col("c") / F.col("n")
-    return (counts.groupBy("doc_id")
-            .agg(F.max("n").cast("long").alias("n_chars_text"),
-                 F.round(-F.sum(p * F.log2(p)), 4).alias("entropy_bits"))
-            .withColumn("low_entropy", F.col("entropy_bits") < F.lit(min_bits)))
+    # [1, 0], not empty — it would fabricate two \'\' chars per empty doc)
+    base = docs.filter(n >= 1).withColumn("_chars", chars)
+    cs = F.col("_chars")
+
+    def p_of(c):
+        return F.size(F.filter(cs, lambda x: x == c)) / F.size(cs)
+
+    ent = -F.aggregate(
+        F.array_distinct(cs), F.lit(0.0),
+        lambda acc, c: acc + p_of(c) * F.log2(p_of(c)))
+    return (base.select(
+        "doc_id", F.size(cs).cast("long").alias("n_chars_text"),
+        F.round(ent, 4).alias("entropy_bits"))
+        .withColumn("low_entropy", F.col("entropy_bits") < F.lit(min_bits)))
 
 
 def quality_tiers(docs: DataFrame, tiers: int = 10) -> DataFrame:
