@@ -1781,8 +1781,9 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT doc_id + 100000 AS doc_id, text FROM documents
                 WHERE doc_id % 11 = 0),
-            o AS (SELECT doc_id, MD5(text) AS old_fp FROM documents),
-            n AS (SELECT doc_id, MD5(text) AS new_fp FROM v2)
+            o AS (SELECT doc_id, MD5(COALESCE(text, '')) AS old_fp
+                  FROM documents),
+            n AS (SELECT doc_id, MD5(COALESCE(text, '')) AS new_fp FROM v2)
             SELECT doc_id,
                    CASE WHEN old_fp IS NULL THEN 'added'
                         WHEN new_fp IS NULL THEN 'removed'

@@ -59,7 +59,10 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     are md5 digests computed map-side BEFORE the join, so the full-outer
     exchange never carries document bodies.
     """
-    fp = lambda side: F.md5(F.col(content)).alias(f"{side}_fp")  # noqa: E731
+    # null content fingerprints as '' (not NULL) — a NULL fp would make
+    # the status CASE read an existing row as 'added'/'removed'
+    fp = lambda side: F.md5(F.coalesce(F.col(content), F.lit("")) # noqa: E731
+                            ).alias(f"{side}_fp")
     o = old.select(F.col(key), fp("old"))
     n = new.select(F.col(key), fp("new"))
     status = (F.when(F.col("old_fp").isNull(), F.lit("added"))

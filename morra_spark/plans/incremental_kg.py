@@ -103,18 +103,19 @@ def run_incremental(spark: SparkSession, *, old_transcripts_path: str,
 
     run_id = run_id or CK.new_run_id()
     # don't re-delete partitions a crashed invocation of THIS run
-    # already finished (both stages done) — mirrors run_stage resume
-    done = None
-    for stage in ("extract_triples", "tool_triples"):
+    # already finished — PER STAGE, matching run_stage's resume
+    # granularity: a crash between stages must still clear the
+    # not-yet-done stage's stale dirs (a changed conversation whose
+    # tool turns all vanished writes nothing for its tool partition, so
+    # dynamic overwrite alone would leave the old one standing)
+    for stage, src_dir in (("extract_triples", f"{triples_dir}/source=content"),
+                           ("tool_triples", f"{triples_dir}/source=tool")):
         d = CK.read_done_parts(spark, f"{out_dir}/checkpoint", run_id, stage)
-        keys = {r.part_key for r in d.collect()}
-        done = keys if done is None else (done & keys)
-    to_clear = [pk for pk in parts if pk not in (done or set())]
-    for src_dir in (f"{triples_dir}/source=content",
-                    f"{triples_dir}/source=tool"):
-        for pk in to_clear:
-            shutil.rmtree(os.path.join(src_dir, f"part_key={pk}"),
-                          ignore_errors=True)
+        done = {r.part_key for r in d.collect()}
+        for pk in parts:
+            if pk not in done:
+                shutil.rmtree(os.path.join(src_dir, f"part_key={pk}"),
+                              ignore_errors=True)
 
     res = run_pipeline(spark, transcripts_path=new_transcripts_path,
                        out_dir=out_dir, model_path=model_path,
