@@ -700,9 +700,9 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character Shannon entropy (bits/char) with a low-entropy
-    gibberish flag — both shuffles doc_id-keyed and partial-aggregating
-    (per-doc alphabet is bounded, so map-side combine collapses each
-    doc before the exchange)."""
+    gibberish flag — MAP-ONLY: the char array, distinct set, and
+    entropy fold are row-local higher-order functions, zero shuffles
+    (plan-asserted in the operator's module)."""
     from morra_spark.operators.curation import char_entropy
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1959,13 +1959,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM h JOIN tot ON h.grp = tot.grp)
             SELECT grp, MAX(docs_old) AS docs_old,
                    MAX(docs_new) AS docs_new,
-                   ROUND(SUM(
+                   CASE WHEN MAX(docs_old) = 0 OR MAX(docs_new) = 0
+                        THEN 1.0
+                        ELSE ROUND(SUM(
                        CASE WHEN n_old > 0
                             THEN 0.5 * p * LOG2(p / ((p + q) / 2))
                             ELSE 0 END
                      + CASE WHEN n_new > 0
                             THEN 0.5 * q * LOG2(q / ((p + q) / 2))
-                            ELSE 0 END), 6) AS js_divergence
+                            ELSE 0 END), 6) END AS js_divergence
             FROM t GROUP BY grp ORDER BY grp
         """,
         "graph_triangles": """

@@ -36,6 +36,17 @@ IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\+1-\d{3}-\d{4}"
 
 
+def ws_token_count(text_col: str = "text") -> Column:
+    """Whitespace token count, shared by every operator that gates or
+    accounts on tokens (packing, mixture, adaptive length, drift) — ONE
+    definition so a tokenization tweak cannot silently desynchronize
+    packing offsets from gating decisions. Empty/blank text counts 0
+    (a bare ``split`` would yield [''] = 1)."""
+    trimmed = F.trim(F.col(text_col))
+    return F.when(F.length(trimmed) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
+
+
 def _portable_bucket(col: Column, buckets: int = 1000) -> Column:
     """Engine-portable hash bucket: decimal value of the first 15 hex
     chars of md5, mod ``buckets`` — bit-identical in any engine with
@@ -216,9 +227,7 @@ def pack_sequences(docs: DataFrame, ctx_len: int,
     partition is bounded), everything else map-only arithmetic. No
     first-fit bin packing — concat-and-chunk is order-preserving, so
     it needs no driver state and resumes deterministically."""
-    trimmed = F.trim(F.col("text"))
-    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)) \
-        .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
+    n_tok = ws_token_count()
     from pyspark.sql.window import Window
     w = Window.partitionBy(stream_col).orderBy(order_col)
     placed = (docs.withColumn("n_tok", n_tok)
@@ -322,9 +331,7 @@ def mixture_tokens(docs: DataFrame, weights: dict[str, float],
     — the sizing report a pre-training data run starts from. Map-only
     token count + one 5-row groupBy; the total is a broadcast scalar
     (computed as a windowless cross-aggregate, not a collect)."""
-    trimmed = F.trim(F.col("text"))
-    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)) \
-        .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
+    n_tok = ws_token_count()
     per_lang = (docs.select("lang", n_tok.alias("n_tok"))
                 .groupBy("lang").agg(F.sum("n_tok").alias("n_tokens")))
     total = per_lang.agg(F.sum("n_tokens").alias("total"))
@@ -389,9 +396,7 @@ def adaptive_length_bounds(docs: DataFrame) -> DataFrame:
     engines before the keep comparison, so the decision replays
     bit-for-bit.
     """
-    trimmed = F.trim(F.col("text"))
-    n_tok = F.when(F.length(trimmed) == 0, F.lit(0)) \
-        .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
+    n_tok = ws_token_count()
     toks = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
     bounds = (toks.groupBy("lang")
               .agg(F.round(F.expr("percentile(n_tokens, 0.05)"), 4)
@@ -447,12 +452,15 @@ def char_entropy(docs: DataFrame, min_bits: float = 2.0) -> DataFrame:
     base = docs.filter(n >= 1).withColumn("_chars", chars)
     cs = F.col("_chars")
 
-    def p_of(c):
-        return F.size(F.filter(cs, lambda x: x == c)) / F.size(cs)
-
+    # one O(len) scan per distinct char: materialize the counts array
+    # first, then fold entropy over the counts — not a p*log2(p) form
+    # that would instantiate the frequency scan twice per char
+    counts = F.transform(
+        F.array_distinct(cs),
+        lambda c: F.size(F.filter(cs, lambda x: x == c)))
     ent = -F.aggregate(
-        F.array_distinct(cs), F.lit(0.0),
-        lambda acc, c: acc + p_of(c) * F.log2(p_of(c)))
+        counts, F.lit(0.0),
+        lambda acc, k: acc + (k / F.size(cs)) * F.log2(k / F.size(cs)))
     return (base.select(
         "doc_id", F.size(cs).cast("long").alias("n_chars_text"),
         F.round(ent, 4).alias("entropy_bits"))

@@ -99,10 +99,9 @@ def corpus_drift(old: DataFrame, new: DataFrame,
     nothing scales with corpus rows past the first aggregate.
     """
     def hist(df: DataFrame, side: str) -> DataFrame:
-        trimmed = F.trim(F.col("text"))
-        n_tok = F.when(F.length(trimmed) == 0, F.lit(0)) \
-            .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
-        b = F.floor(F.log2(n_tok + 1)).cast("int")
+        from morra_spark.operators.curation import ws_token_count
+
+        b = F.floor(F.log2(ws_token_count() + 1)).cast("int")
         return (df.select(F.col(group_col).alias("grp"), b.alias("bin"))
                 .groupBy("grp", "bin")
                 .agg(F.count(F.lit(1)).cast("long").alias(f"n_{side}")))
@@ -121,7 +120,14 @@ def corpus_drift(old: DataFrame, new: DataFrame,
             .otherwise(F.lit(0.0))
             + F.when(F.col("n_new") > 0, 0.5 * q * F.log2(q / m))
             .otherwise(F.lit(0.0)))
-    return (j.groupBy("grp")
-            .agg(F.max("docs_old").alias("docs_old"),
-                 F.max("docs_new").alias("docs_new"),
-                 F.round(F.sum(term), 6).alias("js_divergence")))
+    agg = (j.groupBy("grp")
+           .agg(F.max("docs_old").alias("docs_old"),
+                F.max("docs_new").alias("docs_new"),
+                F.round(F.sum(term), 6).alias("js_divergence")))
+    # a group present in only one snapshot is MAXIMALLY drifted: the
+    # raw sum degenerates to 0.5 there (all mass on one side), which
+    # would read as half-drifted on the documented 0..1 scale
+    return agg.withColumn(
+        "js_divergence",
+        F.when((F.col("docs_old") == 0) | (F.col("docs_new") == 0),
+               F.lit(1.0)).otherwise(F.col("js_divergence")))

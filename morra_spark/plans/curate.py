@@ -66,12 +66,21 @@ def label_documents(docs: DataFrame, n: int = 3,
 
         if "lang" not in docs.columns:
             raise ValueError("adaptive_length requires a 'lang' column")
-        bounds = adaptive_length_bounds(
-            docs.select("doc_id", "lang", "text")).select("doc_id", "keep")
+        # calibrate the p05/p95 bounds on the CURRENT survivor set, not
+        # the raw input — otherwise a flood of already-rejected
+        # too_short/too_long spam drags the percentiles into mass the
+        # gate can never see again; NULL lang coalesces to 'und' so
+        # those docs are gated too (an inner join on NULL would silently
+        # exempt them)
+        gate_src = staged.filter(F.col("qreason").isNull()).select(
+            "doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("lang"),
+            "text")
+        bounds = adaptive_length_bounds(gate_src).select("doc_id", "keep")
         staged = (staged.join(bounds, "doc_id", "left")
                   .withColumn("qreason", F.coalesce(
                       F.col("qreason"),
-                      F.when(~F.col("keep"), "len_outlier")))
+                      F.when(~F.coalesce(F.col("keep"), F.lit(True)),
+                             "len_outlier")))
                   .drop("keep"))
     passed = staged.filter(F.col("qreason").isNull())
     exact = passed.select("doc_id", "text").withColumn(

@@ -95,13 +95,12 @@ def run_incremental(spark: SparkSession, *, old_transcripts_path: str,
     parts = affected_part_keys(spark, old_transcripts_path,
                                new_transcripts_path, n_parts)
     triples_dir = f"{out_dir}/triples"
+    run_id = run_id or CK.new_run_id()
     if not parts:
         n = spark.read.parquet(triples_dir).count()
         return {"run_id": run_id, "n_triples": n, "affected_part_keys": [],
                 "triples_dir": triples_dir,
                 "ckpt_dir": f"{out_dir}/checkpoint"}
-
-    run_id = run_id or CK.new_run_id()
     # don't re-delete partitions a crashed invocation of THIS run
     # already finished — PER STAGE, matching run_stage's resume
     # granularity: a crash between stages must still clear the

@@ -71,10 +71,18 @@ def build_pretrain_layout(spark: SparkSession, *, docs_path: str,
     (packed_all.write.mode("overwrite").partitionBy("split")
      .parquet(f"{out_dir}/packed"))
 
+    # chunks per stream = ceil(stream token total / ctx_len) — counting
+    # distinct doc-start chunk_ids would undercount whenever one doc
+    # spans several context windows (its middle windows hold no start)
+    per_stream = (packed_all.groupBy("split", "source")
+                  .agg(F.ceil(F.max("end_off") / F.lit(ctx_len))
+                       .cast("long").alias("chunks")))
     acct = (packed_all.groupBy("split")
             .agg(F.countDistinct("doc_id").alias("n_docs"),
-                 F.sum("n_tok").cast("long").alias("n_tokens"),
-                 F.countDistinct("source", "chunk_id").alias("n_chunks"))
+                 F.sum("n_tok").cast("long").alias("n_tokens"))
+            .join(per_stream.groupBy("split")
+                  .agg(F.sum("chunks").cast("long").alias("n_chunks")),
+                  "split")
             .orderBy("split"))
     acct.write.mode("overwrite").parquet(f"{out_dir}/accounting")
     return {r["split"]: (r["n_docs"], r["n_tokens"], r["n_chunks"])

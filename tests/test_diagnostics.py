@@ -116,3 +116,15 @@ def test_corpus_drift_matches_python_reference(spark):
     out = {r.grp: r for r in corpus_drift(a, b).collect()}
     assert out["en"].js_divergence == pytest.approx(round(js, 6), abs=2e-6)
     assert out["en"].docs_old == 8 and out["en"].docs_new == 6
+
+
+def test_corpus_drift_new_group_is_maximal(spark):
+    from morra_spark.operators.diagnostics import corpus_drift
+
+    a = spark.createDataFrame([(1, "w " * 10, "en")],
+                              "doc_id long, text string, lang string")
+    b = spark.createDataFrame([(1, "w " * 10, "en"), (2, "w " * 10, "zh")],
+                              "doc_id long, text string, lang string")
+    out = {r.grp: r.js_divergence for r in corpus_drift(a, b).collect()}
+    assert out["zh"] == 1.0  # brand-new language: maximally drifted
+    assert out["en"] == 0.0

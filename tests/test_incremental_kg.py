@@ -74,12 +74,15 @@ def test_incremental_equals_full_rebuild(spark, fixture_dir, model_path,
                           new_transcripts_path=v2, out_dir=out_inc,
                           model_path=model_path, n_parts=N_PARTS)
 
-    # bounded work: only the partitions of touched conversations
-    touched = removed + truncated + added_src
+    # bounded work: only the partitions of CHANGED conversations — the
+    # removed, the truncated, and the clones' NEW ids; the added_src
+    # source conversations themselves are byte-identical in v2 and must
+    # NOT count as affected
+    changed_ids = (removed + truncated
+                   + [c + "_clone" for c in added_src])
     expect_parts = sorted(
         {r.part_key for r in CK.add_part_key(
-            spark.createDataFrame([(c,) for c in touched]
-                                  + [(c + "_clone",) for c in added_src],
+            spark.createDataFrame([(c,) for c in changed_ids],
                                   "conv_id string"),
             N_PARTS).collect()})
     assert res["affected_part_keys"] == expect_parts

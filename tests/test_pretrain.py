@@ -59,11 +59,17 @@ def test_pretrain_layout_invariants(spark, docs_src, tmp_path):
         assert rows[0].start_off == 0
         for a, b in zip(rows, rows[1:]):
             assert a.end_off == b.start_off
-    # accounting reconciles with the written frame
+    # accounting reconciles with the written frame; n_chunks counts
+    # COVERED context windows (ceil of each stream's token total / 16),
+    # not just chunks some doc starts in
+    import math
     for split, (nd, nt, nc) in rep.items():
         part = packed.filter(F.col("split") == split)
         assert part.select("doc_id").distinct().count() == nd
         assert part.agg(F.sum("n_tok")).collect()[0][0] == nt
+        stream_tot = part.groupBy("source") \
+            .agg(F.max("end_off").alias("m")).collect()
+        assert nc == sum(math.ceil(r.m / 16) for r in stream_tot)
     assert "train" in rep and set(rep) <= {"train", "val", "test"}
 
 
