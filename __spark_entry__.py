@@ -901,6 +901,18 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_drift(v1, evolve_corpus(v1)).orderBy("grp")
 
 
+def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling anomaly score over the event stream: value vs
+    the mean/stddev of its 20 PRECEDING events (frame ends at
+    1 PRECEDING — self-exclusion). One window sort; both aggregates
+    share the frame; (ts, event_id) ordering is tie-stable."""
+    from morra_spark.operators.diagnostics import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    return (rolling_zscore(ev).filter(F.col("zscore").isNotNull())
+            .orderBy("user_id", "ts", "event_id"))
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1359,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "corpus_drift": q_corpus_drift,
+        "rolling_zscore": q_rolling_zscore,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -1969,6 +1982,23 @@ def oracle_sql() -> dict[str, str]:
                             THEN 0.5 * q * LOG2(q / ((p + q) / 2))
                             ELSE 0 END), 6) END AS js_divergence
             FROM t GROUP BY grp ORDER BY grp
+        """,
+        "rolling_zscore": """
+            WITH w AS (SELECT user_id, event_id, ts, value,
+                              AVG(value) OVER fr AS baseline_mean,
+                              STDDEV_SAMP(value) OVER fr AS baseline_sd,
+                              (value - AVG(value) OVER fr)
+                                  / STDDEV_SAMP(value) OVER fr AS zscore
+                       FROM events
+                       WINDOW fr AS (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 20 PRECEDING
+                                              AND 1 PRECEDING))
+            SELECT user_id, event_id, ts, value, baseline_mean,
+                   baseline_sd, zscore,
+                   COALESCE(ABS(zscore) > 3.0, FALSE) AS anomalous
+            FROM w WHERE zscore IS NOT NULL
+            ORDER BY user_id, ts, event_id
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents

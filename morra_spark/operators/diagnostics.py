@@ -131,3 +131,38 @@ def corpus_drift(old: DataFrame, new: DataFrame,
         "js_divergence",
         F.when((F.col("docs_old") == 0) | (F.col("docs_new") == 0),
                F.lit(1.0)).otherwise(F.col("js_divergence")))
+
+
+def rolling_zscore(events: DataFrame, key_col: str = "user_id",
+                   ts_col: str = "ts", val_col: str = "value",
+                   lookback: int = 20, z_max: float = 3.0) -> DataFrame:
+    """Per-key rolling anomaly score: each event's value standardized
+    against the mean/stddev of its own PRECEDING ``lookback`` events
+    (frame ends at 1 PRECEDING — the current value never contaminates
+    its own baseline). ``anomalous`` flags |z| > ``z_max``; rows with
+    fewer than 2 priors have no defined baseline (z NULL, not flagged).
+
+    The metric-regression tripwire over any per-entity time series —
+    ingest volume per source, triples per conversation, latency per
+    host. ONE window sort per key partition, both aggregates share the
+    frame; deterministic ordering via (ts, event_id) so equal
+    timestamps can't reshuffle baselines between runs.
+    """
+    w = (Window.partitionBy(key_col).orderBy(ts_col, "event_id")
+         .rowsBetween(-lookback, -1))
+    mu = F.avg(val_col).over(w)
+    sd = F.stddev_samp(val_col).over(w)
+    # deliberately NO in-engine rounding: frame means of short-decimal
+    # inputs land exactly on .xxx5 rounding ties, where Java (shortest
+    # decimal repr, HALF_UP) and C/DuckDB (binary value, half-away)
+    # disagree systematically; raw doubles compared at coarse precision
+    # downstream never sit near a tie
+    z = (F.col(val_col) - mu) / sd
+    return (events.select(
+        key_col, "event_id", ts_col, F.col(val_col).alias("value"),
+        mu.alias("baseline_mean"),
+        sd.alias("baseline_sd"),
+        z.alias("zscore"))
+        .withColumn("anomalous",
+                    F.coalesce(F.abs(F.col("zscore")) > F.lit(z_max),
+                               F.lit(False))))

@@ -128,3 +128,28 @@ def test_corpus_drift_new_group_is_maximal(spark):
     out = {r.grp: r.js_divergence for r in corpus_drift(a, b).collect()}
     assert out["zh"] == 1.0  # brand-new language: maximally drifted
     assert out["en"] == 0.0
+
+
+def test_rolling_zscore_hand_computed(spark):
+    import math
+
+    from morra_spark.operators.diagnostics import rolling_zscore
+
+    # one user, values 10,10,10,10,100 — the spike's baseline is the
+    # four 10s: mean 10, sd 0 -> z NULL (sd=0 division); use 10,12,10,12,100
+    rows = [(i, f"2026-01-01 00:0{i}:00", 1, v)
+            for i, v in enumerate([10.0, 12.0, 10.0, 12.0, 100.0])]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, value double") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                    "value")
+    out = {r.event_id: r for r in rolling_zscore(df, lookback=20).collect()}
+    assert out[0].zscore is None          # no priors
+    assert out[1].zscore is None          # one prior -> sd undefined
+    # event 4: baseline = [10,12,10,12], mean 11, sd = sqrt(4/3)
+    sd = math.sqrt(4 / 3)
+    assert out[4].baseline_mean == pytest.approx(11.0)
+    assert out[4].baseline_sd == pytest.approx(sd)
+    assert out[4].zscore == pytest.approx((100 - 11) / sd)
+    assert out[4].anomalous is True
+    assert out[2].anomalous is False and out[0].anomalous is False
