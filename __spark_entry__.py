@@ -913,6 +913,39 @@ def q_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id", "ts", "event_id"))
 
 
+SEARCH_TERMS = ["data", "hash", "merge", "window"]
+
+
+def q_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf-idf scored OR-query over the corpus: the isin term filter is
+    pushed into the token stream, so only query-term rows survive into
+    any aggregate — an inverted-index probe without the index."""
+    from morra_spark.operators.search import keyword_search
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return keyword_search(d, SEARCH_TERMS, top_k=20)
+
+
+def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verify stage over simhash-bucket candidates:
+    planted mutations (each doc cloned at +1M with ' x' appended) land
+    in the same portable-simhash bucket and verify at Levenshtein 2;
+    O(len^2) cost strictly bounded by the bucketing stage."""
+    from morra_spark.operators.dedup import (editdist_verify,
+                                             simhash_signatures)
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" x"))))
+    sig = simhash_signatures(d, portable=True).select("doc_id", "prefix16")
+    other = sig.select("prefix16", F.col("doc_id").alias("db"))
+    cand = (sig.join(other, "prefix16")
+            .filter(F.col("doc_id") < F.col("db"))
+            .select(F.col("doc_id").alias("da"), "db"))
+    return editdist_verify(cand, d, max_dist=20).orderBy("da", "db")
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1372,6 +1405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "corpus_drift": q_corpus_drift,
         "rolling_zscore": q_rolling_zscore,
+        "keyword_search": q_keyword_search,
+        "dedup_editdist": q_dedup_editdist,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -1999,6 +2034,58 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(ABS(zscore) > 3.0, FALSE) AS anomalous
             FROM w WHERE zscore IS NOT NULL
             ORDER BY user_id, ts, event_id
+        """,
+        "keyword_search": """
+            WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(
+                              TRIM(text), '\\s+')) AS w
+                          FROM documents),
+            t2 AS (SELECT doc_id, w FROM toks
+                   WHERE w IN ('data', 'hash', 'merge', 'window')),
+            tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM t2
+                   GROUP BY doc_id, w),
+            dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+            d AS (SELECT COUNT(*) AS D FROM documents)
+            SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_terms_matched,
+                   ROUND(SUM(tf * LN((D + 1) * 1.0 / (df + 1))), 4)
+                       AS score
+            FROM tf JOIN dfq USING (w) CROSS JOIN d GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        "dedup_editdist": """
+            WITH u AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, text || ' x'
+                       FROM documents),
+            wd AS (SELECT doc_id,
+                          UNNEST(LIST_DISTINCT(
+                              STRING_SPLIT(TRIM(text), ' '))) AS word
+                   FROM u),
+            h AS (SELECT doc_id,
+                         CAST('0x' || SUBSTRING(MD5(word), 1, 15) AS BIGINT)
+                             AS h
+                  FROM wd),
+            b AS (SELECT doc_id, j,
+                         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)
+                             AS s
+                  FROM h, (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS j)
+                  GROUP BY doc_id, j),
+            sim AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN s >= 0
+                                         THEN CAST(1 AS BIGINT) << j
+                                         ELSE 0 END) AS BIGINT) >> 16
+                               AS prefix16
+                    FROM b GROUP BY doc_id),
+            cand AS (SELECT a.doc_id AS da, c.doc_id AS db
+                     FROM sim a JOIN sim c USING (prefix16)
+                     WHERE a.doc_id < c.doc_id)
+            SELECT da, db,
+                   CAST(LEVENSHTEIN(ua.text, ub.text) AS INTEGER)
+                       AS edit_dist
+            FROM cand
+            JOIN u ua ON ua.doc_id = cand.da
+            JOIN u ub ON ub.doc_id = cand.db
+            WHERE LEVENSHTEIN(ua.text, ub.text) <= 20
+            ORDER BY da, db
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents

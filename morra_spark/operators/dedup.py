@@ -357,3 +357,24 @@ def doc_fingerprints(docs: DataFrame, n: int = 5,
     mins = grams.groupBy("doc_id").agg(F.min("h").alias("fp_min"))
     full = docs.select("doc_id", h(F.col("text")).alias("fp_full"))
     return full.join(mins, "doc_id", "left").orderBy("doc_id")
+
+
+def editdist_verify(pairs: DataFrame, docs: DataFrame,
+                    max_dist: int = 20) -> DataFrame:
+    """Edit-distance verification of near-dup CANDIDATE pairs: exact
+    Levenshtein over the two texts, keep pairs within ``max_dist``.
+    The highest-precision verify stage (character-level, order-aware —
+    catches the transposition/typo dups shingle Jaccard over-merges on),
+    priced accordingly: O(len^2) per pair, so it runs strictly AFTER a
+    bucketing stage has bounded the candidate set, never corpus-wide.
+    Both joins fetch text by doc_id (co-keyed); the distance itself is
+    the JVM built-in (no Python).
+    """
+    t = docs.select("doc_id", "text")
+    a = t.select(F.col("doc_id").alias("da"), F.col("text").alias("ta"))
+    b = t.select(F.col("doc_id").alias("db"), F.col("text").alias("tb"))
+    return (pairs.select("da", "db").join(a, "da").join(b, "db")
+            .withColumn("edit_dist",
+                        F.levenshtein(F.col("ta"), F.col("tb")))
+            .filter(F.col("edit_dist") <= max_dist)
+            .select("da", "db", "edit_dist"))

@@ -396,3 +396,38 @@ def test_duplicated_span_stats_random_vs_bruteforce(spark):
     got = {r.doc_id: (r.n_tokens, r.n_dup_tokens)
            for r in duplicated_span_stats(df, n=n).collect()}
     assert got == want
+
+
+def test_editdist_verify_filters_and_scores(spark):
+    from morra_spark.operators.dedup import editdist_verify
+
+    docs = spark.createDataFrame(
+        [(1, "kitten sat here"), (2, "sitting sat here"),
+         (3, "completely different content entirely")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "da long, db long")
+    out = {(r.da, r.db): r.edit_dist
+           for r in editdist_verify(pairs, docs, max_dist=5).collect()}
+    # kitten->sitting is the classic distance-3 edit
+    assert out == {(1, 2): 3}
+
+
+def test_keyword_search_hand_scored(spark):
+    import math
+
+    from morra_spark.operators.search import keyword_search
+
+    docs = spark.createDataFrame(
+        [(1, "data data model"), (2, "data only"), (3, "nothing here"),
+         (4, "model model model")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           keyword_search(docs, ["data", "model"], top_k=10).collect()}
+    assert 3 not in out
+    idf_data = math.log(5 / 3)   # df(data)=2, D=4 -> ln((4+1)/(2+1))
+    idf_model = math.log(5 / 3)  # df(model)=2
+    assert out[1].score == pytest.approx(
+        round(2 * idf_data + 1 * idf_model, 4))
+    assert out[1].n_terms_matched == 2
+    assert out[4].score == pytest.approx(round(3 * idf_model, 4))
+    assert out[2].n_terms_matched == 1
