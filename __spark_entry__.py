@@ -946,6 +946,30 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdist_verify(cand, d, max_dist=20).orderBy("da", "db")
 
 
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case/punct-invariant exact dedup: planted variants (each doc
+    cloned at +1M upper-cased with '!!' appended) must collapse into
+    their source's normalized group. 32-byte keys shuffle, never
+    bodies."""
+    from morra_spark.operators.dedup import normalized_dup_groups
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.upper(F.col("text")), F.lit("!!"))))
+    return normalized_dup_groups(d).orderBy("min_doc_id")
+
+
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 initial user journeys (first 4 event types in time
+    order): one per-user sorted-collect shuffle + a low-cardinality
+    path aggregate — the funnel fold's shape reused for path mining."""
+    from morra_spark.operators.funnel import top_event_paths
+
+    return top_event_paths(_t(spark, sf_dir, "events"),
+                           max_len=4, top_k=10)
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1407,6 +1431,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_zscore": q_rolling_zscore,
         "keyword_search": q_keyword_search,
         "dedup_editdist": q_dedup_editdist,
+        "dedup_normalized": q_dedup_normalized,
+        "event_paths": q_event_paths,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -2086,6 +2112,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN u ub ON ub.doc_id = cand.db
             WHERE LEVENSHTEIN(ua.text, ub.text) <= 20
             ORDER BY da, db
+        """,
+        "dedup_normalized": """
+            WITH u AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, UPPER(text) || '!!'
+                       FROM documents),
+            k AS (SELECT doc_id,
+                         MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                             LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g'))) AS norm_key
+                  FROM u)
+            SELECT norm_key, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS min_doc_id
+            FROM k GROUP BY norm_key HAVING COUNT(*) >= 2
+            ORDER BY min_doc_id
+        """,
+        "event_paths": """
+            WITH p AS (SELECT user_id,
+                              ARRAY_TO_STRING(LIST_SLICE(
+                                  ARRAY_AGG(event_type
+                                      ORDER BY ts, event_id), 1, 4),
+                                  ' > ') AS path
+                       FROM events GROUP BY user_id)
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM p GROUP BY path
+            ORDER BY n_users DESC, path ASC LIMIT 10
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents

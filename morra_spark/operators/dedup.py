@@ -378,3 +378,24 @@ def editdist_verify(pairs: DataFrame, docs: DataFrame,
                         F.levenshtein(F.col("ta"), F.col("tb")))
             .filter(F.col("edit_dist") <= max_dist)
             .select("da", "db", "edit_dist"))
+
+
+def normalized_dup_groups(docs: DataFrame) -> DataFrame:
+    """Case/punctuation-invariant exact dedup accounting: normalize
+    (lowercase, strip non-alphanumeric-non-space, collapse whitespace)
+    and group — catches the re-hosted copy with different casing and
+    punctuation that byte-exact dedup misses and near-dup scoring
+    wastes a shingle pass on. Map-only normalization (three JVM string
+    ops) + one hash aggregate; the normalized key is md5'd before the
+    shuffle so grouped rows carry 32 bytes, not document bodies.
+    Returns groups with >= 2 members: (norm_key, n_docs, min_doc_id).
+    """
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")
+    key = F.md5(F.trim(norm))
+    return (docs.select("doc_id", key.alias("norm_key"))
+            .groupBy("norm_key")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("min_doc_id"))
+            .filter(F.col("n_docs") >= 2))

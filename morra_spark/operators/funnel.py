@@ -94,3 +94,24 @@ def funnel_counts(events: DataFrame, steps: list[str],
         .withColumn("conversion", F.round(
             F.col("n_users") / F.greatest(n1, F.lit(1)), 4))
         .select("step_idx", "step", "n_users", "conversion"))
+
+
+def top_event_paths(events: DataFrame, max_len: int = 4,
+                    top_k: int = 10) -> DataFrame:
+    """Path analysis: the ``top_k`` most common initial event-type
+    journeys (first ``max_len`` events per user, in (ts, event_id)
+    order). ONE shuffle: per-user ``sort_array(collect_list(struct))``
+    — the same single-pass shape as the funnel fold — then a slice +
+    join to a low-cardinality path aggregate. Deterministic tie-break:
+    count desc, path asc.
+    """
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("ts", "event_id",
+                                             "event_type"))),
+        lambda s: s["event_type"])
+    per_user = (events.groupBy("user_id")
+                .agg(F.concat_ws(
+                    " > ", F.slice(ordered, 1, max_len)).alias("path")))
+    return (per_user.groupBy("path")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+            .orderBy(F.desc("n_users"), F.asc("path")).limit(top_k))

@@ -431,3 +431,15 @@ def test_keyword_search_hand_scored(spark):
     assert out[1].n_terms_matched == 2
     assert out[4].score == pytest.approx(round(3 * idf_model, 4))
     assert out[2].n_terms_matched == 1
+
+
+def test_normalized_dup_groups_case_punct_invariant(spark):
+    from morra_spark.operators.dedup import normalized_dup_groups
+
+    docs = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "HELLO WORLD."),
+         (4, "goodbye world")],
+        "doc_id long, text string")
+    out = normalized_dup_groups(docs).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 3 and out[0].min_doc_id == 1

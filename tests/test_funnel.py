@@ -143,3 +143,24 @@ def test_interval_overlap_join_random_vs_bruteforce(spark):
                interval_overlap_join(left, right, cell_seconds=cell).collect()]
         assert len(got) == len(set(got)), "duplicate pairs leaked"
         assert set(got) == want
+
+
+def test_top_event_paths_orders_and_truncates(spark):
+    from morra_spark.operators.funnel import top_event_paths
+
+    rows = []
+    # two users with the same 3-step journey, one with a longer one
+    for uid, seq in ((1, ["signup", "view", "click"]),
+                     (2, ["signup", "view", "click"]),
+                     (3, ["signup", "view", "click", "purchase", "view"])):
+        for i, et in enumerate(seq):
+            rows.append((uid * 100 + i, f"2026-01-01 00:0{i}:00", uid, et))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts",
+                    "user_id", "event_type")
+    out = [(r.path, r.n_users)
+           for r in top_event_paths(df, max_len=4, top_k=5).collect()]
+    assert out[0] == ("signup > view > click", 2)
+    # the 5-event user truncates to the first 4
+    assert out[1] == ("signup > view > click > purchase", 1)
