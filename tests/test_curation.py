@@ -534,3 +534,23 @@ def test_label_documents_optional_gates(spark, tmp_path):
     rep0 = run_curation(spark, docs_path=src, out_dir=str(tmp_path / "o0"))
     assert "low_entropy" not in rep0 and "len_outlier" not in rep0
     assert rep0["kept"][0] == 10
+
+
+def test_bpe_merge_pairs_matches_python_reference(spark):
+    import random
+    from collections import Counter
+
+    from morra_spark.operators.curation import bpe_merge_pairs
+
+    rng = random.Random(11)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 6)))
+             for _ in range(200)]
+    text = " ".join(words)
+    ref = Counter()
+    for w, freq in Counter(words).items():
+        for i in range(len(w) - 1):
+            ref[f"{w[i]} {w[i + 1]}"] += freq
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [(r.pair, r.n) for r in bpe_merge_pairs(docs, top_k=15).collect()]
+    assert got == expect

@@ -354,3 +354,31 @@ def test_tpch_q1_is_single_aggregate_scan(spark):
     assert _shuffle_exchanges(plan) <= 2, plan  # agg + final orderBy
     assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or \
         "LessThanOrEqual(l_shipdate" in plan, plan
+
+
+def test_keyword_search_filters_before_any_exchange(spark):
+    """The isin term filter must sit below the first aggregate so only
+    query-term token rows ever shuffle — the no-index inverted probe."""
+    from morra_spark.operators.search import keyword_search
+
+    docs = spark.createDataFrame([(1, "data model x")],
+                                 "doc_id long, text string")
+    plan = _spark_plan(keyword_search(docs, ["data", "model"]))
+    # the generate (explode) stage must be followed by the IN filter
+    # before any Exchange; assert the filter exists and no nested loop
+    assert "w#" in plan and " IN " in plan or "isin" in plan.lower() or \
+        "INSET" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_normalized_dedup_shuffles_keys_not_bodies(spark):
+    """The group-by exchange must carry the 32-byte md5 key, never the
+    text column."""
+    from morra_spark.operators.dedup import normalized_dup_groups
+
+    docs = spark.createDataFrame([(1, "x" * 200)],
+                                 "doc_id long, text string")
+    plan = _spark_plan(normalized_dup_groups(docs))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, plan
