@@ -970,6 +970,38 @@ def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                            max_len=4, top_k=10)
 
 
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer encode: top-100 frequency vocab (count desc, word asc)
+    broadcast-joined onto posexploded words → (doc_id, pos, token_id)
+    with OOV = -1. The map pass that turns a curated corpus into model
+    input; sequences reassemble exactly by (doc_id, pos)."""
+    from morra_spark.operators.curation import build_vocab, encode_tokens
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return (encode_tokens(d, build_vocab(d, size=100))
+            .orderBy("doc_id", "pos"))
+
+
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: docs, tokens, languages, sources, exact-dup
+    fraction (md5 text), median doc length. The summary a corpus
+    release ships; every stat is one pass + scalar aggregates."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+"))) \
+        .cast("long")
+    base = d.select("doc_id", "lang", "source",
+                    F.md5(F.col("text")).alias("h"), n_tok.alias("n_tok"))
+    return base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.round(1 - F.countDistinct("h") / F.count(F.lit(1)), 6)
+        .alias("exact_dup_frac"),
+        F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("median_tokens"))
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1433,6 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_editdist": q_dedup_editdist,
         "dedup_normalized": q_dedup_normalized,
         "event_paths": q_event_paths,
+        "vocab_encode": q_vocab_encode,
+        "corpus_datasheet": q_corpus_datasheet,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -2138,6 +2172,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
             FROM p GROUP BY path
             ORDER BY n_users DESC, path ASC LIMIT 10
+        """,
+        "vocab_encode": """
+            WITH toks AS (SELECT doc_id,
+                                 UNNEST(STRING_SPLIT_REGEX(
+                                     TRIM(text), '\\s+')) AS word,
+                                 GENERATE_SUBSCRIPTS(STRING_SPLIT_REGEX(
+                                     TRIM(text), '\\s+'), 1) - 1 AS pos
+                          FROM documents),
+            t2 AS (SELECT doc_id, word, pos FROM toks WHERE word <> ''),
+            wc AS (SELECT word, COUNT(*) AS n FROM t2 GROUP BY word),
+            v AS (SELECT word,
+                         CAST(ROW_NUMBER() OVER (ORDER BY n DESC,
+                                                 word ASC) - 1
+                              AS INTEGER) AS token_id
+                  FROM wc ORDER BY n DESC, word ASC LIMIT 100)
+            SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                   CAST(COALESCE(v.token_id, -1) AS INTEGER) AS token_id
+            FROM t2 LEFT JOIN v USING (word)
+            ORDER BY doc_id, pos
+        """,
+        "corpus_datasheet": """
+            WITH b AS (SELECT doc_id, lang, source, MD5(text) AS h,
+                  CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+                       ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+')) END
+                      AS n_tok
+                FROM documents)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                   ROUND(1 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 6)
+                       AS exact_dup_frac,
+                   ROUND(QUANTILE_CONT(n_tok, 0.5), 4) AS median_tokens
+            FROM b
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents

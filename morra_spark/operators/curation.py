@@ -508,3 +508,40 @@ def weighted_sample(docs: DataFrame, k: int, weight: Column) -> DataFrame:
     key = F.round(-F.log(u) / weight, 8)
     return (docs.select("doc_id", weight.alias("w"), key.alias("es_key"))
             .orderBy(F.asc("es_key"), F.asc("doc_id")).limit(k))
+
+
+def build_vocab(docs: DataFrame, size: int) -> DataFrame:
+    """Frequency-ranked word vocabulary: (word, token_id) with id 0..
+    ``size``-1 assigned by count desc, word asc (deterministic). One
+    partial-aggregating word count + a TakeOrdered — the vocab TABLE is
+    tiny (``size`` rows) even when the corpus is not, which is what
+    makes the encode join a broadcast."""
+    words = (docs.select(F.explode(
+        F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count(F.lit(1)).alias("n")))
+    ranked = words.orderBy(F.desc("n"), F.asc("word")).limit(size)
+    from pyspark.sql.window import Window
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    # the window runs over the already-limited `size` rows — driver-tiny
+    return ranked.select(
+        "word", (F.row_number().over(w) - 1).cast("int").alias("token_id"))
+
+
+def encode_tokens(docs: DataFrame, vocab: DataFrame,
+                  oov_id: int = -1) -> DataFrame:
+    """Tokenizer ENCODE step: map each document's words to vocabulary
+    ids, long form (doc_id, pos, token_id) with out-of-vocabulary words
+    as ``oov_id``. posexplode preserves position; the vocab join is a
+    BROADCAST (the table is vocab-sized); output order is (doc_id, pos)
+    so sequences reassemble exactly. This is the map pass that turns a
+    curated corpus into model input — everything upstream (counts,
+    coverage, merges) exists to make this cheap and deterministic."""
+    toks = (docs.select(
+        "doc_id", F.posexplode(
+            F.split(F.trim(F.col("text")), r"\s+")).alias("pos", "word"))
+        .filter(F.col("word") != ""))
+    return (toks.join(F.broadcast(vocab), "word", "left")
+            .select("doc_id", F.col("pos").cast("int").alias("pos"),
+                    F.coalesce(F.col("token_id"), F.lit(oov_id))
+                    .cast("int").alias("token_id")))

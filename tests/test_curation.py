@@ -554,3 +554,21 @@ def test_bpe_merge_pairs_matches_python_reference(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = [(r.pair, r.n) for r in bpe_merge_pairs(docs, top_k=15).collect()]
     assert got == expect
+
+
+def test_vocab_encode_roundtrip_and_oov(spark):
+    from morra_spark.operators.curation import build_vocab, encode_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "b a b c rare"), (2, "a b a")], "doc_id long, text string")
+    vocab = {r.word: r.token_id
+             for r in build_vocab(docs, size=3).collect()}
+    # counts: b=4 a=4 c=1 rare=1 -> ranked (a,b by word asc at tie), c
+    assert vocab == {"a": 0, "b": 1, "c": 2}
+    enc = encode_tokens(docs, build_vocab(docs, size=3))
+    got = {(r.doc_id, r.pos): r.token_id for r in enc.collect()}
+    assert got[(1, 0)] == 1 and got[(1, 1)] == 0
+    assert got[(1, 4)] == -1            # 'rare' is OOV
+    assert got[(2, 0)] == 0 and got[(2, 2)] == 0
+    # sequence reassembles in full
+    assert sorted(p for d, p in got if d == 1) == [0, 1, 2, 3, 4]
