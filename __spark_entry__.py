@@ -1002,6 +1002,16 @@ def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_tok, 0.5)"), 4).alias("median_tokens"))
 
 
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent word pairs by NPMI (min count 5): the phrase
+    detector behind tokenizer phrase-merging. Tail pruned before the
+    vocab-sized joins; P(ab) denominator counted before the prune."""
+    from morra_spark.operators.search import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents").select("text")
+    return pmi_collocations(d, min_count=5, top_k=20)
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1467,6 +1477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_paths": q_event_paths,
         "vocab_encode": q_vocab_encode,
         "corpus_datasheet": q_corpus_datasheet,
+        "pmi_collocations": q_pmi_collocations,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -2206,6 +2217,30 @@ def oracle_sql() -> dict[str, str]:
                        AS exact_dup_frac,
                    ROUND(QUANTILE_CONT(n_tok, 0.5), 4) AS median_tokens
             FROM b
+        """,
+        "pmi_collocations": """
+            WITH ws AS (SELECT STRING_SPLIT_REGEX(TRIM(text), '\\s+') AS a
+                        FROM documents),
+            uni AS (SELECT w, COUNT(*) AS cw
+                    FROM (SELECT UNNEST(a) AS w FROM ws)
+                    WHERE w <> '' GROUP BY w),
+            ix AS (SELECT a, UNNEST(GENERATE_SERIES(1, LEN(a) - 1)) AS i
+                   FROM ws WHERE LEN(a) >= 2),
+            ap AS (SELECT a[i] AS wa, a[i + 1] AS wb, COUNT(*) AS cab
+                   FROM ix GROUP BY a[i], a[i + 1]),
+            nu AS (SELECT SUM(cw) AS nw FROM uni),
+            nb AS (SELECT SUM(cab) AS nb FROM ap),
+            pr AS (SELECT wa, wb, cab FROM ap WHERE cab >= 5),
+            j AS (SELECT pr.wa, pr.wb, pr.cab, ua.cw AS ca, ub.cw AS cb,
+                         nu.nw, nb.nb
+                  FROM pr JOIN uni ua ON ua.w = pr.wa
+                          JOIN uni ub ON ub.w = pr.wb
+                          CROSS JOIN nu CROSS JOIN nb)
+            SELECT wa || ' ' || wb AS pair, CAST(cab AS BIGINT) AS n,
+                   ROUND(LN((cab * 1.0 / nb)
+                            / ((ca * 1.0 / nw) * (cb * 1.0 / nw)))
+                         / -LN(cab * 1.0 / nb), 4) AS npmi
+            FROM j ORDER BY npmi DESC, pair ASC LIMIT 20
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents

@@ -39,3 +39,53 @@ def keyword_search(docs: DataFrame, terms: list[str],
             .agg(F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
                  F.round(F.sum("tfidf"), 4).alias("score"))
             .orderBy(F.desc("score"), F.asc("doc_id")).limit(top_k))
+
+
+def pmi_collocations(docs: DataFrame, min_count: int = 5,
+                     top_k: int = 20) -> DataFrame:
+    """Collocation mining: top adjacent word pairs by NPMI (normalized
+    pointwise mutual information, -1..1; 1 = the words only ever occur
+    together). The phrase detector behind tokenizer phrase-merging and
+    query suggestion.
+
+    Plan: one explode for unigram counts, one for bigram counts (both
+    partial-aggregating — a hot pair combines map-side), then the
+    bigram table joins the unigram table TWICE on each word (co-keyed
+    equi joins; the unigram side is vocabulary-sized, not corpus-
+    sized). ``min_count`` prunes the long tail BEFORE the joins, which
+    is what keeps the join input bounded at web scale. Deterministic:
+    npmi rounded 4 dp desc, pair asc.
+    """
+    words = docs.select(
+        F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+    uni = (words.select(F.explode("ws").alias("w"))
+           .filter(F.col("w") != "")
+           .groupBy("w").agg(F.count(F.lit(1)).alias("cw")))
+    idxs = F.when(F.size("ws") >= 2,
+                  F.sequence(F.lit(0), F.size("ws") - 2)) \
+        .otherwise(F.array().cast("array<int>"))
+    all_pairs = (words.select(F.explode(F.transform(
+        idxs, lambda i: F.struct(
+            F.element_at(F.col("ws"), i + 1).alias("wa"),
+            F.element_at(F.col("ws"), i + 2).alias("wb")))).alias("p"))
+        .select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+        .groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("cab")))
+    n_uni = uni.agg(F.sum("cw").alias("nw"))
+    # P(ab) denominator = ALL bigram slots, counted before the tail
+    # prune (filtering first would inflate every surviving pair's
+    # probability)
+    n_bi = all_pairs.agg(F.sum("cab").alias("nb"))
+    pairs = all_pairs.filter(F.col("cab") >= min_count)
+    ua = uni.select(F.col("w").alias("wa"), F.col("cw").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("cw").alias("cb"))
+    j = (pairs.join(ua, "wa").join(ub, "wb")
+         .crossJoin(F.broadcast(n_uni)).crossJoin(F.broadcast(n_bi)))
+    p_ab = F.col("cab") / F.col("nb")
+    p_a = F.col("ca") / F.col("nw")
+    p_b = F.col("cb") / F.col("nw")
+    npmi = F.log(p_ab / (p_a * p_b)) / -F.log(p_ab)
+    return (j.select(
+        F.concat_ws(" ", F.col("wa"), F.col("wb")).alias("pair"),
+        F.col("cab").cast("long").alias("n"),
+        F.round(npmi, 4).alias("npmi"))
+        .orderBy(F.desc("npmi"), F.asc("pair")).limit(top_k))

@@ -572,3 +572,25 @@ def test_vocab_encode_roundtrip_and_oov(spark):
     assert got[(2, 0)] == 0 and got[(2, 2)] == 0
     # sequence reassembles in full
     assert sorted(p for d, p in got if d == 1) == [0, 1, 2, 3, 4]
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    from morra_spark.operators.search import pmi_collocations
+
+    # "x y" always together (5x); "a" and "b" frequent but independent
+    text = " ".join(["x y"] * 5 + ["a b", "b a", "a c", "b c", "c a",
+                                   "c b", "a b", "b a"])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {r.pair: r for r in
+           pmi_collocations(docs, min_count=5, top_k=5).collect()}
+    assert "x y" in out and out["x y"].n == 5
+    # hand NPMI for "x y": tokens=26, bigram slots=25, c(x)=c(y)=5
+    p_ab, p_a = 5 / 25, 5 / 26
+    npmi = math.log(p_ab / (p_a * p_a)) / -math.log(p_ab)
+    assert out["x y"].npmi == pytest.approx(round(npmi, 4))
+    # the exclusive pair outranks any independent pair present
+    for pair, r in out.items():
+        if pair != "x y":
+            assert r.npmi < out["x y"].npmi
