@@ -113,3 +113,37 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
     # and the z layout still prunes on a too
     z_a = overlap_frac(zdir, "a", 0, 63)
     assert z_a <= 0.5
+
+
+def test_compact_partitions_reduces_file_count(spark, tmp_path):
+    from morra_spark.plans.layout import compact_partitions
+
+    src = str(tmp_path / "frag")
+    spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(4)).alias("part")) \
+        .repartition(64).write.parquet(src)
+    res = compact_partitions(spark, src, target_mb=128)
+    assert res["files_before"] >= 32
+    assert res["files_after"] < res["files_before"] / 4
+    back = spark.read.parquet(res["out_path"])
+    assert back.count() == 5000
+
+
+def test_compact_partitions_preserves_partitioning(spark, tmp_path):
+    import os
+
+    from morra_spark.plans.layout import compact_partitions
+
+    src = str(tmp_path / "fragp")
+    spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.col("id"), F.lit(3)).alias("part")) \
+        .repartition(32).write.partitionBy("part").parquet(src)
+    res = compact_partitions(spark, src, target_mb=128,
+                             partition_col="part")
+    dirs = {d for d in os.listdir(res["out_path"]) if d.startswith("part=")}
+    assert dirs == {"part=0", "part=1", "part=2"}
+    back = spark.read.parquet(res["out_path"])
+    assert back.count() == 2000
+    assert res["files_after"] < res["files_before"]
