@@ -1012,6 +1012,15 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pmi_collocations(d, min_count=5, top_k=20)
 
 
+def q_ab_metric_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type A/B guardrail: deterministic md5-parity arms,
+    Welch's t + Welch-Satterthwaite dof from sufficient statistics —
+    only (group, arm) aggregates ever shuffle."""
+    from morra_spark.operators.diagnostics import ab_metric_test
+
+    return ab_metric_test(_t(spark, sf_dir, "events")).orderBy("grp")
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1478,6 +1487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_encode": q_vocab_encode,
         "corpus_datasheet": q_corpus_datasheet,
         "pmi_collocations": q_pmi_collocations,
+        "ab_metric_test": q_ab_metric_test,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -2241,6 +2251,33 @@ def oracle_sql() -> dict[str, str]:
                             / ((ca * 1.0 / nw) * (cb * 1.0 / nw)))
                          / -LN(cab * 1.0 / nb), 4) AS npmi
             FROM j ORDER BY npmi DESC, pair ASC LIMIT 20
+        """,
+        "ab_metric_test": """
+            WITH e AS (SELECT event_type AS grp,
+                              (CAST('0x' || SUBSTRING(
+                                   MD5(CAST(user_id AS VARCHAR)), 1, 15)
+                               AS BIGINT) % 1000) % 2 = 0 AS is_a,
+                              CAST(value AS DOUBLE) AS x
+                       FROM events),
+            per AS (SELECT grp, is_a, CAST(COUNT(*) AS BIGINT) AS n,
+                           AVG(x) AS m, VAR_SAMP(x) AS v
+                    FROM e GROUP BY grp, is_a),
+            a AS (SELECT grp, n AS na, m AS ma, v AS va FROM per
+                  WHERE is_a),
+            b AS (SELECT grp, n AS nb, m AS mb, v AS vb FROM per
+                  WHERE NOT is_a),
+            j AS (SELECT a.grp, na, nb, ma, mb, va, vb,
+                         va / na AS sa, vb / nb AS sb
+                  FROM a JOIN b ON a.grp = b.grp)
+            SELECT grp, na, nb,
+                   ROUND(ma, 4) AS mean_a, ROUND(mb, 4) AS mean_b,
+                   ROUND((ma - mb) / SQRT(sa + sb), 4) AS t_stat,
+                   ROUND((sa + sb) * (sa + sb)
+                         / (sa * sa / (na - 1) + sb * sb / (nb - 1)), 1)
+                       AS dof,
+                   ABS(ROUND((ma - mb) / SQRT(sa + sb), 4)) > 1.96
+                       AS significant
+            FROM j ORDER BY grp
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents

@@ -166,3 +166,46 @@ def rolling_zscore(events: DataFrame, key_col: str = "user_id",
         .withColumn("anomalous",
                     F.coalesce(F.abs(F.col("zscore")) > F.lit(z_max),
                                F.lit(False))))
+
+
+def ab_metric_test(events: DataFrame, assign_col: str = "user_id",
+                   metric_col: str = "value",
+                   group_col: str = "event_type") -> DataFrame:
+    """Two-sample comparison per metric group: users are split A/B by
+    the portable-md5 parity of ``assign_col`` (deterministic, engine-
+    replayable — the same property the split/sampling operators lean
+    on), and each ``group_col`` gets Welch's t-statistic with
+    Welch–Satterthwaite degrees of freedom and a |t| > 1.96 flag.
+
+    The guardrail check after any pipeline change: "did quality scores
+    / latencies / token counts move?" answered per segment with one
+    partial-aggregating groupBy — means and variances are sufficient
+    statistics, so nothing but (group, arm) aggregates ever shuffles.
+    """
+    from morra_spark.operators.curation import _portable_bucket
+
+    arm = (_portable_bucket(F.col(assign_col)) % 2 == 0)
+    per = (events.select(F.col(group_col).alias("grp"),
+                         arm.alias("is_a"),
+                         F.col(metric_col).cast("double").alias("x"))
+           .groupBy("grp", "is_a")
+           .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                F.avg("x").alias("m"),
+                F.var_samp("x").alias("v")))
+    a = per.filter(F.col("is_a")).select(
+        "grp", F.col("n").alias("na"), F.col("m").alias("ma"),
+        F.col("v").alias("va"))
+    b = per.filter(~F.col("is_a")).select(
+        "grp", F.col("n").alias("nb"), F.col("m").alias("mb"),
+        F.col("v").alias("vb"))
+    j = a.join(b, "grp")
+    sa, sb = F.col("va") / F.col("na"), F.col("vb") / F.col("nb")
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(sa + sb)
+    dof = (sa + sb) * (sa + sb) / (
+        sa * sa / (F.col("na") - 1) + sb * sb / (F.col("nb") - 1))
+    return (j.select("grp", "na", "nb",
+                     F.round("ma", 4).alias("mean_a"),
+                     F.round("mb", 4).alias("mean_b"),
+                     F.round(t, 4).alias("t_stat"),
+                     F.round(dof, 1).alias("dof"))
+            .withColumn("significant", F.abs(F.col("t_stat")) > 1.96))

@@ -153,3 +153,34 @@ def test_rolling_zscore_hand_computed(spark):
     assert out[4].zscore == pytest.approx((100 - 11) / sd)
     assert out[4].anomalous is True
     assert out[2].anomalous is False and out[0].anomalous is False
+
+
+def test_ab_metric_test_detects_planted_shift(spark):
+    import hashlib
+
+    from morra_spark.operators.diagnostics import ab_metric_test
+
+    def arm_a(uid: int) -> bool:
+        b = int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 1000
+        return b % 2 == 0
+
+    rows = []
+    eid = 0
+    for uid in range(40):
+        for k in range(30):
+            # plant +10 on arm A for 'shifted'; identical for 'flat'
+            base = 50.0 + (k % 7)
+            rows.append((eid, uid, "shifted",
+                         base + (10.0 if arm_a(uid) else 0.0)))
+            eid += 1
+            rows.append((eid, uid, "flat", base))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string,"
+              " value double")
+    out = {r.grp: r for r in ab_metric_test(df).collect()}
+    assert out["shifted"].significant is True
+    assert out["shifted"].mean_a - out["shifted"].mean_b == \
+        pytest.approx(10.0, abs=1e-6)
+    assert out["flat"].significant is False
+    assert abs(out["flat"].t_stat) < 0.5
