@@ -47,6 +47,14 @@ def ws_token_count(text_col: str = "text") -> Column:
         .otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
 
 
+def smoothed_tfidf(tf: Column, df: Column, n_docs: Column) -> Column:
+    """THE tf-idf scoring expression — tf × ln((D+1)/(df+1)) — shared by
+    keyword extraction (``tfidf_keywords``) and retrieval
+    (``operators.search.keyword_search``) so a smoothing change cannot
+    silently de-synchronize search ranking from keyword extraction."""
+    return tf * F.log((n_docs + 1) / (df + 1))
+
+
 def _portable_bucket(col: Column, buckets: int = 1000) -> Column:
     """Engine-portable hash bucket: decimal value of the first 15 hex
     chars of md5, mod ``buckets`` — bit-identical in any engine with
@@ -314,7 +322,7 @@ def tfidf_keywords(docs: DataFrame, top_k: int = 3) -> DataFrame:
     n_docs = docs.agg(F.count(F.lit(1)).alias("D"))
     scored = (tf.join(df_, "word").crossJoin(F.broadcast(n_docs))
               .withColumn("score", F.round(
-                  F.col("tf") * F.log((F.col("D") + 1) / (F.col("df") + 1)),
+                  smoothed_tfidf(F.col("tf"), F.col("df"), F.col("D")),
                   4)))
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score"), F.asc("word"))

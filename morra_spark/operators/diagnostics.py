@@ -135,7 +135,8 @@ def corpus_drift(old: DataFrame, new: DataFrame,
 
 def rolling_zscore(events: DataFrame, key_col: str = "user_id",
                    ts_col: str = "ts", val_col: str = "value",
-                   lookback: int = 20, z_max: float = 3.0) -> DataFrame:
+                   lookback: int = 20, z_max: float = 3.0,
+                   tiebreak_col: str | None = "event_id") -> DataFrame:
     """Per-key rolling anomaly score: each event's value standardized
     against the mean/stddev of its own PRECEDING ``lookback`` events
     (frame ends at 1 PRECEDING — the current value never contaminates
@@ -148,7 +149,8 @@ def rolling_zscore(events: DataFrame, key_col: str = "user_id",
     frame; deterministic ordering via (ts, event_id) so equal
     timestamps can't reshuffle baselines between runs.
     """
-    w = (Window.partitionBy(key_col).orderBy(ts_col, "event_id")
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = (Window.partitionBy(key_col).orderBy(*order)
          .rowsBetween(-lookback, -1))
     mu = F.avg(val_col).over(w)
     sd = F.stddev_samp(val_col).over(w)
@@ -158,8 +160,9 @@ def rolling_zscore(events: DataFrame, key_col: str = "user_id",
     # disagree systematically; raw doubles compared at coarse precision
     # downstream never sit near a tie
     z = (F.col(val_col) - mu) / sd
+    id_cols = [tiebreak_col] if tiebreak_col else []
     return (events.select(
-        key_col, "event_id", ts_col, F.col(val_col).alias("value"),
+        key_col, *id_cols, ts_col, F.col(val_col).alias("value"),
         mu.alias("baseline_mean"),
         sd.alias("baseline_sd"),
         z.alias("zscore"))

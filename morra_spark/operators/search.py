@@ -31,10 +31,12 @@ def keyword_search(docs: DataFrame, terms: list[str],
     tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     d_total = docs.select(F.count(F.lit(1)).alias("D"))
+    from morra_spark.operators.curation import smoothed_tfidf
+
     scored = (tf.join(F.broadcast(dfreq), "w")
               .crossJoin(F.broadcast(d_total))
-              .withColumn("tfidf", F.col("tf") * F.log(
-                  (F.col("D") + 1) / (F.col("df") + 1))))
+              .withColumn("tfidf", smoothed_tfidf(
+                  F.col("tf"), F.col("df"), F.col("D"))))
     return (scored.groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
                  F.round(F.sum("tfidf"), 4).alias("score"))

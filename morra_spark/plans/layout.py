@@ -103,13 +103,21 @@ def compact_partitions(spark, path: str, target_mb: int = 128,
     and a 100 TB table read at 10k files/GB spends more time in footer
     fetches and task scheduling than in data.
 
-    File count is derived from the ACTUAL byte size on disk (not row
-    counts), so compaction is self-tuning across schema/compression
-    changes. Partitioned dirs compact per partition directory with
-    dynamic overwrite (one partition's rewrite never touches another;
-    a crash mid-compaction leaves untouched partitions valid and the
-    in-flight one replaced wholesale on retry). Returns
-    {files_before, files_after, bytes}.
+    Sizing: bytes-per-row is measured from the ACTUAL on-disk size
+    (self-tuning across schema/compression changes) and enforced via
+    ``maxRecordsPerFile`` — so in the partitioned branch each partition
+    directory gets files proportional to ITS data (a 10 GB hot
+    partition splits into ~target_mb files, a 10 MB one stays a single
+    file) with no per-partition bookkeeping.
+
+    Output goes to a fresh ``path + "_compacted"`` sibling: the source
+    dir is never modified, so a crash mid-compaction leaves the
+    original fully intact and a retry simply rebuilds the sibling;
+    the caller swaps it in (rename) once complete. This is the honest
+    crash-safety story for a filesystem table — in-place per-partition
+    replacement belongs to a table format with atomic commits
+    (Iceberg ``rewrite_data_files`` via the ``sources/tableio`` seam).
+    Returns {files_before, files_after, bytes, out_path}.
     """
     import math
     import os
@@ -126,20 +134,20 @@ def compact_partitions(spark, path: str, target_mb: int = 128,
 
     before, total = dir_stats(path)
     df = spark.read.parquet(path)
+    n_rows = df.count()
+    bytes_per_row = max(1.0, total / max(1, n_rows))
+    max_records = max(1, int((target_mb << 20) / bytes_per_row))
+    out_path = path + "_compacted"
     if partition_col is None:
         n = max(1, math.ceil(total / (target_mb << 20)))
         (df.repartition(n).write.mode("overwrite")
-           .parquet(path + "_compacted"))
-        out_path = path + "_compacted"
+           .option("maxRecordsPerFile", max_records)
+           .parquet(out_path))
     else:
-        # per-partition sizing: repartition by (partition value, slice)
-        # so each directory gets files proportional to its bytes
-        n = max(1, math.ceil(total / (target_mb << 20)))
-        (df.repartition(n, F.col(partition_col))
+        (df.repartition(F.col(partition_col))
            .write.mode("overwrite")
-           .option("partitionOverwriteMode", "dynamic")
-           .partitionBy(partition_col).parquet(path + "_compacted"))
-        out_path = path + "_compacted"
+           .option("maxRecordsPerFile", max_records)
+           .partitionBy(partition_col).parquet(out_path))
     after, _ = dir_stats(out_path)
     return {"files_before": before, "files_after": after,
             "bytes": total, "out_path": out_path}

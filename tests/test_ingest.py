@@ -25,7 +25,10 @@ def test_read_with_contract_conforms_drifted_files(spark, tmp_path):
     from morra_spark.sources.ingest import read_with_contract
 
     d = str(tmp_path / "drift")
-    # v1 files: no `score`, extra `junk`; v2 files: score as INT
+    # v1: no `score`, extra `junk`; v2: score as INT (narrower);
+    # v3: score as DOUBLE (the contract type) — mergeSchema would
+    # throw CANNOT_MERGE_SCHEMAS on the v2/v3 mix, the contract read
+    # must absorb it
     spark.createDataFrame([(1, "a", "en", "x")],
                           "doc_id long, text string, lang string,"
                           " junk string") \
@@ -34,12 +37,17 @@ def test_read_with_contract_conforms_drifted_files(spark, tmp_path):
                           "doc_id long, text string, lang string,"
                           " score int") \
         .write.mode("append").parquet(d)
+    spark.createDataFrame([(3, "c", "fr", 2.5)],
+                          "doc_id long, text string, lang string,"
+                          " score double") \
+        .write.mode("append").parquet(d)
     out = read_with_contract(spark, d, CONTRACT)
     assert out.columns == ["doc_id", "text", "lang", "score"]
     rows = {r.doc_id: r for r in out.collect()}
     assert rows[1].score is None           # missing -> typed NULL
-    assert rows[2].score == 7.0            # int -> double cast
+    assert rows[2].score == 7.0            # int widened to double
     assert isinstance(rows[2].score, float)
+    assert rows[3].score == 2.5
 
 
 def test_read_jsonl_quarantines_broken_lines(spark, tmp_path):

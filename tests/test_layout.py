@@ -147,3 +147,30 @@ def test_compact_partitions_preserves_partitioning(spark, tmp_path):
     back = spark.read.parquet(res["out_path"])
     assert back.count() == 2000
     assert res["files_after"] < res["files_before"]
+
+
+def test_compact_partitions_sizes_hot_partitions_by_bytes(spark, tmp_path):
+    """A hot partition must split into multiple near-target files while
+    a small one compacts to a single file (the reviewer-probed case:
+    hashing only the partition value gave one oversized file per dir)."""
+    import os
+
+    from morra_spark.plans.layout import compact_partitions
+
+    src = str(tmp_path / "skewp")
+    # partition 0: 95% of the data; partition 1: a sliver
+    spark.range(0, 40_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 20 == 0, 1).otherwise(0).alias("part"),
+        F.sha2(F.col("id").cast("string"), 256).alias("pad")) \
+        .repartition(32).write.partitionBy("part").parquet(src)
+    res = compact_partitions(spark, src, target_mb=1, partition_col="part")
+
+    def files_in(p):
+        return [f for f in os.listdir(p) if f.endswith(".parquet")]
+
+    hot = files_in(os.path.join(res["out_path"], "part=0"))
+    cold = files_in(os.path.join(res["out_path"], "part=1"))
+    assert len(hot) >= 2          # hot partition split toward target
+    assert len(cold) == 1         # sliver stays one file
+    assert spark.read.parquet(res["out_path"]).count() == 40_000

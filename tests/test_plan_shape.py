@@ -364,10 +364,16 @@ def test_keyword_search_filters_before_any_exchange(spark):
     docs = spark.createDataFrame([(1, "data model x")],
                                  "doc_id long, text string")
     plan = _spark_plan(keyword_search(docs, ["data", "model"]))
-    # the generate (explode) stage must be followed by the IN filter
-    # before any Exchange; assert the filter exists and no nested loop
-    assert "w#" in plan and " IN " in plan or "isin" in plan.lower() or \
-        "INSET" in plan, plan
+    lines = plan.splitlines()
+    f_idx = [i for i, ln in enumerate(lines)
+             if "Filter" in ln and ("INSET" in ln or " IN (" in ln)]
+    g_idx = [i for i, ln in enumerate(lines) if "Generate explode" in ln]
+    assert f_idx and g_idx, plan
+    # the IN filter is the explode's parent (prints just above it) and
+    # NO Exchange sits between them: only query-term rows ever shuffle
+    fi = max(i for i in f_idx if i < g_idx[-1])
+    assert all("Exchange" not in lines[i]
+               for i in range(fi + 1, g_idx[-1])), plan
     assert "CartesianProduct" not in plan, plan
 
 
