@@ -1021,6 +1021,15 @@ def q_ab_metric_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_metric_test(_t(spark, sf_dir, "events")).orderBy("grp")
 
 
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day active users per day via contribution
+    explode over the reduced (user, day) grain — no range self-join,
+    no per-day raw rescan."""
+    from morra_spark.operators.diagnostics import rolling_active_users
+
+    return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1488,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datasheet": q_corpus_datasheet,
         "pmi_collocations": q_pmi_collocations,
         "ab_metric_test": q_ab_metric_test,
+        "rolling_active_users": q_rolling_active_users,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -2278,6 +2288,19 @@ def oracle_sql() -> dict[str, str]:
                    ABS(ROUND((ma - mb) / SQRT(sa + sb), 4)) > 1.96
                        AS significant
             FROM j ORDER BY grp
+        """,
+        "rolling_active_users": """
+            WITH ud AS (SELECT DISTINCT user_id AS u,
+                               CAST(DATE_TRUNC('day', ts) AS DATE) AS d
+                        FROM events),
+            mx AS (SELECT MAX(d) AS dmax FROM ud),
+            c AS (SELECT u, UNNEST(GENERATE_SERIES(
+                      d, LEAST(d + INTERVAL 6 DAY, dmax),
+                      INTERVAL 1 DAY)) AS report_day
+                  FROM ud, mx)
+            SELECT CAST(report_day AS DATE) AS report_day,
+                   CAST(COUNT(DISTINCT u) AS BIGINT) AS active_users
+            FROM c GROUP BY report_day ORDER BY report_day
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents

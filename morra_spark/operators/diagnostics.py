@@ -212,3 +212,32 @@ def ab_metric_test(events: DataFrame, assign_col: str = "user_id",
                      F.round(t, 4).alias("t_stat"),
                      F.round(dof, 1).alias("dof"))
             .withColumn("significant", F.abs(F.col("t_stat")) > 1.96))
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7,
+                         user_col: str = "user_id",
+                         ts_col: str = "ts") -> DataFrame:
+    """Rolling N-day distinct active users per day (the WAU/MAU
+    metric), exactly.
+
+    Scale pattern: distinct (user, day) first (partial-aggregating,
+    the only corpus-sized reduction), then each active day EXPLODES
+    into the ``window_days`` report days it contributes to (map-only,
+    bounded ×N fan-out), then count-distinct per report day. This
+    avoids the range self-join (days × days) AND the per-day re-scan
+    of N days of raw events — the fan-out rides on the already-reduced
+    user-day grain. Report days are clipped to the observed range, so
+    leading days reflect partial windows honestly.
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    ud = events.select(F.col(user_col).alias("u"),
+                       day.alias("d")).distinct()
+    bounds = ud.agg(F.max("d").alias("dmax"))
+    contrib = (ud.crossJoin(F.broadcast(bounds))
+               .select("u", F.explode(F.sequence(
+                   F.col("d"),
+                   F.least(F.date_add(F.col("d"), window_days - 1),
+                           F.col("dmax")))).alias("report_day")))
+    return (contrib.groupBy("report_day")
+            .agg(F.countDistinct("u").cast("long").alias("active_users"))
+            .orderBy("report_day"))

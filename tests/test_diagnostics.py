@@ -184,3 +184,19 @@ def test_ab_metric_test_detects_planted_shift(spark):
         pytest.approx(10.0, abs=1e-6)
     assert out["flat"].significant is False
     assert abs(out["flat"].t_stat) < 0.5
+
+
+def test_rolling_active_users_hand_built(spark):
+    from morra_spark.operators.diagnostics import rolling_active_users
+
+    # user 1 active day 1 and 5; user 2 active day 1; window = 3 days
+    rows = [(1, 1, "2026-01-01 10:00:00"), (2, 1, "2026-01-05 10:00:00"),
+            (3, 2, "2026-01-01 12:00:00")]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string") \
+        .selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts")
+    out = {str(r.report_day): r.active_users
+           for r in rolling_active_users(df, window_days=3).collect()}
+    # day1 activity contributes to days 1-3; day5 to day 5 (clipped)
+    assert out == {"2026-01-01": 2, "2026-01-02": 2, "2026-01-03": 2,
+                   "2026-01-05": 1}
