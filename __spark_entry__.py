@@ -1030,6 +1030,32 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active_users(_t(spark, sf_dir, "events"), window_days=7)
 
 
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert percentiles for the full signup→purchase funnel
+    (48 h step window): exact interpolated p50/p90 hours over
+    converters. Composes the single-shuffle funnel fold."""
+    from morra_spark.operators.funnel import funnel_user_steps
+
+    st = funnel_user_steps(_t(spark, sf_dir, "events"), FUNNEL_STEPS,
+                           within_hours=48)
+    hours = (F.unix_micros(F.col("t4"))
+             - F.unix_micros(F.col("t1"))) / 3_600_000_000.0
+    return (st.filter(F.col("t4").isNotNull())
+            .select(hours.alias("h"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_converted"),
+                 F.round(F.expr("percentile(h, 0.5)"), 4).alias("p50_hours"),
+                 F.round(F.expr("percentile(h, 0.9)"), 4).alias("p90_hours")))
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of events.value with data-derived
+    bounds: one bounds aggregate broadcast back + a map-only binning
+    pass."""
+    from morra_spark.operators.diagnostics import value_histogram
+
+    return value_histogram(_t(spark, sf_dir, "events"), "value", bins=20)
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1498,6 +1524,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "ab_metric_test": q_ab_metric_test,
         "rolling_active_users": q_rolling_active_users,
+        "funnel_latency": q_funnel_latency,
+        "value_histogram": q_value_histogram,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -2301,6 +2329,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(report_day AS DATE) AS report_day,
                    CAST(COUNT(DISTINCT u) AS BIGINT) AS active_users
             FROM c GROUP BY report_day ORDER BY report_day
+        """,
+        "funnel_latency": """
+            WITH s1 AS (SELECT user_id,
+                    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+                 FROM events GROUP BY user_id),
+            s2 AS (SELECT e.user_id, ANY_VALUE(s1.t1) AS t1,
+                    MIN(CASE WHEN event_type = 'view' AND e.ts > s1.t1
+                             AND e.ts <= s1.t1 + INTERVAL '48 hours'
+                             THEN e.ts END) AS t2
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, ANY_VALUE(s2.t1) AS t1,
+                    ANY_VALUE(s2.t2) AS t2,
+                    MIN(CASE WHEN event_type = 'click' AND e.ts > s2.t2
+                             AND e.ts <= s2.t2 + INTERVAL '48 hours'
+                             THEN e.ts END) AS t3
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   GROUP BY e.user_id),
+            s4 AS (SELECT e.user_id, ANY_VALUE(s3.t1) AS t1,
+                    MIN(CASE WHEN event_type = 'purchase' AND e.ts > s3.t3
+                             AND e.ts <= s3.t3 + INTERVAL '48 hours'
+                             THEN e.ts END) AS t4
+                   FROM events e JOIN s3 ON e.user_id = s3.user_id
+                   GROUP BY e.user_id),
+            h AS (SELECT (EPOCH(t4) - EPOCH(t1)) / 3600.0 AS h
+                  FROM s4 WHERE t4 IS NOT NULL)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+                   ROUND(QUANTILE_CONT(h, 0.5), 4) AS p50_hours,
+                   ROUND(QUANTILE_CONT(h, 0.9), 4) AS p90_hours
+            FROM h
+        """,
+        "value_histogram": """
+            WITH b AS (SELECT MIN(CAST(value AS DOUBLE)) AS lo,
+                              MAX(CAST(value AS DOUBLE)) AS hi
+                       FROM events),
+            w AS (SELECT lo, hi,
+                         GREATEST((hi - lo) / 20, 1e-12) AS width FROM b),
+            binned AS (SELECT CAST(LEAST(FLOOR(
+                           (CAST(value AS DOUBLE) - lo) / width), 19)
+                           AS INTEGER) AS bin, lo, width
+                       FROM events, w)
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(MIN(lo + bin * width), 4) AS bin_lo,
+                   ROUND(MIN(lo + (bin + 1) * width), 4) AS bin_hi
+            FROM binned GROUP BY bin ORDER BY bin
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents

@@ -241,3 +241,29 @@ def rolling_active_users(events: DataFrame, window_days: int = 7,
     return (contrib.groupBy("report_day")
             .agg(F.countDistinct("u").cast("long").alias("active_users"))
             .orderBy("report_day"))
+
+
+def value_histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
+    """Equi-width histogram with data-derived bounds: one bounds
+    aggregate (broadcast back — two scalars), then a MAP-ONLY binning
+    pass + a ``bins``-cardinality count. The distribution sketch every
+    metric investigation starts with; at 100 TB the two passes cost two
+    scans, or reuse stored table stats for the bounds and drop to one.
+    Values at the top edge clamp into the last bin; a constant column
+    degenerates to one bin rather than dividing by zero.
+    """
+    x = F.col(col).cast("double")
+    b = df.agg(F.min(x).alias("lo"), F.max(x).alias("hi"))
+    width = F.greatest((F.col("hi") - F.col("lo")) / bins, F.lit(1e-12))
+    bin_id = F.least(F.floor((F.col("x") - F.col("lo")) / width),
+                     F.lit(bins - 1)).cast("int")
+    return (df.select(x.alias("x")).crossJoin(F.broadcast(b))
+            .select(bin_id.alias("bin"), "lo", "hi")
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.min(F.col("lo")
+                               + F.col("bin") * width), 4).alias("bin_lo"),
+                 F.round(F.min(F.col("lo")
+                               + (F.col("bin") + 1) * width), 4)
+                 .alias("bin_hi"))
+            .orderBy("bin"))

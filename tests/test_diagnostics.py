@@ -200,3 +200,24 @@ def test_rolling_active_users_hand_built(spark):
     # day1 activity contributes to days 1-3; day5 to day 5 (clipped)
     assert out == {"2026-01-01": 2, "2026-01-02": 2, "2026-01-03": 2,
                    "2026-01-05": 1}
+
+
+def test_value_histogram_hand_built(spark):
+    from morra_spark.operators.diagnostics import value_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(100)],
+                               "value double")
+    out = {r.bin: r for r in value_histogram(df, "value", bins=10).collect()}
+    assert len(out) == 10
+    assert all(out[b].n == 10 for b in range(10))
+    # the max lands in the LAST bin (clamped), not a phantom 11th
+    assert out[9].bin_hi == pytest.approx(99.0)
+    assert out[0].bin_lo == pytest.approx(0.0)
+
+
+def test_value_histogram_constant_column(spark):
+    from morra_spark.operators.diagnostics import value_histogram
+
+    df = spark.createDataFrame([(5.0,)] * 7, "value double")
+    out = value_histogram(df, "value", bins=10).collect()
+    assert len(out) == 1 and out[0].bin == 0 and out[0].n == 7
