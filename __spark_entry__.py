@@ -1056,6 +1056,19 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(_t(spark, sf_dir, "events"), "value", bins=20)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental admission dedup: v2's ARRIVING docs (the evolved
+    corpus's additions, which clone existing texts) checked against the
+    v1 fingerprint set — fingerprints shuffle, bodies never; every
+    clone must label 'known'."""
+    from morra_spark.operators.dedup import dedup_against_corpus
+    from morra_spark.operators.snapshot import evolve_corpus
+
+    v1 = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    arrivals = evolve_corpus(v1).filter(F.col("doc_id") >= 100_000)
+    return dedup_against_corpus(arrivals, v1).orderBy("doc_id")
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1526,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": q_rolling_active_users,
         "funnel_latency": q_funnel_latency,
         "value_histogram": q_value_histogram,
+        "dedup_incremental": q_dedup_incremental,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -2374,6 +2388,18 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(MIN(lo + bin * width), 4) AS bin_lo,
                    ROUND(MIN(lo + (bin + 1) * width), 4) AS bin_hi
             FROM binned GROUP BY bin ORDER BY bin
+        """,
+        "dedup_incremental": """
+            WITH arrivals AS (
+                SELECT doc_id + 100000 AS doc_id, text FROM documents
+                WHERE doc_id % 11 = 0),
+            ck AS (SELECT DISTINCT MD5(text) AS h FROM documents)
+            SELECT a.doc_id,
+                   CASE WHEN ck.h IS NOT NULL THEN 'known'
+                        ELSE 'fresh' END AS status
+            FROM (SELECT doc_id, MD5(text) AS h FROM arrivals) a
+            LEFT JOIN ck ON a.h = ck.h
+            ORDER BY doc_id
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents

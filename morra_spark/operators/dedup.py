@@ -399,3 +399,28 @@ def normalized_dup_groups(docs: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                  F.min("doc_id").alias("min_doc_id"))
             .filter(F.col("n_docs") >= 2))
+
+
+def dedup_against_corpus(new_docs: DataFrame,
+                         corpus: DataFrame) -> DataFrame:
+    """Incremental exact dedup: label each NEW document as 'fresh' or
+    'known' against the EXISTING corpus — the admission check a
+    recurring ingest runs before appending (full-corpus re-dedup per
+    batch would re-pay the whole history every day).
+
+    Scale shape: both sides reduce to md5 fingerprints map-side, the
+    corpus side is pre-distinct'd (one row per distinct text ever
+    seen), and the check is one co-keyed LEFT SEMI-shaped join on the
+    32-byte digest — document bodies never shuffle. In production the
+    corpus fingerprint table is materialized once and appended per
+    batch (or held as streaming state — ``streaming/curation.py`` is
+    the continuous form of this exact check).
+    """
+    nk = new_docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+    ck = corpus.select(F.md5(F.col("text")).alias("h")).distinct()
+    known = nk.join(ck, "h", "left_semi").select("doc_id")
+    return (nk.join(known.withColumn("k", F.lit(True)), "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.coalesce(F.col("k"), F.lit(False)), "known")
+                    .otherwise("fresh").alias("status"))
+            )

@@ -443,3 +443,16 @@ def test_normalized_dup_groups_case_punct_invariant(spark):
     out = normalized_dup_groups(docs).collect()
     assert len(out) == 1
     assert out[0].n_docs == 3 and out[0].min_doc_id == 1
+
+
+def test_dedup_against_corpus_labels(spark):
+    from morra_spark.operators.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "seen before"), (11, "brand new"), (12, "also seen")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.status
+           for r in dedup_against_corpus(new, corpus).collect()}
+    assert out == {10: "known", 11: "fresh", 12: "known"}
