@@ -1069,6 +1069,69 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_corpus(arrivals, v1).orderBy("doc_id")
 
 
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item customers): quarter-filtered
+    orders co-key the fact on orderkey; returnflag filter pushes to the
+    lineitem scan; customer/nation come in as broadcast builds; top-20
+    plans TakeOrderedAndProject."""
+    y0 = F.lit("1996-01-01").cast("timestamp")
+    y1 = F.lit("1996-04-01").cast("timestamp")
+    orders = _t(spark, sf_dir, "orders") \
+        .filter((F.col("o_orderdate") >= y0) & (F.col("o_orderdate") < y1)) \
+        .select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    cust = _t(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            # raw double: an in-engine ROUND(x, 2) hits .xx5 decimal
+            # ties where Java and C round differently (measured: one
+            # row in 20); 4-dp-exact sums sit safely OFF the harness's
+            # 6-dp comparison boundaries
+            .agg(F.sum(rev).alias("revenue"))
+            .orderBy(F.desc("revenue"), "c_custkey").limit(20))
+
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral shipping volume): supplier-nation ×
+    customer-nation yearly revenue for one nation pair in both
+    directions. Both nation dims broadcast; the fact co-keys through
+    orders on orderkey and supplier on suppkey."""
+    pair = ("NATION_3", "NATION_7")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name") \
+        .filter(F.col("n_name").isin(list(pair)))
+    supp = (_t(spark, sf_dir, "supplier")
+            .join(F.broadcast(nation),
+                  F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (_t(spark, sf_dir, "customer")
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        F.year("l_shipdate").alias("l_year"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(supp),
+                    F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .filter(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.round(F.sum(rev), 2).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1526,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": q_tpch_q1,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
         "corpus_drift": q_corpus_drift,
         "rolling_zscore": q_rolling_zscore,
         "keyword_search": q_keyword_search,
@@ -2100,6 +2165,36 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
               AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
             GROUP BY n_name ORDER BY revenue DESC, n_name
+        """,
+        "tpch_q7": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE ns.n_name IN ('NATION_3', 'NATION_7')
+              AND nc.n_name IN ('NATION_3', 'NATION_7')
+              AND ns.n_name <> nc.n_name
+            GROUP BY ns.n_name, nc.n_name, YEAR(l_shipdate)
+            ORDER BY supp_nation, cust_nation, l_year
+        """,
+        "tpch_q10": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   SUM(l_extendedprice * (1 - l_discount)) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20
         """,
         "corpus_drift": """
             WITH v2 AS (
