@@ -1132,6 +1132,42 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("supp_nation", "cust_nation", "l_year"))
 
 
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (order-priority counts by line category):
+    conditional aggregation over one co-keyed orders⋈lineitem join —
+    the CASE-inside-SUM pattern, one shuffle each side."""
+    li = _t(spark, sf_dir, "lineitem") \
+        .filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))) \
+        .select("l_orderkey", "l_linestatus")
+    orders = _t(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
+                 .alias("high_priority"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("long")
+                 .alias("low_priority"))
+            .orderBy("l_linestatus"))
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo revenue share): one broadcast part join +
+    a single global conditional-aggregate ratio."""
+    li = _t(spark, sf_dir, "lineitem") \
+        .filter((F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))) \
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.col("p_type").startswith("PROMO")
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(100 * F.sum(F.when(promo, rev).otherwise(0.0))
+                         / F.sum(rev), 4).alias("promo_revenue_pct")))
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1591,6 +1627,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q5": q_tpch_q5,
         "tpch_q7": q_tpch_q7,
         "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
         "corpus_drift": q_corpus_drift,
         "rolling_zscore": q_rolling_zscore,
         "keyword_search": q_keyword_search,
@@ -2195,6 +2233,29 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
             GROUP BY c_custkey, c_name, c_acctbal, n_name
             ORDER BY revenue DESC, c_custkey LIMIT 20
+        """,
+        "tpch_q12": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_priority,
+                   CAST(SUM(CASE WHEN o_orderpriority NOT IN
+                                 ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS low_priority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "tpch_q14": """
+            SELECT ROUND(100 * SUM(CASE WHEN p_type LIKE 'PROMO%%'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+                         / SUM(l_extendedprice * (1 - l_discount)), 4)
+                       AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
         """,
         "corpus_drift": """
             WITH v2 AS (
