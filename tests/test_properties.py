@@ -168,3 +168,101 @@ def test_cascade_paths_agree_on_arbitrary_text(model, texts):
     for a, p, what in zip(arrow[:3], ref[:3], ("upos", "lemma", "ne")):
         mism = np.asarray(a) != np.asarray(p)
         assert not mism.any(), (what, [forms[i] for i in np.nonzero(mism)[0]])
+
+
+# ---- Spark-backed randomized reference parity (module-scoped session
+# via the shared get_spark; deterministic seeds, no hypothesis needed
+# since the inputs are generated, not shrunk) ----
+
+import pytest as _pytest
+
+
+@_pytest.fixture(scope="module")
+def spark():
+    from morra_spark.session import get_spark
+    return get_spark("test_properties_spark")
+
+
+def test_normalized_dedup_matches_python_reference(spark):
+    import hashlib
+    import random
+    import re
+    from collections import defaultdict
+
+    from morra_spark.operators.dedup import normalized_dup_groups
+
+    rng = random.Random(23)
+    base = ["Hello World", "Spark SQL engine", "data pipeline"]
+    rows = []
+    for i in range(60):
+        t = rng.choice(base)
+        t = t.upper() if rng.random() < 0.5 else t
+        if rng.random() < 0.5:
+            t = t + rng.choice(["!", "...", ",", ""])
+        if rng.random() < 0.3:
+            t = t.replace(" ", "   ")
+        rows.append((i, t))
+
+    def norm(t):
+        t = re.sub(r"[^a-z0-9 ]", "", t.lower())
+        return re.sub(r" +", " ", t).strip()
+
+    groups = defaultdict(list)
+    for i, t in rows:
+        groups[hashlib.md5(norm(t).encode()).hexdigest()].append(i)
+    expect = {k: (len(v), min(v)) for k, v in groups.items()
+              if len(v) >= 2}
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.norm_key: (r.n_docs, r.min_doc_id)
+           for r in normalized_dup_groups(df).collect()}
+    assert got == expect
+
+
+def test_event_paths_matches_python_reference(spark):
+    import random
+    from collections import Counter, defaultdict
+
+    from morra_spark.operators.funnel import top_event_paths
+
+    rng = random.Random(31)
+    types = ["signup", "view", "click", "purchase"]
+    rows = []
+    eid = 0
+    per_user = defaultdict(list)
+    for uid in range(50):
+        for k in range(rng.randint(1, 7)):
+            et = rng.choice(types)
+            ts = f"2026-01-01 00:{k:02d}:00"
+            rows.append((eid, ts, uid, et))
+            per_user[uid].append((ts, eid, et))
+            eid += 1
+    ref = Counter(
+        " > ".join(et for _ts, _e, et in sorted(evs)[:4])
+        for evs in per_user.values())
+    expect = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string") \
+        .selectExpr("event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+                    "event_type")
+    got = [(r.path, r.n_users)
+           for r in top_event_paths(df, max_len=4, top_k=8).collect()]
+    assert got == expect
+
+
+def test_adaptive_bounds_match_numpy_percentiles(spark):
+    import numpy as np
+
+    from morra_spark.operators.curation import adaptive_length_bounds
+
+    rng = np.random.default_rng(5)
+    lens = rng.integers(3, 400, size=80)
+    rows = [(int(i), "en", " ".join(["w"] * int(n)))
+            for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = adaptive_length_bounds(df).collect()
+    lo = round(float(np.percentile(lens, 5)), 4)   # linear interpolation
+    hi = round(float(np.percentile(lens, 95)), 4)
+    assert out[0].lo == _pytest.approx(lo)
+    assert out[0].hi == _pytest.approx(hi)
+    for r in out:
+        assert r.keep == (lo <= r.n_tokens <= hi)
