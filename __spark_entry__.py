@@ -1168,6 +1168,15 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.sum(rev), 4).alias("promo_revenue_pct")))
 
 
+def q_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Pearson correlation panel (value vs hour-of-day
+    and day-of-week): the seasonality screen before trusting anomaly
+    scores. Sufficient-statistics groupBy, one shuffle."""
+    from morra_spark.operators.diagnostics import metric_correlations
+
+    return metric_correlations(_t(spark, sf_dir, "events"))
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1643,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_latency": q_funnel_latency,
         "value_histogram": q_value_histogram,
         "dedup_incremental": q_dedup_incremental,
+        "metric_correlations": q_metric_correlations,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -2256,6 +2266,16 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        """,
+        "metric_correlations": """
+            SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(CORR(CAST(value AS DOUBLE),
+                              CAST(HOUR(ts) AS DOUBLE)), 4)
+                       AS corr_value_hour,
+                   ROUND(CORR(CAST(value AS DOUBLE),
+                              CAST(DAYOFWEEK(ts) + 1 AS DOUBLE)), 4)
+                       AS corr_value_dow
+            FROM events GROUP BY event_type ORDER BY grp
         """,
         "corpus_drift": """
             WITH v2 AS (

@@ -267,3 +267,31 @@ def value_histogram(df: DataFrame, col: str, bins: int = 20) -> DataFrame:
                                + (F.col("bin") + 1) * width), 4)
                  .alias("bin_hi"))
             .orderBy("bin"))
+
+
+def metric_correlations(events: DataFrame,
+                        group_col: str = "event_type") -> DataFrame:
+    """Per-group Pearson correlation panel over the event stream:
+    corr(value, hour-of-day) and corr(value, day-of-week) — the
+    seasonality screen that decides whether a metric needs
+    time-of-day normalization before anomaly detection
+    (``rolling_zscore``) can be trusted. Sufficient-statistics
+    aggregate: one partial-aggregating groupBy, nothing else shuffles.
+    """
+    hour = F.hour(F.col("ts")).cast("double")
+    dow = F.dayofweek(F.col("ts")).cast("double")
+    v = F.col("value").cast("double")
+    # corr() under ANSI mode throws DIVIDE_BY_ZERO on a zero-variance
+    # side; covar_samp / (sd*sd) is algebraically identical Pearson and
+    # try_divide yields NULL there (matching DuckDB CORR's NULL)
+    def safe_corr(a: str, b: str):
+        return F.expr(f"try_divide(covar_samp({a}, {b}),"
+                      f" stddev_samp({a}) * stddev_samp({b}))")
+
+    return (events.select(F.col(group_col).alias("grp"),
+                          v.alias("v"), hour.alias("h"), dow.alias("d"))
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(safe_corr("v", "h"), 4).alias("corr_value_hour"),
+                 F.round(safe_corr("v", "d"), 4).alias("corr_value_dow"))
+            .orderBy("grp"))

@@ -221,3 +221,23 @@ def test_value_histogram_constant_column(spark):
     df = spark.createDataFrame([(5.0,)] * 7, "value double")
     out = value_histogram(df, "value", bins=10).collect()
     assert len(out) == 1 and out[0].bin == 0 and out[0].n == 7
+
+
+def test_metric_correlations_detects_planted_seasonality(spark):
+    rows = []
+    eid = 0
+    for day in range(1, 8):
+        for hour in range(0, 24, 3):
+            ts = f"2026-01-{day:02d} {hour:02d}:00:00"
+            rows.append((eid, 1, "hourly", float(hour), ts))   # value == hour
+            rows.append((eid + 1, 1, "flat", 5.0, ts))
+            eid += 2
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string,"
+              " value double, ts string") \
+        .selectExpr("event_id", "user_id", "event_type", "value",
+                    "CAST(ts AS TIMESTAMP) AS ts")
+    from morra_spark.operators.diagnostics import metric_correlations
+    out = {r.grp: r for r in metric_correlations(df).collect()}
+    assert out["hourly"].corr_value_hour == 1.0
+    assert out["flat"].corr_value_hour is None  # zero variance -> NULL
