@@ -1177,6 +1177,29 @@ def q_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metric_correlations(_t(spark, sf_dir, "events"))
 
 
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive bracket predicates): OR-of-ANDs
+    over (brand, size bracket, quantity bracket) applied AFTER a
+    broadcast part join; each disjunct's part-side conjuncts still
+    prune the broadcast build side, and the lineitem quantity range
+    (union of brackets) pushes to the fact scan."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount") \
+        .filter((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30))
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    q, s, b = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    disj = (((b == "Brand#1") & (s <= 15) & (q >= 1) & (q <= 11))
+            | ((b == "Brand#2") & (s <= 25) & (q >= 10) & (q <= 20))
+            | ((b == "Brand#3") & (s <= 50) & (q >= 20) & (q <= 30)))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(part),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .filter(disj)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
+                 F.round(F.sum(rev), 2).alias("revenue")))
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1638,6 +1661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
         "corpus_drift": q_corpus_drift,
         "rolling_zscore": q_rolling_zscore,
         "keyword_search": q_keyword_search,
@@ -2266,6 +2290,19 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
               AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        """,
+        "tpch_q19": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_quantity >= 1 AND l_quantity <= 30
+              AND ((p_brand = 'Brand#1' AND p_size <= 15
+                    AND l_quantity BETWEEN 1 AND 11)
+                OR (p_brand = 'Brand#2' AND p_size <= 25
+                    AND l_quantity BETWEEN 10 AND 20)
+                OR (p_brand = 'Brand#3' AND p_size <= 50
+                    AND l_quantity BETWEEN 20 AND 30))
         """,
         "metric_correlations": """
             SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
