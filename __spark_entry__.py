@@ -1200,6 +1200,36 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(rev), 2).alias("revenue")))
 
 
+def q_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-quality rollup on the gap-sessionized stream (30 min
+    inactivity): bounce rate (1-event sessions), events/session, and
+    mean session minutes — the engagement read a product team pulls
+    daily. One window pass shared with sessionize + one session-grain
+    aggregate + one scalar rollup."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("timestamp").cast("long")
+    sess = (e.withColumn("prev_ts", F.lag(sec).over(w))
+            .withColumn("is_new",
+                        F.when(F.col("prev_ts").isNull()
+                               | ((sec - F.col("prev_ts")) > 1800),
+                               1).otherwise(0))
+            .withColumn("session_id", F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow))))
+    per = (sess.groupBy("user_id", "session_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                ((F.max(sec) - F.min(sec)) / 60.0).alias("minutes")))
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum((F.col("n_events") == 1).cast("long")).cast("long")
+        .alias("n_bounces"),
+        F.round(F.avg((F.col("n_events") == 1).cast("double")), 4)
+        .alias("bounce_rate"),
+        F.round(F.avg("n_events"), 4).alias("avg_events"),
+        F.round(F.avg("minutes"), 4).alias("avg_minutes"))
+
+
 MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "es": 0.15, "de": 0.15, "fr": 0.1}
 MIXTURE_TOKEN_BUDGET = 1_000_000_000  # 10^9 for the sf-scaled corpus
 
@@ -1677,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": q_value_histogram,
         "dedup_incremental": q_dedup_incremental,
         "metric_correlations": q_metric_correlations,
+        "session_quality": q_session_quality,
         "graph_pagerank": q_graph_pagerank,
         "percentile_metrics": q_percentile_metrics,
         "pivot_event_matrix": q_pivot_event_matrix,
@@ -2313,6 +2344,33 @@ def oracle_sql() -> dict[str, str]:
                               CAST(DAYOFWEEK(ts) + 1 AS DOUBLE)), 4)
                        AS corr_value_dow
             FROM events GROUP BY event_type ORDER BY grp
+        """,
+        "session_quality": """
+            WITH g AS (
+              SELECT user_id, event_id, ts,
+                     LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS prev_s,
+                     CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS cur_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            m AS (SELECT *, CASE WHEN prev_s IS NULL
+                                 OR cur_s - prev_s > 1800
+                                 THEN 1 ELSE 0 END AS is_new FROM g),
+            s AS (SELECT *, SUM(is_new) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS session_id
+                  FROM m),
+            per AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+                           (MAX(cur_s) - MIN(cur_s)) / 60.0 AS minutes
+                    FROM s GROUP BY user_id, session_id)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_bounces,
+                   ROUND(AVG(CASE WHEN n_events = 1 THEN 1.0
+                             ELSE 0.0 END), 4) AS bounce_rate,
+                   ROUND(AVG(n_events), 4) AS avg_events,
+                   ROUND(AVG(minutes), 4) AS avg_minutes
+            FROM per
         """,
         "corpus_drift": """
             WITH v2 AS (
