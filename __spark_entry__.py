@@ -2427,7 +2427,8 @@ def oracle_sql() -> dict[str, str]:
                               AVG(value) OVER fr AS baseline_mean,
                               STDDEV_SAMP(value) OVER fr AS baseline_sd,
                               (value - AVG(value) OVER fr)
-                                  / STDDEV_SAMP(value) OVER fr AS zscore
+                                  / NULLIF(STDDEV_SAMP(value) OVER fr, 0)
+                                  AS zscore
                        FROM events
                        WINDOW fr AS (PARTITION BY user_id
                                      ORDER BY ts, event_id

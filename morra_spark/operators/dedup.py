@@ -224,7 +224,10 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
              .agg(F.count(F.lit(1)).alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("da"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("db"), F.col("n").alias("nb"))
-    return (inter.join(F.broadcast(sa), "da").join(F.broadcast(sb), "db")
+    # sizes has one row PER DOCUMENT — corpus cardinality, never a
+    # broadcast at 100 TB (ADVICE r3). Plain co-keyed shuffle joins:
+    # the pair set (inter), not the corpus, bounds the join's output.
+    return (inter.join(sa, "da").join(sb, "db")
             .withColumn("jaccard", F.round(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
                 4))

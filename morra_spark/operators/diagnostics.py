@@ -159,7 +159,11 @@ def rolling_zscore(events: DataFrame, key_col: str = "user_id",
     # decimal repr, HALF_UP) and C/DuckDB (binary value, half-away)
     # disagree systematically; raw doubles compared at coarse precision
     # downstream never sit near a tie
-    z = (F.col(val_col) - mu) / sd
+    # nullif(sd, 0): a zero-variance lookback window (identical priors)
+    # must yield NULL, not IEEE ±Inf/NaN — matches DuckDB's division-by-
+    # zero NULL so the oracle's zscore IS NOT NULL filter agrees (ADVICE
+    # r3); a constant baseline genuinely defines no anomaly score
+    z = (F.col(val_col) - mu) / F.nullif(sd, F.lit(0.0))
     id_cols = [tiebreak_col] if tiebreak_col else []
     return (events.select(
         key_col, *id_cols, ts_col, F.col(val_col).alias("value"),

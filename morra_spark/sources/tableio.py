@@ -83,11 +83,14 @@ def merge_upsert(df: DataFrame, target: str, keys: list[str]) -> None:
         import os
         import shutil
 
-        try:
+        # 'first write' means the target genuinely does not exist —
+        # a transient read failure of an EXISTING table must propagate,
+        # or the swap below silently drops all prior rows (ADVICE r3)
+        if os.path.exists(target):
             cur = spark.read.parquet(target)
             out = cur.join(df.select(*keys).distinct(), keys, "left_anti") \
                 .unionByName(df)
-        except Exception:  # first write: nothing to merge
+        else:
             out = df
         tmp = target.rstrip("/") + "__upsert_tmp"
         out.write.mode("overwrite").parquet(tmp)

@@ -134,10 +134,19 @@ def _align_fn(state_ttl_ms: int):
             tpos = np.flatnonzero(
                 is_tool & np.array([t is not None for t in tools]))
             if tpos.size:
-                j = np.searchsorted(cpos, tpos, side="left") - 1
-                safe = cpos[np.maximum(j, 0)]
-                s = np.where(j >= 0, subjs[safe], subj)
-                sn = np.where(j >= 0, subj_nes[safe], subj_ne)
+                if cpos.size:
+                    j = np.searchsorted(cpos, tpos, side="left") - 1
+                    safe = cpos[np.maximum(j, 0)]
+                    s = np.where(j >= 0, subjs[safe], subj)
+                    sn = np.where(j >= 0, subj_nes[safe], subj_ne)
+                else:
+                    # tool-only slice (ADVICE r3 high): a conversation
+                    # whose micro-batch delivers ONLY tool turns has no
+                    # content positions to gather from — every tool turn
+                    # reads the state-carried subject from the previous
+                    # batch. The gather path would index an empty cpos.
+                    s = np.full(tpos.size, subj, dtype=object)
+                    sn = np.full(tpos.size, subj_ne, dtype=object)
                 keep = np.array([v is not None for v in s])
                 out = pd.DataFrame({
                     "conv_id": conv_id,
@@ -250,7 +259,12 @@ def backfill_tool_triples(spark: SparkSession, *, transcripts_path: str,
 
     sink = f"{out_dir}/tool_triples"
     max_prev = BACKFILL_BATCH_BASE - 1
-    try:
+    # 'no prior output' means the sink dir genuinely does not exist; a
+    # transient read failure of an EXISTING sink must propagate, or every
+    # recomputed triple is misclassified as missing and appended again,
+    # duplicating the streamed set (ADVICE r3)
+    import os
+    if os.path.exists(sink):
         prev = spark.read.parquet(sink)
         # batch_id is the partition column — max() reads directory names
         # only, FS-agnostic (works on object stores, unlike a listdir)
@@ -259,7 +273,7 @@ def backfill_tool_triples(spark: SparkSession, *, transcripts_path: str,
         have = prev.select("conv_id", "turn_idx", "pred", "obj")
         missing = want.join(have, ["conv_id", "turn_idx", "pred", "obj"],
                             "left_anti")
-    except Exception:  # no prior output: everything is missing
+    else:  # no prior output: everything is missing
         missing = want
     next_id = max_prev + 1
     missing = missing.persist()

@@ -321,3 +321,52 @@ def test_streaming_near_dedup_matches_batch_diverse_sample(spark, tmp_path):
     streamed2 = {r.doc_id for r in
                  spark.read.parquet(f"{out}/docs").select("doc_id").collect()}
     assert streamed2 == expected  # state survived the restart
+
+
+def test_stateful_tool_only_batch_uses_state_subject(spark, fixture_dir,
+                                                     model_path, tmp_path):
+    """ADVICE r3 high: a micro-batch slice holding ONLY tool turns for a
+    conversation (its subject carried in state from the previous batch)
+    crashed the vectorized aligner — the content-position gather indexed
+    an empty array. Split the transcripts so the second file carries
+    exclusively tool turns; the streamed output must equal the
+    (order-insensitive) batch aligner run on the same merged log."""
+    import time
+
+    from morra_spark.streaming.stateful import (backfill_tool_triples,
+                                                start_stateful_tool_alignment)
+
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts") \
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    early = tr.filter(F.col("turn_idx") <= 3)
+    late_tools = tr.filter((F.col("turn_idx") > 3)
+                           & (F.col("role") == "tool"))
+    # the scenario must genuinely exist: a later file of pure tool turns
+    assert late_tools.count() > 0
+    src = str(tmp_path / "toolonly_src")
+    early.coalesce(1).write.mode("overwrite").parquet(src)
+    time.sleep(1.1)  # file source orders by mod time
+    late_tools.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "toolonly_out")
+    q = start_stateful_tool_alignment(
+        spark, transcripts_path=src, out_dir=out, model_path=model_path,
+        checkpoint_location=str(tmp_path / "toolonly_ckpt"),
+        max_files_per_trigger=1, trigger_available_now=True)
+    q.awaitTermination(300)
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj",
+            "subj_ne", "obj_ne"]
+    streamed = spark.read.parquet(f"{out}/tool_triples").select(cols)
+    # cross-batch state was genuinely exercised: tool turns from the
+    # tool-only second batch emitted triples
+    assert streamed.filter(F.col("turn_idx") > 3).count() > 0
+
+    # batch twin on the same merged log (backfill with no prior output
+    # IS the batch aligner: it writes the full batch-path triple set)
+    batch_out = str(tmp_path / "toolonly_batch")
+    backfill_tool_triples(spark, transcripts_path=src, out_dir=batch_out,
+                          model_path=model_path)
+    want = spark.read.parquet(f"{batch_out}/tool_triples").select(cols)
+    assert streamed.exceptAll(want).count() == 0
+    assert want.exceptAll(streamed).count() == 0

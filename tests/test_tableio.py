@@ -51,3 +51,23 @@ def test_merge_upsert_parquet_emulation(spark, tmp_path):
 
     with pytest.raises(RuntimeError, match="Iceberg catalog"):
         merge_upsert(delta, "cat.db.triples", ["k"])
+
+
+def test_merge_upsert_existing_table_read_failure_propagates(spark, tmp_path):
+    """ADVICE r3 medium: a read failure of an EXISTING target must NOT be
+    treated as 'first write' — that path rmtree'd the target and replaced
+    it with only the new rows, silently losing all prior data. A corrupt
+    existing table now raises; the target directory is left untouched."""
+    import os
+
+    from morra_spark.sources.tableio import merge_upsert
+
+    t = str(tmp_path / "corrupt")
+    os.makedirs(t)
+    with open(f"{t}/part-00000.parquet", "wb") as f:
+        f.write(b"not a parquet footer")
+    delta = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(Exception):
+        merge_upsert(delta, t, ["k"])
+    # prior (corrupt-but-existing) data was not clobbered by the upsert
+    assert os.path.exists(f"{t}/part-00000.parquet")
