@@ -730,11 +730,20 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morra_spark.operators.components import triangle_count
     from morra_spark.operators.dedup import simhash_signatures
 
-    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # deterministic 1-in-5 subset (same rationale as dedup_editdist):
+    # every kept doc still sits in its tripled 3-clique, so triangles
+    # provably exist; the oracle's pair enumeration shrinks ~25x
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") % 5 == 0)
     d = base.unionByName(
         base.withColumn("doc_id", F.col("doc_id") + 1_000_000)).unionByName(
         base.withColumn("doc_id", F.col("doc_id") + 2_000_000))
-    sig = simhash_signatures(d, portable=True).select("doc_id", "prefix16")
+    # the signature table feeds FOUR consumers (bucket counts, both
+    # sides of the clique self-join, the node universe) — without a
+    # lineage cut each recomputes the per-word md5 aggregation from the
+    # scan: measured 26.6s -> ~5s at sf0.01 (VERDICT r3 wrong #3)
+    sig = simhash_signatures(d, portable=True).select("doc_id", "prefix16") \
+        .localCheckpoint(eager=False)
     # clique-edge generation is quadratic in bucket size — cap buckets
     # (like the n-gram df cap / diverse_sample two-phase) so a
     # degenerate near-identical corpus can't explode the edge list; the
@@ -934,7 +943,11 @@ def q_dedup_editdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morra_spark.operators.dedup import (editdist_verify,
                                              simhash_signatures)
 
-    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # deterministic 1-in-5 subset: the planted structure is per-doc, so
+    # the subset loses no semantic coverage while cutting the oracle's
+    # quadratic pair/levenshtein stages ~25x (VERDICT r3 wrong #3)
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text") \
+        .filter(F.col("doc_id") % 5 == 0)
     d = base.unionByName(
         base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
         .withColumn("text", F.concat(F.col("text"), F.lit(" x"))))
@@ -1198,6 +1211,111 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(disj)
             .agg(F.count(F.lit(1)).cast("long").alias("n_lines"),
                  F.round(F.sum(rev), 2).alias("revenue")))
+
+
+def _sql_over(spark: SparkSession, sf_dir: str, tables: list[str],
+              sql: str) -> DataFrame:
+    """Run a SQL statement over testdata tables registered as temp views.
+
+    The correlated-subquery queries below go through spark.sql ON
+    PURPOSE (SURVEY §4.2): the point is to exercise Catalyst's subquery
+    DECORRELATION (RewriteCorrelatedScalarSubquery /
+    RewritePredicateSubquery → semi/anti joins), not to hand-decorrelate
+    in the DataFrame API. test_plan_shape asserts none of them falls
+    back to BroadcastNestedLoopJoin/CartesianProduct."""
+    for t in tables:
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): correlated EXISTS over
+    the fact table — Catalyst decorrelates to a LEFT SEMI join on
+    l_orderkey = o_orderkey; the date range pushes to the orders scan.
+    (Returnflag stands in for the commit<receipt predicate: the testdata
+    lineitem carries no commit/receipt dates.)"""
+    return _sql_over(spark, sf_dir, ["orders", "lineitem"], """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept waiting): the hardest
+    decorrelation pattern — EXISTS and NOT EXISTS on the SAME fact
+    table, each correlated on l1's orderkey with an inequality on
+    suppkey. Catalyst plans one semi + one anti join, both co-keyed on
+    orderkey (no per-row re-scan). 'R' returnflag stands in for Q21's
+    receipt-after-commit lateness predicate."""
+    return _sql_over(spark, sf_dir, ["supplier", "lineitem", "orders"], """
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """)
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): HAVING over an uncorrelated
+    SCALAR subquery — the corpus-total threshold is computed once (its
+    own tiny aggregate, broadcast as a literal into the HAVING filter),
+    never per group. Lineitem value per part stands in for partsupp
+    (absent from the testdata)."""
+    return _sql_over(spark, sf_dir, ["lineitem", "supplier", "nation"], """
+        SELECT l_partkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS value
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+        HAVING SUM(l_extendedprice * (1 - l_discount)) >
+               (SELECT SUM(l_extendedprice * (1 - l_discount)) * 0.002
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_3')
+        ORDER BY value DESC, l_partkey
+    """)
+
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): scalar subquery
+    (above-average account balance) + anti-joined NOT EXISTS (customers
+    who never placed a large order), grouped by nation (standing in for the phone
+    country code the testdata lacks). The NOT EXISTS form is chosen over
+    NOT IN deliberately: NOT IN's three-valued NULL semantics turn the
+    whole predicate UNKNOWN on one NULL key — the classic silent-empty-
+    result trap — while NOT EXISTS anti-joins per row."""
+    return _sql_over(spark, sf_dir, ["customer", "orders"], """
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_totalprice > 300000.0)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """)
 
 
 def q_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1627,7 +1745,73 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # DICT ORDER IS LOAD-BEARING (VERDICT r3 #1): the driver's
+    # correctness gate checks the FIRST 50 entries only. The window
+    # below therefore holds, in priority order: (a) queries new this
+    # round, (b) every oracled query with no driver-green record in any
+    # prior round's CORRECTNESS_r*.json, (c) refreshes of r2-green
+    # entries that round 3's insertions evicted from the window. Entries
+    # AFTER the window all carry a driver-green (or by-design rows-only)
+    # record from r1-r3. test_contract.py pins the window membership so
+    # an insertion can't silently evict entries again.
     return {
+        # --- driver window (first 50) -----------------------------
+        # (a) new this round: correlated-subquery tier (SURVEY §4.2)
+        "tpch_q4": q_tpch_q4,
+        "tpch_q21": q_tpch_q21,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q22": q_tpch_q22,
+        # (b) oracled, never driver-checked before round 4
+        "graph_triangles": q_graph_triangles,
+        "quality_tiers": q_quality_tiers,
+        "weighted_sample": q_weighted_sample,
+        "embedding_centroids": q_embedding_centroids,
+        "skew_report": q_skew_report,
+        "cohort_retention": q_cohort_retention,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "tpch_q7": q_tpch_q7,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q19": q_tpch_q19,
+        "corpus_drift": q_corpus_drift,
+        "rolling_zscore": q_rolling_zscore,
+        "keyword_search": q_keyword_search,
+        "dedup_editdist": q_dedup_editdist,
+        "dedup_normalized": q_dedup_normalized,
+        "event_paths": q_event_paths,
+        "vocab_encode": q_vocab_encode,
+        "corpus_datasheet": q_corpus_datasheet,
+        "pmi_collocations": q_pmi_collocations,
+        "ab_metric_test": q_ab_metric_test,
+        "rolling_active_users": q_rolling_active_users,
+        "funnel_latency": q_funnel_latency,
+        "value_histogram": q_value_histogram,
+        "dedup_incremental": q_dedup_incremental,
+        "metric_correlations": q_metric_correlations,
+        "session_quality": q_session_quality,
+        "graph_pagerank": q_graph_pagerank,
+        "percentile_metrics": q_percentile_metrics,
+        "pivot_event_matrix": q_pivot_event_matrix,
+        "scd2_intervals": q_scd2_intervals,
+        "dedup_cluster": q_dedup_cluster,
+        "dedup_cluster_survivors": q_dedup_cluster_survivors,
+        "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        # (c) r2-green entries evicted from round 3's window, refreshed
+        "dedup_exact": q_dedup_exact,
+        "dedup_exact_keep": q_dedup_exact_keep,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "langid_heuristic": q_langid_heuristic,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "doc_fingerprint": q_doc_fingerprint,
+        # --- end of driver window ---------------------------------
+        # everything below is driver-green in CORRECTNESS_r01-r03 ...
+        "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
         "hash_agg": q_hash_agg,
         "broadcast_join_dim": q_broadcast_join_dim,
         "sortmerge_join": q_sortmerge_join,
@@ -1678,62 +1862,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "char_entropy": q_char_entropy,
         "snapshot_diff": q_snapshot_diff,
-        "graph_triangles": q_graph_triangles,
-        "quality_tiers": q_quality_tiers,
-        "weighted_sample": q_weighted_sample,
-        "embedding_centroids": q_embedding_centroids,
-        "skew_report": q_skew_report,
-        "cohort_retention": q_cohort_retention,
-        "tpch_q1": q_tpch_q1,
-        "tpch_q3": q_tpch_q3,
-        "tpch_q5": q_tpch_q5,
-        "tpch_q7": q_tpch_q7,
-        "tpch_q10": q_tpch_q10,
-        "tpch_q12": q_tpch_q12,
-        "tpch_q14": q_tpch_q14,
-        "tpch_q19": q_tpch_q19,
-        "corpus_drift": q_corpus_drift,
-        "rolling_zscore": q_rolling_zscore,
-        "keyword_search": q_keyword_search,
-        "dedup_editdist": q_dedup_editdist,
-        "dedup_normalized": q_dedup_normalized,
-        "event_paths": q_event_paths,
-        "vocab_encode": q_vocab_encode,
-        "corpus_datasheet": q_corpus_datasheet,
-        "pmi_collocations": q_pmi_collocations,
-        "ab_metric_test": q_ab_metric_test,
-        "rolling_active_users": q_rolling_active_users,
-        "funnel_latency": q_funnel_latency,
-        "value_histogram": q_value_histogram,
-        "dedup_incremental": q_dedup_incremental,
-        "metric_correlations": q_metric_correlations,
-        "session_quality": q_session_quality,
-        "graph_pagerank": q_graph_pagerank,
-        "percentile_metrics": q_percentile_metrics,
-        "pivot_event_matrix": q_pivot_event_matrix,
-        "scd2_intervals": q_scd2_intervals,
-        "dedup_exact": q_dedup_exact,
-        "dedup_exact_keep": q_dedup_exact_keep,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_cluster": q_dedup_cluster,
-        "dedup_cluster_survivors": q_dedup_cluster_survivors,
-        "ann_cosine_topk": q_ann_cosine_topk,
-        "embedding_near_dup": q_embedding_near_dup,  # oracled since r2
-        "langid_heuristic": q_langid_heuristic,
-        # oracled via the portable md5 hash family (since r2):
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "doc_fingerprint": q_doc_fingerprint,
-        # rows-only (no oracle entry — perceptron decode, Spark-hash
-        # fast paths, float hyperplane LSH, stub media decode):
+        # rows-only (no oracle entry -- perceptron decode, Spark-hash
+        # fast paths, float hyperplane LSH, stub media decode); driver
+        # rows>0 records exist from r1-r3
         "kg_annotate_documents": q_kg_annotate_documents,
         "kg_flagship_triples": q_kg_flagship_triples,
         "kg_mention_spans": q_kg_mention_spans,
         "kg_text_fidelity": q_kg_text_fidelity,
         "dedup_minhash_lsh_fast": q_dedup_minhash_lsh_fast,
-        "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
         "multimodal_phash_dedup": q_multimodal_phash_dedup,
         "multimodal_audio_features": q_multimodal_audio_features,
     }
@@ -2335,6 +2472,62 @@ def oracle_sql() -> dict[str, str]:
                 OR (p_brand = 'Brand#3' AND p_size <= 50
                     AND l_quantity BETWEEN 20 AND 30))
         """,
+        "tpch_q4": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "tpch_q21": """
+            SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+        """,
+        "tpch_q11": """
+            SELECT l_partkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS value
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+            HAVING SUM(l_extendedprice * (1 - l_discount)) >
+                   (SELECT SUM(l_extendedprice * (1 - l_discount)) * 0.002
+                    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_3')
+            ORDER BY value DESC, l_partkey
+        """,
+        "tpch_q22": """
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_totalprice > 300000.0)
+            GROUP BY c_nationkey
+            ORDER BY c_nationkey
+        """,
         "metric_correlations": """
             SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
                    ROUND(CORR(CAST(value AS DOUBLE),
@@ -2458,9 +2651,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_editdist": """
             WITH u AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 5 = 0
                        UNION ALL
                        SELECT doc_id + 1000000, text || ' x'
-                       FROM documents),
+                       FROM documents WHERE doc_id % 5 = 0),
             wd AS (SELECT doc_id,
                           UNNEST(LIST_DISTINCT(
                               STRING_SPLIT(TRIM(text), ' '))) AS word
@@ -2675,10 +2869,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_triangles": """
             WITH u AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id % 5 = 0
                        UNION ALL
                        SELECT doc_id + 1000000, text FROM documents
+                       WHERE doc_id % 5 = 0
                        UNION ALL
-                       SELECT doc_id + 2000000, text FROM documents),
+                       SELECT doc_id + 2000000, text FROM documents
+                       WHERE doc_id % 5 = 0),
             wd AS (SELECT doc_id,
                           UNNEST(LIST_DISTINCT(
                               STRING_SPLIT(TRIM(text), ' '))) AS word

@@ -42,3 +42,41 @@ def test_rows_only_set_is_exactly_the_declared_one():
     }
     actual = set(E.queries()) - set(E.oracle_sql())
     assert actual == declared_rows_only, actual
+
+
+def test_driver_window_holds_the_intended_first_50():
+    """VERDICT r3 #1/#2: the driver's correctness gate checks the FIRST
+    50 queries() entries only. Round 3 inserted new queries mid-dict and
+    silently evicted 10 previously driver-validated entries from the
+    window. Pin the round-4 window membership explicitly so an insertion
+    that changes which queries get driver-checked fails HERE, loudly,
+    instead of silently rotating coverage."""
+    window = list(E.queries())[:50]
+    expected = {
+        # (a) new in round 4: correlated-subquery tier (SURVEY §4.2)
+        "tpch_q4", "tpch_q21", "tpch_q11", "tpch_q22",
+        # (b) oracled, never driver-checked in rounds 1-3
+        "graph_triangles", "quality_tiers", "weighted_sample",
+        "embedding_centroids", "skew_report", "cohort_retention",
+        "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q7", "tpch_q10",
+        "tpch_q12", "tpch_q14", "tpch_q19", "corpus_drift",
+        "rolling_zscore", "keyword_search", "dedup_editdist",
+        "dedup_normalized", "event_paths", "vocab_encode",
+        "corpus_datasheet", "pmi_collocations", "ab_metric_test",
+        "rolling_active_users", "funnel_latency", "value_histogram",
+        "dedup_incremental", "metric_correlations", "session_quality",
+        "graph_pagerank", "percentile_metrics", "pivot_event_matrix",
+        "scd2_intervals", "dedup_cluster", "dedup_cluster_survivors",
+        "ann_lsh_bucketed",
+        # (c) r2-green entries round 3 evicted, refreshed this round
+        "dedup_exact", "dedup_exact_keep", "dedup_ngram_jaccard",
+        "ann_cosine_topk", "embedding_near_dup", "langid_heuristic",
+        "dedup_minhash_lsh", "dedup_simhash", "doc_fingerprint",
+    }
+    assert len(expected) == 50
+    assert set(window) == expected, (
+        sorted(set(window) - expected), sorted(expected - set(window)))
+    # every window entry must be oracled (full rows+schema+hash check);
+    # rows-only entries would waste a window slot on a weaker check
+    o = set(E.oracle_sql())
+    assert all(k in o for k in window)

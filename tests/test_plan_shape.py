@@ -388,3 +388,26 @@ def test_normalized_dedup_shuffles_keys_not_bodies(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, plan
+
+
+def test_correlated_subqueries_decorrelate_to_hash_joins(spark):
+    """SURVEY §4.2's decorrelation row, exercised for real (VERDICT r3
+    missing #3): the four correlated-subquery queries (EXISTS, double
+    NOT-EXISTS with inequality correlation, scalar-subquery HAVING,
+    scalar + NOT EXISTS) must all decorrelate to hash semi/anti joins —
+    a BroadcastNestedLoopJoin or CartesianProduct means Catalyst fell
+    back to per-row re-evaluation, which is quadratic at scale."""
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name in ("tpch_q4", "tpch_q21", "tpch_q11", "tpch_q22"):
+        plan = _spark_plan(E.queries()[name](spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+        if name == "tpch_q11":
+            # uncorrelated scalar subquery: planned once as its own
+            # subquery stage feeding the HAVING filter, never per group
+            assert "Subquery" in plan or "subquery" in plan, (name, plan)
+        else:
+            # the correlation must survive as a real join, not a filter
+            assert ("LeftSemi" in plan or "LeftAnti" in plan), (name, plan)
