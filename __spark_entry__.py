@@ -743,7 +743,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineage cut each recomputes the per-word md5 aggregation from the
     # scan: measured 26.6s -> ~5s at sf0.01 (VERDICT r3 wrong #3)
     sig = simhash_signatures(d, portable=True).select("doc_id", "prefix16") \
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)  # eager: see ngram_jaccard_pairs
     # clique-edge generation is quadratic in bucket size — cap buckets
     # (like the n-gram df cap / diverse_sample two-phase) so a
     # degenerate near-identical corpus can't explode the edge list; the

@@ -61,6 +61,101 @@ def ensure_transcripts(spark, n_convs: int) -> str:
     return path
 
 
+_TIMED_SEQ = [0]
+_JVM_LOG = {"path": None}
+
+
+def capture_jvm_stderr() -> None:
+    """Route fd 2 into a logfile BEFORE the JVM launches.
+
+    The local-mode JVM inherits the Python process's fd 2 at launch, so
+    everything log4j prints (including the 'ERROR DAGScheduler: Failed
+    to update accumulator' lines that corrupted BENCH_r03's
+    salted_skew_join sample WITHOUT failing any task) lands in a file
+    ``timed_clean`` can scan per measurement window. Python's own
+    stderr is immediately restored onto a saved dup — only the JVM
+    keeps the logfile fd."""
+    if _JVM_LOG["path"] is not None:
+        return
+    path = f"{BENCH_CACHE}/jvm_stderr_{os.getpid()}.log"
+    os.makedirs(BENCH_CACHE, exist_ok=True)
+    saved = os.dup(2)
+    fd = os.open(path, os.O_CREAT | os.O_WRONLY | os.O_TRUNC)
+    os.dup2(fd, 2)
+    os.close(fd)
+    _JVM_LOG["path"] = path
+    _JVM_LOG["restore"] = saved
+
+
+def restore_python_stderr() -> None:
+    """Give Python back its real stderr (call right after JVM launch)."""
+    saved = _JVM_LOG.pop("restore", None)
+    if saved is not None:
+        sys.stderr.flush()
+        os.dup2(saved, 2)
+        os.close(saved)
+
+
+def _jvm_log_errors_since(offset: int) -> tuple[int, int]:
+    """(n_error_lines, new_offset) for the JVM log region past offset."""
+    path = _JVM_LOG["path"]
+    if path is None or not os.path.exists(path):
+        return 0, 0
+    with open(path, "rb") as f:
+        f.seek(offset)
+        chunk = f.read()
+    return chunk.count(b" ERROR "), offset + len(chunk)
+
+
+def timed_clean(spark, fn, label: str, max_retries: int = 2):
+    """Time ``fn()`` and verify the measurement window was CLEAN.
+
+    VERDICT r3 wrong #1: BENCH_r03 published salted_skew_join at 13.5s
+    (real: ~1.4s) because task retries / accumulator-update failures
+    landed inside the timed window and nobody noticed. Every timed run
+    now executes under its own job group; afterwards the status tracker
+    is asked for failed tasks and stage re-attempts across that group's
+    jobs. A dirty window is re-run (up to ``max_retries``); if it never
+    comes clean the measurement is still returned but flagged, so the
+    emitted JSON carries the taint instead of silently recording an
+    artifact.
+
+    Returns (seconds, result_of_fn, clean: bool).
+    """
+    sc = spark.sparkContext
+    log_off = _jvm_log_errors_since(0)[1]  # skip pre-existing log content
+    for attempt in range(max_retries + 1):
+        _TIMED_SEQ[0] += 1
+        group = f"bench_timed_{_TIMED_SEQ[0]}"
+        sc.setJobGroup(group, f"bench timed run: {label}")
+        try:
+            t0 = time.time()
+            out = fn()
+            sec = time.time() - t0
+        finally:
+            sc.setJobGroup(None, None)
+        tracker = sc.statusTracker()
+        failed_tasks = stage_retries = 0
+        for jid in tracker.getJobIdsForGroup(group):
+            ji = tracker.getJobInfo(jid)
+            if ji is None:
+                continue
+            for sid in ji.stageIds:
+                si = tracker.getStageInfo(sid)
+                if si is None:
+                    continue
+                failed_tasks += si.numFailedTasks
+                stage_retries += si.currentAttemptId
+        n_errors, log_off = _jvm_log_errors_since(log_off)
+        if failed_tasks == 0 and stage_retries == 0 and n_errors == 0:
+            return sec, out, True
+        print(f"bench: DIRTY window for {label} (attempt {attempt}: "
+              f"{failed_tasks} failed tasks, {stage_retries} stage "
+              f"re-attempts, {n_errors} JVM ERROR lines) — re-running",
+              file=sys.stderr)
+    return sec, out, False
+
+
 def run_flagship(spark, transcripts_path: str) -> tuple[float, int]:
     """Timed: scan → fused Arrow annotate → link → canonical triple agg."""
     from pyspark.sql import functions as F
@@ -74,17 +169,20 @@ def run_flagship(spark, transcripts_path: str) -> tuple[float, int]:
     model = KGModel.load(MODEL_PATH)
     bc = spark.sparkContext.broadcast(model)
     src = load_transcripts(spark, transcripts_path)
-    t0 = time.time()
-    content = src.filter(F.col("role") != "tool")
-    ann = CK.add_part_key(extract_turn_triples(content, bc), 64)
-    triples = extract_triples_with_tools(
-        ann, entity_candidates_df(spark, model), src, 64)
-    n = triples.count()
-    sec = time.time() - t0
-    # the annotate cache backing the two-branch union is per-run state:
-    # drop it so repeated timed runs measure from cold each time
-    spark.catalog.clearCache()
-    return sec, n
+
+    def one_run() -> int:
+        content = src.filter(F.col("role") != "tool")
+        ann = CK.add_part_key(extract_turn_triples(content, bc), 64)
+        triples = extract_triples_with_tools(
+            ann, entity_candidates_df(spark, model), src, 64)
+        n = triples.count()
+        # the annotate cache backing the two-branch union is per-run
+        # state: drop it so repeated timed runs measure from cold
+        spark.catalog.clearCache()
+        return n
+
+    sec, n, clean = timed_clean(spark, one_run, "kg_flagship")
+    return sec, n, clean
 
 
 def micro_queries(spark, sf_dir: str) -> dict[str, float]:
@@ -102,6 +200,7 @@ def micro_queries(spark, sf_dir: str) -> dict[str, float]:
              "tpch_q5"]
     qs = E.queries()
     out: dict[str, float] = {}
+    tainted: list[str] = []
     for name in names:
         best = float("inf")
         # 1 untimed warmup + best-of-2 timed: the first execution of each
@@ -109,13 +208,25 @@ def micro_queries(spark, sf_dir: str) -> dict[str, float]:
         # (measured 8.5s cold vs 1.2s warm for broadcast_join_dim) that a
         # long-running 100 TB job amortizes to zero — steady state is the
         # scale-relevant signal.
-        for rep in range(3):
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            if rep > 0:
-                best = min(best, time.time() - t0)
+        def run_one(name=name):
+            qs[name](spark, sf_dir).write.format("noop") \
+                .mode("overwrite").save()
+
+        run_one()  # warmup, untimed
+        any_clean = False
+        for _rep in range(2):
+            sec, _none, clean = timed_clean(spark, run_one, name)
+            if clean:
+                best = min(best, sec)
+                any_clean = True
+        if not any_clean:
+            # no clean window in 2x(1+retries) attempts: record the
+            # last measurement but flag it — never publish silently
+            best = sec
+            tainted.append(name)
         out[name] = round(best, 3)
+    if tainted:
+        out["_tainted"] = tainted  # surfaced into the JSON line
     return out
 
 
@@ -145,11 +256,16 @@ def bench_once(cpus: int, sf_dir: str, n_convs: int, micro: bool = True,
     # skew is handled by explicit salting, joins are forced broadcasts.
     # Production keeps AQE on (session default) as the skew-join backstop
     # for ad-hoc relational work.
-    spark = get_spark(f"bench_{cpus}", master=master or f"local[{cpus}]",
-                      shuffle_partitions=cpus,
-                      extra_conf={"spark.sql.adaptive.enabled": "false",
-                                  "spark.sql.files.maxPartitionBytes": str(mpb),
-                                  "spark.sql.files.openCostInBytes": "131072"})
+    capture_jvm_stderr()  # JVM inherits fd 2 at launch -> scannable log
+    try:
+        spark = get_spark(
+            f"bench_{cpus}", master=master or f"local[{cpus}]",
+            shuffle_partitions=cpus,
+            extra_conf={"spark.sql.adaptive.enabled": "false",
+                        "spark.sql.files.maxPartitionBytes": str(mpb),
+                        "spark.sql.files.openCostInBytes": "131072"})
+    finally:
+        restore_python_stderr()
     if master and "local-cluster" in master:
         # separate executor JVMs -> their Python workers need the package
         # shipped, exactly like a real cluster (spark-submit --py-files)
@@ -160,16 +276,22 @@ def bench_once(cpus: int, sf_dir: str, n_convs: int, micro: bool = True,
         tr = ensure_transcripts(spark, n_convs)
         n_turns = spark.read.parquet(tr).count()
         # warm the JVM/Python-worker pool so the timed run measures steady
-        # state, not interpreter startup; report best-of-2 to damp GC noise
+        # state, not interpreter startup; report best-of-3 CLEAN runs to
+        # damp GC noise (dirty windows are re-run inside timed_clean)
         run_flagship(spark, tr)
-        sec, n_triples = run_flagship(spark, tr)
+        sec, n_triples, flagship_clean = run_flagship(spark, tr)
         for _ in range(2):  # best-of-3: the sandbox VM shows high variance
-            s2, _n = run_flagship(spark, tr)
-            sec = min(sec, s2)
+            s2, _n, c2 = run_flagship(spark, tr)
+            if c2 and not flagship_clean:
+                sec, flagship_clean = s2, True  # first clean sample wins
+            elif c2 == flagship_clean:
+                sec = min(sec, s2)
         res = {"flagship_sec": round(sec, 3), "n_triples": n_triples,
                "n_turns": n_turns,
                "turns_per_sec": round(n_turns / sec, 1),
                "triples_per_sec": round(n_triples / sec, 1)}
+        if not flagship_clean:
+            res["flagship_tainted"] = True
         if micro:
             res["queries"] = micro_queries(spark, sf_dir)
         return res
@@ -334,10 +456,18 @@ def main() -> None:
 
     res = bench_once(cpus, sf_dir, args.convs, micro=True)
     queries = dict(res.pop("queries"))
+    tainted = list(queries.pop("_tainted", []))
+    if res.pop("flagship_tainted", False):
+        tainted.append("kg_flagship")
     queries["kg_flagship"] = res["flagship_sec"]
     total = round(sum(queries.values()), 3)
     out = {"metric": "e2e_bench", "value": total, "unit": "sec",
            "queries": queries, "sf": sf, **res}
+    if tainted:
+        # a query that never produced a failure-free window: its number
+        # is a known-bad sample (task retries inside the timing), not a
+        # regression — recorded loudly instead of standing as official
+        out["tainted"] = tainted
     print(json.dumps(out))
 
 

@@ -205,8 +205,17 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
     The LSH-pruned alternative (exact scores for MinHash candidates
     only) is ``verify_lsh_candidates``.
     """
+    # eager=True, deliberately: a LAZY checkpoint here materializes only
+    # after this function returns, when `raw`'s Python wrapper is gone —
+    # py4j detaches its JVM Dataset, the SQL-metric accumulators (weakly
+    # held in AccumulatorContext) get GC'd, and every task of the
+    # materializing job logs "ERROR DAGScheduler: Failed to update
+    # accumulator (Unknown class)" — the noise that polluted BENCH_r03's
+    # timing windows. Eager materialization runs while the wrapper is
+    # alive; downstream reads hit cached blocks, no stale-accumulator
+    # updates. Same total work (the scan ran exactly once either way).
     raw = _word_shingles(docs, n=n) \
-        .localCheckpoint(eager=False)  # reused by cap + lists branches
+        .localCheckpoint(eager=True)  # reused by cap + lists branches
     keep = (raw.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") <= df_cap).select("tri"))
     lists = (raw.join(keep, "tri", "left_semi")
