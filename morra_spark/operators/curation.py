@@ -389,7 +389,8 @@ def bpe_merge_pairs(docs: DataFrame, top_k: int = 20) -> DataFrame:
             .select("pair", F.col("n").cast("long").alias("n")))
 
 
-def adaptive_length_bounds(docs: DataFrame) -> DataFrame:
+def adaptive_length_bounds(docs: DataFrame,
+                           approx: bool = False) -> DataFrame:
     """Per-language adaptive length filter: exact interpolated p05/p95
     of the whitespace-token count per ``lang``, joined back (broadcast —
     languages are few) to flag outlier docs. The data-driven version of
@@ -398,19 +399,20 @@ def adaptive_length_bounds(docs: DataFrame) -> DataFrame:
     English-calibrated bound.
 
     Exact ``percentile`` (same linear interpolation as DuckDB
-    ``quantile_cont``) is the oracle-checkable form; at 100 TB swap in
-    ``approx_percentile(..., accuracy)`` — same plan shape, the per-lang
-    sort becomes a mergeable sketch. Bounds are rounded to 4 dp in BOTH
-    engines before the keep comparison, so the decision replays
-    bit-for-bit.
+    ``quantile_cont``) is the oracle-checkable form; ``approx=True`` IS
+    the 100 TB swap — ``approx_percentile(..., accuracy=10000)``, same
+    plan shape, the per-lang sort becomes a mergeable sketch
+    (parity with the exact form is pinned by ``test_approx_swaps``).
+    Bounds are rounded to 4 dp in BOTH engines before the keep
+    comparison, so the decision replays bit-for-bit.
     """
     n_tok = ws_token_count()
     toks = docs.select("doc_id", "lang", n_tok.alias("n_tokens"))
+    pctile = ("approx_percentile(n_tokens, {p}, 10000)" if approx
+              else "percentile(n_tokens, {p})")
     bounds = (toks.groupBy("lang")
-              .agg(F.round(F.expr("percentile(n_tokens, 0.05)"), 4)
-                   .alias("lo"),
-                   F.round(F.expr("percentile(n_tokens, 0.95)"), 4)
-                   .alias("hi")))
+              .agg(F.round(F.expr(pctile.format(p=0.05)), 4).alias("lo"),
+                   F.round(F.expr(pctile.format(p=0.95)), 4).alias("hi")))
     return (toks.join(F.broadcast(bounds), "lang")
             .withColumn("keep", (F.col("n_tokens") >= F.col("lo"))
                         & (F.col("n_tokens") <= F.col("hi")))
@@ -497,6 +499,38 @@ def quality_tiers(docs: DataFrame, tiers: int = 10) -> DataFrame:
         F.asc("bits_per_token"), F.asc("doc_id"))
     return (scored.withColumn("tier", F.ntile(tiers).over(w))
             .select("doc_id", "lang", "bits_per_token", "tier"))
+
+
+def quality_tiers_approx(docs: DataFrame, tiers: int = 10,
+                         accuracy: int = 10000) -> DataFrame:
+    """The 100 TB swap ``quality_tiers`` documents: approx_percentile
+    tier BOUNDARIES (mergeable sketch, one partial-aggregating groupBy
+    per lang — no per-lang global sort) + a map-only bin lookup.
+
+    Same output contract as the exact NTILE form: (doc_id, lang,
+    bits_per_token, tier). Tier = 1 + number of boundaries strictly
+    below the score; ties inside a sketch cell can land a doc one tier
+    off the exact NTILE assignment (and NTILE's equal-bucket-size
+    rounding differs from quantile binning at duplicate scores), which
+    is exactly the tolerance ``test_approx_swaps`` pins. The sketch's
+    error bound is 1/accuracy of the rank, so misassignments concentrate
+    at tier boundaries only.
+    """
+    scored = unigram_lm_score(docs.select("doc_id", "text")) \
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    probs = ", ".join(str(i / tiers) for i in range(1, tiers))
+    bounds = (scored.groupBy("lang")
+              .agg(F.expr(f"approx_percentile(bits_per_token, "
+                          f"array({probs}), {accuracy})").alias("bs")))
+    # boundaries are per-lang tiny arrays -> broadcast; the corpus-side
+    # pass stays map-only (aggregate over the 9-element array per row)
+    tier = (F.aggregate(
+        "bs", F.lit(1),
+        lambda acc, b: acc + F.when(F.col("bits_per_token") > b, 1)
+        .otherwise(0)))
+    return (scored.join(F.broadcast(bounds), "lang")
+            .select("doc_id", "lang", "bits_per_token",
+                    tier.cast("int").alias("tier")))
 
 
 def weighted_sample(docs: DataFrame, k: int, weight: Column) -> DataFrame:
