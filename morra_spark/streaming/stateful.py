@@ -315,3 +315,71 @@ def start_stateful_tool_alignment(spark: SparkSession, *,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_stream_tool_triples(content_stream: DataFrame,
+                               tool_stream: DataFrame, model_bc,
+                               delay: str = "10 minutes",
+                               lookback: str = "1 hour") -> DataFrame:
+    """STREAM-STREAM JOIN tier (VERDICT r3 next #6): tool turns arriving
+    on a SEPARATE stream from content turns — two independent sources
+    (e.g. an agent-events topic and a transcript topic) joined inside
+    the watermark, the one Structured-Streaming operator class the
+    single-interleaved-stream aligner (``aligned_tool_triples``) does
+    not cover.
+
+    Plan shape: content turns are annotated once (same mapInPandas
+    cascade) and watermarked; the tool stream is watermarked
+    independently; an INNER stream-stream join on conv_id with the
+    time-range condition ``tool.ts - lookback <= content.ts <= tool.ts``
+    (plus ``content.turn_idx < tool.turn_idx``) bounds BOTH sides' join
+    state — Spark evicts content rows once the tool-side watermark
+    passes ``content.ts + lookback``. Because several content turns can
+    precede one tool turn, a chained streaming aggregation (second
+    stateful operator; Spark >= 3.5 watermark propagation) picks the
+    NEAREST preceding content turn per tool turn via ``max_by`` over
+    turn_idx, windowed on the tool turn's own event time so append mode
+    can finalize each group. A nearest content turn that carried no
+    subject is a blocker (emits nothing) — identical semantics to the
+    batch aligner and the keyed-state form.
+
+    Semantics contract (test-asserted): for tool turns whose invoking
+    content turn lies within ``lookback``, the emitted triples equal the
+    batch aligner's on the merged log. A content turn older than
+    ``lookback`` is out of join state by construction — the documented
+    trade every stream-stream join makes; the recovery path for dropped
+    history is ``backfill_tool_triples``, same as the keyed-state form.
+    """
+    c = (turns_with_align_subject(content_stream, model_bc)
+         .filter(F.col("role") != "tool")
+         .select(F.col("conv_id").alias("c_conv"),
+                 F.col("turn_idx").alias("c_idx"),
+                 "subj", "subj_ne", F.col("ts").alias("c_ts"))
+         .withWatermark("c_ts", delay))
+    t = (tool_stream
+         .filter((F.col("role") == "tool") & F.col("tool").isNotNull())
+         .select("conv_id", "turn_idx", "tool", "ts")
+         .withWatermark("ts", delay))
+    # the JOIN condition carries ONLY the equi-key and the two event-time
+    # range conjuncts: StreamingJoinHelper derives its state-eviction
+    # watermark constraint from the time conditions, and an extra
+    # non-time conjunct (c_idx < turn_idx) in the ON clause makes the
+    # extraction fail with a logged error — state would then only be
+    # bounded by one side. The ordering conjunct is an inner-join-
+    # equivalent post-join filter instead.
+    joined = t.join(
+        c,
+        (F.col("conv_id") == F.col("c_conv"))
+        & (F.col("c_ts") <= F.col("ts"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr(f"INTERVAL {lookback}")),
+        "inner").filter(F.col("c_idx") < F.col("turn_idx"))
+    return (joined
+            .groupBy(F.window("ts", "1 second").alias("w"),
+                     "conv_id", "turn_idx", "tool")
+            .agg(F.expr("max_by(subj, c_idx)").alias("subj"),
+                 F.expr("max_by(subj_ne, c_idx)").alias("subj_ne"))
+            .filter(F.col("subj").isNotNull())  # blocker suppression
+            .select("conv_id", "turn_idx", "subj",
+                    F.lit(TOOL_PRED).alias("pred"),
+                    F.col("tool").alias("obj"),
+                    "subj_ne", F.lit("Tool").alias("obj_ne")))

@@ -370,3 +370,79 @@ def test_stateful_tool_only_batch_uses_state_subject(spark, fixture_dir,
     want = spark.read.parquet(f"{batch_out}/tool_triples").select(cols)
     assert streamed.exceptAll(want).count() == 0
     assert want.exceptAll(streamed).count() == 0
+
+
+def test_stream_stream_tool_join_matches_batch(spark, fixture_dir,
+                                               model_path, tmp_path):
+    """Stream-stream join tier (VERDICT r3 next #6): tool turns arrive
+    on a SEPARATE file stream from content turns; the watermarked
+    two-stream join + chained nearest-preceding aggregation must emit
+    the same used_tool triples as the batch aligner on the merged log."""
+    import time
+
+    from morra_spark.model_artifact import KGModel
+    from morra_spark.streaming.incremental import read_transcript_stream
+    from morra_spark.streaming.stateful import (backfill_tool_triples,
+                                                stream_stream_tool_triples)
+
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts") \
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    content = tr.filter(F.col("role") != "tool")
+    tools = tr.filter(F.col("role") == "tool")
+    assert tools.count() > 0
+    c_src = str(tmp_path / "content_src")
+    t_src = str(tmp_path / "tool_src")
+    # each side split across two files so the join matches across
+    # micro-batches, exercising both sides' join state
+    content.filter(F.col("turn_idx") <= 3).coalesce(1) \
+        .write.mode("overwrite").parquet(c_src)
+    time.sleep(1.1)
+    content.filter(F.col("turn_idx") > 3).coalesce(1) \
+        .write.mode("append").parquet(c_src)
+    tools.coalesce(1).write.mode("overwrite").parquet(t_src)
+    # watermark-tail flush: windows inside the last `delay` of event time
+    # never finalize without a later event (inherent to every watermarked
+    # append-mode pipeline, not this operator). Ship one sentinel row per
+    # stream 2h past max ts — far outside `lookback`, so it can match
+    # nothing and emit nothing, but it advances both watermarks so every
+    # real window finalizes under availableNow.
+    time.sleep(1.1)
+    flush = F.expr("max_ts + INTERVAL 2 HOURS")
+    mx = tr.agg(F.max("ts").alias("max_ts"))
+    mx.select(F.lit("__flush__").alias("conv_id"),
+              F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+              F.lit("").alias("text"),
+              F.lit(None).cast("string").alias("tool"),
+              flush.alias("ts")) \
+        .coalesce(1).write.mode("append").parquet(c_src)
+    mx.select(F.lit("__flush__").alias("conv_id"),
+              F.lit(0).alias("turn_idx"), F.lit("tool").alias("role"),
+              F.lit("").alias("text"), F.lit("flush").alias("tool"),
+              flush.alias("ts")) \
+        .coalesce(1).write.mode("append").parquet(t_src)
+
+    model = KGModel.load(model_path)
+    bc = spark.sparkContext.broadcast(model)
+    out = stream_stream_tool_triples(
+        read_transcript_stream(spark, c_src, max_files_per_trigger=1),
+        read_transcript_stream(spark, t_src, max_files_per_trigger=1),
+        bc)
+    q = (out.writeStream.format("memory").queryName("ss_tool")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    streamed = spark.sql("select * from ss_tool")
+
+    # batch twin on the merged log (backfill with no prior output writes
+    # the full batch-path tool-triple set)
+    batch_out = str(tmp_path / "ss_batch")
+    src_all = str(tmp_path / "ss_all")
+    tr.coalesce(2).write.mode("overwrite").parquet(src_all)
+    backfill_tool_triples(spark, transcripts_path=src_all,
+                          out_dir=batch_out, model_path=model_path)
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj",
+            "subj_ne", "obj_ne"]
+    want = spark.read.parquet(f"{batch_out}/tool_triples").select(cols)
+    got = streamed.select(cols)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == want.count() > 0
