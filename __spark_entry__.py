@@ -1318,6 +1318,60 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): CORRELATED SCALAR
+    AGGREGATE subquery — the classic per-group threshold (quantity below
+    half this part's average). Catalyst decorrelates it to an aggregate
+    over lineitem grouped by partkey joined back on the correlation key;
+    the naive plan re-scans lineitem per outer row."""
+    return _sql_over(spark, sf_dir, ["lineitem", "part"], """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                            FROM lineitem l2
+                            WHERE l2.l_partkey = p_partkey)
+    """)
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): IN over an AGGREGATED
+    subquery with HAVING — decorrelates to a semi join against the
+    grouped fact table; the big orderkey co-key join chain stays the
+    only large exchange."""
+    return _sql_over(spark, sf_dir,
+                     ["customer", "orders", "lineitem"], """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING SUM(l_quantity) > 300)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 20
+    """)
+
+
+def q_grouping_sets_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind B-A4's
+    rollup/cube): (status, priority), (status), () in ONE pass — Spark
+    plans a single expand + aggregate, not three scans; GROUPING()
+    disambiguates the NULL-as-total rows from genuine NULLs."""
+    return _sql_over(spark, sf_dir, ["orders"], """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """)
+
+
 def q_session_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-quality rollup on the gap-sessionized stream (30 min
     inactivity): bounce rate (1-event sessions), events/session, and
@@ -1757,10 +1811,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- driver window (first 50) -----------------------------
         # (a) new this round: correlated-subquery tier (SURVEY §4.2)
+        # + grouping sets
         "tpch_q4": q_tpch_q4,
         "tpch_q21": q_tpch_q21,
         "tpch_q11": q_tpch_q11,
         "tpch_q22": q_tpch_q22,
+        "tpch_q17": q_tpch_q17,
+        "tpch_q18": q_tpch_q18,
+        "grouping_sets_metrics": q_grouping_sets_metrics,
         # (b) oracled, never driver-checked before round 4
         "graph_triangles": q_graph_triangles,
         "quality_tiers": q_quality_tiers,
@@ -1806,10 +1864,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "langid_heuristic": q_langid_heuristic,
+        # --- end of driver window ---------------------------------
+        # (dedup_minhash_lsh / dedup_simhash / doc_fingerprint yielded
+        # their slots to the three newest round-4 queries; all three
+        # carry r2 driver-green records; portable-md5 oracled since r2)
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
-        # --- end of driver window ---------------------------------
         # everything below is driver-green in CORRECTNESS_r01-r03 ...
         "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
         "hash_agg": q_hash_agg,
@@ -2527,6 +2588,38 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_totalprice > 300000.0)
             GROUP BY c_nationkey
             ORDER BY c_nationkey
+        """,
+        "tpch_q17": """
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE p_brand = 'Brand#1'
+              AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = p_partkey)
+        """,
+        "tpch_q18": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 GROUP BY l_orderkey
+                                 HAVING SUM(l_quantity) > 300)
+            GROUP BY c_name, c_custkey, o_orderkey, o_orderdate,
+                     o_totalprice
+            ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+            LIMIT 20
+        """,
+        "grouping_sets_metrics": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+                   CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                    (o_orderstatus), ())
+            ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
         """,
         "metric_correlations": """
             SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,

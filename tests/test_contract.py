@@ -54,7 +54,9 @@ def test_driver_window_holds_the_intended_first_50():
     window = list(E.queries())[:50]
     expected = {
         # (a) new in round 4: correlated-subquery tier (SURVEY §4.2)
+        # + grouping sets
         "tpch_q4", "tpch_q21", "tpch_q11", "tpch_q22",
+        "tpch_q17", "tpch_q18", "grouping_sets_metrics",
         # (b) oracled, never driver-checked in rounds 1-3
         "graph_triangles", "quality_tiers", "weighted_sample",
         "embedding_centroids", "skew_report", "cohort_retention",
@@ -69,9 +71,10 @@ def test_driver_window_holds_the_intended_first_50():
         "scd2_intervals", "dedup_cluster", "dedup_cluster_survivors",
         "ann_lsh_bucketed",
         # (c) r2-green entries round 3 evicted, refreshed this round
+        # (dedup_minhash_lsh/simhash/doc_fingerprint stay out — all
+        # carry r2 driver-green records already)
         "dedup_exact", "dedup_exact_keep", "dedup_ngram_jaccard",
         "ann_cosine_topk", "embedding_near_dup", "langid_heuristic",
-        "dedup_minhash_lsh", "dedup_simhash", "doc_fingerprint",
     }
     assert len(expected) == 50
     assert set(window) == expected, (

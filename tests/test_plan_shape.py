@@ -400,7 +400,8 @@ def test_correlated_subqueries_decorrelate_to_hash_joins(spark):
     import __spark_entry__ as E
 
     sf_dir = "/root/testdata/sf0.001"
-    for name in ("tpch_q4", "tpch_q21", "tpch_q11", "tpch_q22"):
+    for name in ("tpch_q4", "tpch_q21", "tpch_q11", "tpch_q22",
+                 "tpch_q17", "tpch_q18"):
         plan = _spark_plan(E.queries()[name](spark, sf_dir))
         assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
         assert "CartesianProduct" not in plan, (name, plan)
@@ -408,6 +409,11 @@ def test_correlated_subqueries_decorrelate_to_hash_joins(spark):
             # uncorrelated scalar subquery: planned once as its own
             # subquery stage feeding the HAVING filter, never per group
             assert "Subquery" in plan or "subquery" in plan, (name, plan)
+        elif name == "tpch_q17":
+            # correlated scalar AGGREGATE: decorrelates to an aggregate
+            # grouped on the correlation key joined back — an extra
+            # HashAggregate + equi-join, never a per-row re-scan
+            assert plan.count("HashAggregate") >= 2, (name, plan)
         else:
             # the correlation must survive as a real join, not a filter
             assert ("LeftSemi" in plan or "LeftAnti" in plan), (name, plan)
