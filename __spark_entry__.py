@@ -384,6 +384,41 @@ def q_array_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+def q_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-F4 lateral/positional explode: posexplode keeps each token's
+    0-based position (DuckDB twin: UNNEST WITH ORDINALITY, 1-based,
+    shifted in the oracle) — the column a span-offset or first-mention
+    analysis needs that plain explode drops. Map-side only; the tiny
+    grouped output is the first-position profile per token over a
+    deterministic doc subset."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    words = F.split(F.trim(F.col("text")), " ")
+    return (d.select("doc_id", F.posexplode(words).alias("pos", "word"))
+            .groupBy("word")
+            .agg(F.min("pos").cast("long").alias("first_pos"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= 5)
+            .orderBy("word"))
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-W2/W3 distribution-function tier: percent_rank and cume_dist of
+    each event's value within its event_type — the remaining ANSI window
+    family (rank/lag/frames are covered elsewhere). One window sort per
+    partition shared by both functions. The ordering key is value ALONE,
+    deliberately: both functions are tie-stable (tied values share one
+    rank in every engine), so the output is engine-deterministic without
+    an id tie-break — ntile is NOT included here because its row-position
+    binning is tie-UNSTABLE across engines (it lives in quality_tiers
+    with a fully deterministic ordering instead)."""
+    e = _t(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    w = Window.partitionBy("event_type").orderBy("value")
+    return (e.select("event_type", "event_id", "value",
+                     F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                     F.round(F.cume_dist().over(w), 6).alias("cume_dist"))
+            .orderBy("event_type", "value", "event_id"))
+
+
 def q_map_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B-F5 map + B-F6 JSON: parse events.props into a map, extract key."""
     e = _t(spark, sf_dir, "events")
@@ -1871,6 +1906,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "doc_fingerprint": q_doc_fingerprint,
+        # new in round 4 AFTER the window filled (r5-window candidates;
+        # judge-local oracle green, pytest-covered):
+        "token_positions": q_token_positions,
+        "window_distribution": q_window_distribution,
         # everything below is driver-green in CORRECTNESS_r01-r03 ...
         "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
         "hash_agg": q_hash_agg,
@@ -2609,6 +2648,27 @@ def oracle_sql() -> dict[str, str]:
                      o_totalprice
             ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
             LIMIT 20
+        """,
+        "token_positions": """
+            WITH toks AS (
+              SELECT doc_id, ws[i] AS word, CAST(i - 1 AS BIGINT) AS pos
+              FROM (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS ws
+                    FROM documents WHERE doc_id % 50 = 0) d,
+                   UNNEST(GENERATE_SERIES(1, LEN(d.ws))) AS t(i))
+            SELECT word, MIN(pos) AS first_pos,
+                   CAST(COUNT(*) AS BIGINT) AS n_occurrences
+            FROM toks GROUP BY word HAVING COUNT(*) >= 5 ORDER BY word
+        """,
+        "window_distribution": """
+            SELECT event_type, event_id, value,
+                   ROUND(PERCENT_RANK() OVER
+                         (PARTITION BY event_type ORDER BY value), 6)
+                       AS pct_rank,
+                   ROUND(CUME_DIST() OVER
+                         (PARTITION BY event_type ORDER BY value), 6)
+                       AS cume_dist
+            FROM events WHERE event_id % 20 = 0
+            ORDER BY event_type, value, event_id
         """,
         "grouping_sets_metrics": """
             SELECT o_orderstatus, o_orderpriority,
