@@ -1701,6 +1701,44 @@ def q_kg_flagship_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("n"), "subj", "pred", "obj").limit(50))
 
 
+def _flagship_triples(spark: SparkSession) -> DataFrame:
+    """Shared input for the graph-materialize queries: the full pipeline
+    triple set on the deterministic synthetic transcripts."""
+    from morra_spark.model_artifact import KGModel
+    from morra_spark.operators.tagger import extract_turn_triples
+    from morra_spark.plans import checkpoint as CK
+    from morra_spark.plans.pipeline import (entity_candidates_df,
+                                            extract_triples_with_tools)
+
+    model = KGModel.load(MODEL_PATH)
+    src = _synthetic_transcripts(spark, 120)
+    content = src.filter(F.col("role") != "tool")
+    ann = CK.add_part_key(
+        extract_turn_triples(content, spark.sparkContext.broadcast(model)), 64)
+    return extract_triples_with_tools(
+        ann, entity_candidates_df(spark, model), src, 64)
+
+
+def q_kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North rule 'graph materialize': distinct-edge rollup of the
+    pipeline triples — weight, conversation support, turn recency.
+    Rows-only (perceptron decode upstream); reconciliation invariants
+    are pytest-pinned in test_kg_graph.py."""
+    from morra_spark.operators.kg_graph import graph_edges
+
+    return (graph_edges(_flagship_triples(spark))
+            .orderBy(F.desc("weight"), "subj", "pred", "obj").limit(100))
+
+
+def q_kg_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North rule 'graph materialize': entity-node rollup (NE type,
+    mentions, degrees). Rows-only, invariants pytest-pinned."""
+    from morra_spark.operators.kg_graph import graph_nodes
+
+    return (graph_nodes(_flagship_triples(spark))
+            .orderBy(F.desc("n_mentions"), "entity").limit(100))
+
+
 def q_kg_mention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mention detection via NER spans on synthetic transcripts."""
     from morra_spark.operators.tagger import annotate_turns
@@ -1910,6 +1948,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # judge-local oracle green, pytest-covered):
         "token_positions": q_token_positions,
         "window_distribution": q_window_distribution,
+        # rows-only: graph materialize over perceptron-decoded triples
+        "kg_graph_edges": q_kg_graph_edges,
+        "kg_graph_nodes": q_kg_graph_nodes,
         # everything below is driver-green in CORRECTNESS_r01-r03 ...
         "ann_ivf_exactprobe": q_ann_ivf_exactprobe,
         "hash_agg": q_hash_agg,

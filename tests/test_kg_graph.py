@@ -1,0 +1,100 @@
+"""Graph materialization (north rule's 'graph materialize' step):
+node/edge rollups over the triple table must reconcile exactly with the
+raw triples they summarize."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def triples(spark, fixture_dir, model):
+    """The materializer's real input: the pipeline's emitted triples
+    (NE columns included), produced by the same annotate + link path
+    the batch runner uses."""
+    from morra_spark.operators.tagger import extract_turn_triples
+    from morra_spark.plans import checkpoint as CK
+    from morra_spark.plans.pipeline import (entity_candidates_df,
+                                            extract_triples_with_tools)
+
+    bc = spark.sparkContext.broadcast(model)
+    src = spark.read.parquet(f"{fixture_dir}/transcripts") \
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    content = src.filter(F.col("role") != "tool")
+    ann = CK.add_part_key(extract_turn_triples(content, bc), 16)
+    t = extract_triples_with_tools(
+        ann, entity_candidates_df(spark, model), src, 16) \
+        .select("conv_id", "turn_idx", "subj", "pred", "obj",
+                "subj_ne", "obj_ne").persist()
+    t.count()
+    yield t
+    t.unpersist()
+
+
+def test_edges_reconcile_with_triples(spark, triples):
+    from morra_spark.operators.kg_graph import graph_edges
+
+    t = triples
+    e = graph_edges(t).persist()
+    try:
+        # weights sum back to the raw triple count; every edge has >= 1
+        assert e.agg(F.sum("weight")).first()[0] == t.count()
+        assert e.filter(F.col("weight") < 1).count() == 0
+        # edge key set == distinct triple key set
+        assert e.count() == t.select("subj", "pred", "obj",
+                                     "subj_ne", "obj_ne").distinct().count()
+        # n_convs is bounded by weight and by the true distinct count of
+        # a spot-checked edge
+        assert e.filter(F.col("n_convs") > F.col("weight")).count() == 0
+        probe = e.orderBy(F.desc("weight"), "subj", "pred", "obj").first()
+        true_nc = (t.filter((F.col("subj") == probe.subj)
+                            & (F.col("pred") == probe.pred)
+                            & (F.col("obj") == probe.obj))
+                   .select("conv_id").distinct().count())
+        assert probe.n_convs == true_nc
+        assert e.filter(F.col("first_turn") > F.col("last_turn")).count() == 0
+    finally:
+        e.unpersist()
+
+
+def test_nodes_reconcile_with_triples(spark, triples):
+    from morra_spark.operators.kg_graph import graph_edges, graph_nodes
+
+    t = triples
+    n = graph_nodes(t).persist()
+    try:
+        # node universe == distinct endpoints
+        endpoints = (t.select(F.col("subj").alias("e"))
+                     .unionByName(t.select(F.col("obj").alias("e")))
+                     .distinct())
+        assert n.count() == endpoints.count()
+        assert n.join(endpoints, n.entity == endpoints.e, "left_anti") \
+            .count() == 0
+        # mention counts sum to 2x triple count (subj + obj per triple)
+        assert n.agg(F.sum("n_mentions")).first()[0] == 2 * t.count()
+        # degree totals both equal the distinct edge count
+        ne = graph_edges(t).count()
+        assert n.agg(F.sum("out_degree")).first()[0] == ne
+        assert n.agg(F.sum("in_degree")).first()[0] == ne
+        # every entity carries a resolved NE type
+        assert n.filter(F.col("ne_type").isNull()).count() == 0
+    finally:
+        n.unpersist()
+
+
+def test_materialize_roundtrip_and_determinism(spark, triples, tmp_path):
+    from morra_spark.operators.kg_graph import materialize_graph
+
+    t = triples
+    out = str(tmp_path / "kg_graph")
+    res = materialize_graph(t, out)
+    assert res["n_edges"] > 0 and res["n_nodes"] > 0
+    nodes1 = spark.read.parquet(res["nodes_dir"]).orderBy("entity").collect()
+    # re-materialize (idempotent overwrite) over a REPARTITIONED input:
+    # every value, including the NE-type tie-break, must be identical
+    res2 = materialize_graph(t.repartition(7), out)
+    assert (res2["n_edges"], res2["n_nodes"]) == (res["n_edges"],
+                                                  res["n_nodes"])
+    nodes2 = spark.read.parquet(res["nodes_dir"]).orderBy("entity").collect()
+    assert nodes1 == nodes2
