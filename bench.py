@@ -156,7 +156,7 @@ def timed_clean(spark, fn, label: str, max_retries: int = 2):
     return sec, out, False
 
 
-def run_flagship(spark, transcripts_path: str) -> tuple[float, int]:
+def run_flagship(spark, transcripts_path: str) -> tuple[float, int, bool]:
     """Timed: scan → fused Arrow annotate → link → canonical triple agg."""
     from pyspark.sql import functions as F
     from morra_spark.model_artifact import KGModel

@@ -6,11 +6,14 @@ aggregated graph a consumer queries).
 * ``graph_nodes``: one row per canonical entity — mention count, in/out
   degree, conversation reach, and the entity's NE type resolved
   deterministically (most frequent, ties to the lexicographically
-  smallest — so re-runs and engines agree bit-for-bit).
+  LARGEST tag — so re-runs and engines agree bit-for-bit).
 * ``graph_edges``: one row per distinct (subj, pred, obj) — weight =
   supporting triple count, n_convs = distinct conversations asserting
-  it, first/last turn seen. The confidence-ish signal every downstream
-  linker/ranker wants without re-reading raw triples.
+  it, first/last turn seen, NE tags resolved by the same
+  most-frequent/largest rule as nodes (a triple asserted with differing
+  NE tags across mentions is still ONE edge — ADVICE r4). The
+  confidence-ish signal every downstream linker/ranker wants without
+  re-reading raw triples.
 
 100 TB shape: two partial-aggregating groupBys over the triple table
 (edge grain, then node grain over the exploded endpoints) — hub
@@ -29,19 +32,38 @@ from pyspark.sql import functions as F
 
 
 def graph_edges(triples: DataFrame) -> DataFrame:
-    """Aggregate raw triples to the distinct-edge grain.
+    """Aggregate raw triples to the distinct (subj, pred, obj) grain.
 
-    (subj, pred, obj, subj_ne, obj_ne) -> weight (supporting triples),
-    n_convs (exact distinct conversations), first_turn/last_turn
-    (earliest/latest (conv_id, turn_idx) evidence is conversation-local,
-    so min/max turn_idx is reported per edge as a recency signal).
+    weight (supporting triples), n_convs (exact distinct
+    conversations), first_turn/last_turn (min/max turn_idx as a
+    recency signal — (conv_id, turn_idx) evidence is
+    conversation-local). NE tags are resolved per edge with the node
+    rule: most frequent (subj_ne, obj_ne) pair, ties to the
+    lexicographically largest pair, so a triple asserted under
+    differing NE tags across mentions stays ONE edge and never
+    inflates node degrees (ADVICE r4). Both aggregates partial-combine
+    map-side and join co-keyed on the edge key — hub predicates cost
+    one hot reduce key carrying counts, never bodies.
     """
-    return (triples
-            .groupBy("subj", "pred", "obj", "subj_ne", "obj_ne")
+    key = ["subj", "pred", "obj"]
+    base = (triples.groupBy(*key)
             .agg(F.count(F.lit(1)).alias("weight"),
                  F.countDistinct("conv_id").alias("n_convs"),
                  F.min("turn_idx").alias("first_turn"),
                  F.max("turn_idx").alias("last_turn")))
+    # max_by over the SAME struct(n, subj_ne, obj_ne) in both picks so
+    # the chosen tags come from one source row (a coherent pair), not a
+    # mix of two different mentions' tags
+    ne = (triples.groupBy(*key, "subj_ne", "obj_ne")
+          .agg(F.count(F.lit(1)).alias("n"))
+          .groupBy(*key)
+          .agg(F.expr("max_by(subj_ne, struct(n, subj_ne, obj_ne))")
+               .alias("subj_ne"),
+               F.expr("max_by(obj_ne, struct(n, subj_ne, obj_ne))")
+               .alias("obj_ne")))
+    return base.join(ne, key).select(
+        *key, "subj_ne", "obj_ne", "weight", "n_convs",
+        "first_turn", "last_turn")
 
 
 def graph_nodes(triples: DataFrame) -> DataFrame:

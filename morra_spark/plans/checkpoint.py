@@ -54,16 +54,18 @@ def read_done_parts(spark: SparkSession, ckpt_dir: str, run_id: str,
     status='done'. Empty DataFrame when no checkpoint exists yet."""
     from pyspark.sql.window import Window
 
-    # only a genuinely absent checkpoint dir means 'fresh run' (the same
-    # ADVICE-r3 pattern as merge_upsert/backfill): a transient read
+    # only a genuinely absent (or crashed-before-first-commit, i.e.
+    # schema-less) checkpoint dir means 'fresh run': a transient read
     # failure of an EXISTING checkpoint would silently re-run every
     # part — harmless for correctness (the sink overwrites per
-    # part_key) but a full-corpus recompute at 100 TB, so it raises
-    import os
+    # part_key) but a full-corpus recompute at 100 TB, so it raises.
+    # Existence goes through the Hadoop FS API so remote checkpoint
+    # dirs (s3a:/hdfs:) resume instead of recomputing (ADVICE r4).
+    from morra_spark.sources.tableio import read_existing_parquet
 
-    if not os.path.exists(ckpt_dir):
+    ckpt = read_existing_parquet(spark, ckpt_dir)
+    if ckpt is None:
         return spark.createDataFrame([], "part_key int")
-    ckpt = spark.read.parquet(ckpt_dir)
     w = Window.partitionBy("part_key").orderBy(F.col("ts").desc())
     return (ckpt.filter((F.col("run_id") == run_id) & (F.col("stage") == stage))
                 .withColumn("rn", F.row_number().over(w))

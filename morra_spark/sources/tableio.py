@@ -25,6 +25,51 @@ def _is_path(target: str) -> bool:
     return "/" in target or target.startswith(("file:", "s3:", "s3a:", "hdfs:"))
 
 
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API.
+
+    Resolves the scheme (``file:``, ``hdfs:``, ``s3a:``, bare local
+    path) exactly the way Spark's own readers do, so fresh-run
+    detection behaves identically on a laptop and on an object store.
+    ``os.path.exists`` is always False for remote URIs (ADVICE r4),
+    which would misclassify every production resume as a fresh run —
+    re-appending backfills and recomputing every checkpointed part.
+    """
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
+def read_existing_parquet(spark: SparkSession, path: str):
+    """``spark.read.parquet(path)`` if a usable table exists, else None.
+
+    None means 'fresh run': the path is absent, or it exists but holds
+    no readable parquet footer — e.g. only a ``_temporary/`` dir left
+    by a crash during the very first write (ADVICE r4), which Spark
+    surfaces as UNABLE_TO_INFER_SCHEMA. Any OTHER read failure of an
+    existing table propagates: misreading one as 'fresh' is how prior
+    output gets silently dropped (upsert swap) or duplicated (backfill
+    re-append).
+    """
+    if not fs_exists(spark, path):
+        return None
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cls = ""
+        get_cls = getattr(e, "getCondition", None) \
+            or getattr(e, "getErrorClass", None)
+        if callable(get_cls):
+            cls = get_cls() or ""
+        if "UNABLE_TO_INFER_SCHEMA" in cls or \
+                "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+
+
 def iceberg_available(spark: SparkSession) -> bool:
     conf = spark.sparkContext.getConf()
     return any(k.startswith("spark.sql.catalog.") for k, _ in conf.getAll())
@@ -80,23 +125,28 @@ def merge_upsert(df: DataFrame, target: str, keys: list[str]) -> None:
     """
     spark = df.sparkSession
     if _is_path(target):
-        import os
-        import shutil
-
-        # 'first write' means the target genuinely does not exist —
-        # a transient read failure of an EXISTING table must propagate,
-        # or the swap below silently drops all prior rows (ADVICE r3)
-        if os.path.exists(target):
-            cur = spark.read.parquet(target)
+        # 'first write' means the target genuinely does not exist (or a
+        # first-write crash left no readable footer) — probed through
+        # the Hadoop FS API so s3a:/hdfs: targets resume correctly
+        # (ADVICE r4); a transient read failure of an EXISTING table
+        # still propagates, or the swap below silently drops prior rows
+        cur = read_existing_parquet(spark, target)
+        if cur is not None:
             out = cur.join(df.select(*keys).distinct(), keys, "left_anti") \
                 .unionByName(df)
         else:
             out = df
         tmp = target.rstrip("/") + "__upsert_tmp"
         out.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(target):
-            shutil.rmtree(target)
-        os.rename(tmp, target)
+        # swap through the same FileSystem the data was written with —
+        # two metadata ops on any scheme, not local-only os.rename
+        jvm = spark._jvm
+        jtgt = jvm.org.apache.hadoop.fs.Path(target)
+        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = jtgt.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jtgt):
+            fs.delete(jtgt, True)
+        fs.rename(jtmp, jtgt)
         return
     if not iceberg_available(spark):
         raise RuntimeError(f"no Iceberg catalog for table '{target}'")

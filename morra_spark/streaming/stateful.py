@@ -259,13 +259,15 @@ def backfill_tool_triples(spark: SparkSession, *, transcripts_path: str,
 
     sink = f"{out_dir}/tool_triples"
     max_prev = BACKFILL_BATCH_BASE - 1
-    # 'no prior output' means the sink dir genuinely does not exist; a
-    # transient read failure of an EXISTING sink must propagate, or every
-    # recomputed triple is misclassified as missing and appended again,
+    # 'no prior output' means the sink genuinely does not exist (probed
+    # via the Hadoop FS API, so s3a:/hdfs: sinks behave like local ones
+    # — ADVICE r4) or holds no readable data yet; a transient read
+    # failure of an EXISTING sink must propagate, or every recomputed
+    # triple is misclassified as missing and appended again,
     # duplicating the streamed set (ADVICE r3)
-    import os
-    if os.path.exists(sink):
-        prev = spark.read.parquet(sink)
+    from morra_spark.sources.tableio import read_existing_parquet
+    prev = read_existing_parquet(spark, sink)
+    if prev is not None:
         # batch_id is the partition column — max() reads directory names
         # only, FS-agnostic (works on object stores, unlike a listdir)
         row = prev.agg(F.max("batch_id")).first()

@@ -417,3 +417,55 @@ def test_correlated_subqueries_decorrelate_to_hash_joins(spark):
         else:
             # the correlation must survive as a real join, not a filter
             assert ("LeftSemi" in plan or "LeftAnti" in plan), (name, plan)
+
+
+def test_round5_tpch_shapes_plan_clean(spark):
+    """Round-5 TPC-H completion (VERDICT r4 #2): the outer-join
+    aggregate (Q13), nested IN/semi chains (Q20), correlated scalar MIN
+    over a join (Q2), NOT IN null-aware anti (Q16), and agg-of-agg view
+    (Q15) must all plan as hash joins + aggregates — no nested-loop
+    fallback, no per-row re-scan."""
+    import __spark_entry__ as E
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name in ("tpch_q2", "tpch_q6", "tpch_q8", "tpch_q9",
+                 "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q20"):
+        plan = _spark_plan(E.queries()[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, (name, plan)
+        if name == "tpch_q13":
+            # the priority filter lives in the JOIN condition of a real
+            # outer join (pushing it below would drop the 0-bucket)
+            assert "LeftOuter" in plan, (name, plan)
+            assert plan.count("HashAggregate") >= 2, (name, plan)
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        elif name == "tpch_q20":
+            # stacked IN-chains: at least two semi joins, no re-scan
+            assert plan.count("LeftSemi") >= 2, (name, plan)
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        elif name == "tpch_q16":
+            # NOT IN over a nullable-free key: null-aware anti join
+            assert ("LeftAnti" in plan or "null_aware" in plan.lower()), \
+                (name, plan)
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        elif name == "tpch_q2":
+            # correlated scalar MIN decorrelates to a grouped aggregate
+            # joined back on partkey, never a per-outer-row subplan
+            assert plan.count("HashAggregate") >= 2, (name, plan)
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+        elif name == "tpch_q6":
+            # pure scan: every predicate reaches the parquet reader and
+            # only the needed columns are read
+            assert "PushedFilters: [" in plan, (name, plan)
+            assert "l_shipdate" in plan.split("PushedFilters:")[1] \
+                .split("]")[0], (name, plan)
+        elif name == "tpch_q15":
+            # the MAX over the revenue view is one scalar subquery
+            # broadcast into the filter (Q11 pattern), and the revenue
+            # aggregate itself appears as a real HashAggregate
+            assert "Subquery" in plan or "subquery" in plan, (name, plan)
+            assert plan.count("HashAggregate") >= 2, (name, plan)
+        # Q8/Q9: multi-join shares — hash joins only is the assertion
+        # above; their dims are small enough that broadcast is chosen,
+        # checked by the absence of nested-loop fallbacks at any size
+        if name in ("tpch_q8", "tpch_q9"):
+            assert "BroadcastNestedLoopJoin" not in plan, (name, plan)

@@ -53,6 +53,62 @@ def test_merge_upsert_parquet_emulation(spark, tmp_path):
         merge_upsert(delta, "cat.db.triples", ["k"])
 
 
+def test_fs_exists_resolves_schemes_like_spark(spark, tmp_path):
+    """ADVICE r4 medium: fresh-run detection must go through the Hadoop
+    FileSystem API so URI-schemed paths (the ones _is_path admits:
+    file:/s3a:/hdfs:) probe correctly — os.path.exists is always False
+    for them, which would re-append backfills and recompute every
+    checkpointed part on any production resume."""
+    import os
+
+    from morra_spark.sources.tableio import fs_exists
+
+    d = str(tmp_path / "probe")
+    assert not fs_exists(spark, d)
+    assert not fs_exists(spark, "file:" + d)
+    os.makedirs(d)
+    assert fs_exists(spark, d)
+    # the scheme-qualified form os.path.exists would get WRONG
+    assert fs_exists(spark, "file:" + d)
+    assert not os.path.exists("file:" + d)
+
+
+def test_read_existing_parquet_fresh_vs_crashed_first_write(spark, tmp_path):
+    """ADVICE r4 low: a crash during the very first write can leave the
+    dir existing but schema-less (only _temporary/). That must read as
+    'fresh run' (None), not crash the resume; real data must read; a
+    corrupt EXISTING table must still propagate."""
+    import os
+
+    from morra_spark.sources.tableio import read_existing_parquet
+
+    missing = str(tmp_path / "never_written")
+    assert read_existing_parquet(spark, missing) is None
+
+    crashed = str(tmp_path / "crashed_first_write")
+    os.makedirs(f"{crashed}/_temporary/0")
+    assert read_existing_parquet(spark, crashed) is None
+
+    ok = str(tmp_path / "ok")
+    spark.range(5).write.parquet(ok)
+    got = read_existing_parquet(spark, ok)
+    assert got is not None and got.count() == 5
+
+
+def test_checkpoint_resume_after_first_write_crash_is_fresh(spark, tmp_path):
+    """plans.checkpoint.read_done_parts on an existing-but-empty ckpt dir
+    (first-checkpoint-write crash) is a fresh run — no manual cleanup
+    needed (ADVICE r4 low)."""
+    import os
+
+    from morra_spark.plans.checkpoint import read_done_parts
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(f"{ckpt}/_temporary")
+    done = read_done_parts(spark, ckpt, "run1", "stage1")
+    assert done.count() == 0
+
+
 def test_merge_upsert_existing_table_read_failure_propagates(spark, tmp_path):
     """ADVICE r3 medium: a read failure of an EXISTING target must NOT be
     treated as 'first write' — that path rmtree'd the target and replaced
