@@ -92,6 +92,36 @@ def test_salted_skew_join_is_sort_merge_on_salt(spark):
     assert "BroadcastHashJoin" not in plan, plan
 
 
+def test_triple_sink_exchange_is_salted_by_turn_hash(spark, fixture_dir,
+                                                     model):
+    """North rule: 'explicit salting for hot conversations'. The triple
+    sink's ONE exchange must hash on (part_key, pmod(xxhash64(turn_idx)))
+    — part_key alone would hand a hot conversation's entire triple set
+    to a single write task (bench.run_hot_pair measures the wall-clock
+    consequence; this pins the plan property at any scale, since plan
+    shape is input-size invariant)."""
+    from morra_spark.model_artifact import KGModel  # noqa: F401
+    from morra_spark.operators.tagger import extract_turn_triples
+    from morra_spark.plans import checkpoint as CK
+    from morra_spark.plans.pipeline import (entity_candidates_df,
+                                            extract_triples)
+
+    bc = spark.sparkContext.broadcast(model)
+    src = (spark.read.parquet(f"{fixture_dir}/transcripts")
+           .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+           .filter(F.col("role") != "tool"))
+    ann = CK.add_part_key(extract_turn_triples(src, bc), 64)
+    out = extract_triples(ann, entity_candidates_df(spark, model)) \
+        .repartition(F.col("part_key"),
+                     F.pmod(F.xxhash64("turn_idx"), F.lit(8)))
+    plan = _spark_plan(out)
+    sink_ex = [ln for ln in plan.splitlines()
+               if "Exchange hashpartitioning" in ln
+               and "part_key#" in ln]
+    assert sink_ex, plan
+    assert any("xxhash64(turn_idx#" in ln for ln in sink_ex), plan
+
+
 def test_flagship_with_tools_annotates_once(spark, fixture_dir, model):
     """The tool-alignment union must NOT duplicate the Python annotation
     stage in the plan (r2 regression: consuming the live annotation

@@ -3,6 +3,7 @@ agree with the batch pipeline (same annotate path, exactly-once dedup)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -370,6 +371,139 @@ def test_stateful_tool_only_batch_uses_state_subject(spark, fixture_dir,
     want = spark.read.parquet(f"{batch_out}/tool_triples").select(cols)
     assert streamed.exceptAll(want).count() == 0
     assert want.exceptAll(streamed).count() == 0
+
+
+def test_stream_stream_join_restarts_from_checkpoint(spark, fixture_dir,
+                                                     model_path, tmp_path):
+    """VERDICT r4 #4: the stream-stream join's exactly-once claim under
+    restart. The stream is killed at event-time T (run 1 drains only the
+    rows with ts <= T and stops) — join state (content rows waiting for
+    future tools) and unfinalized aggregation windows live only in the
+    state store checkpoint. Run 2 restarts from that checkpoint with the
+    post-T rows + watermark-flush sentinels. The union the file sink
+    accumulated across both runs must be exactly the batch aligner's
+    triple set on the merged log — nothing lost with the killed query,
+    nothing emitted twice on resume.
+
+    The split is by EVENT TIME, not turn_idx: a time-split is what a
+    real kill looks like, and it keeps the parity oracle exact — any
+    window the run-1 watermark finalized had already seen every
+    candidate content turn (content precedes its tool in event time),
+    and run-2 rows (ts > T) can never be watermark-late (run-1 watermark
+    <= T - delay). A turn_idx split has neither property: the global
+    watermark can finalize an early conversation's tool window before
+    its true nearest content turn (shipped in run 2) arrives, and the
+    'streamed' answer legitimately diverges from batch — a data-feeding
+    artifact, not a restart bug."""
+    from morra_spark.model_artifact import KGModel
+    from morra_spark.streaming.incremental import read_transcript_stream
+    from morra_spark.streaming.stateful import (backfill_tool_triples,
+                                                stream_stream_tool_triples)
+
+    tr = spark.read.parquet(f"{fixture_dir}/transcripts") \
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    content = tr.filter(F.col("role") != "tool")
+    tools = tr.filter(F.col("role") == "tool")
+    assert tools.count() > 0
+    # Kill point T: fixture conversations are seconds-long but their
+    # start times are spread over weeks, so a global mid-time cut would
+    # rarely slice through a conversation. Instead pick T deterministically
+    # BETWEEN the widest matched (content, tool) pair — the content turn
+    # lands in run 1, its tool turn in run 2, so the restored join state
+    # is guaranteed to be load-bearing.
+    pair = (tools.alias("t")
+            .join(content.alias("c"),
+                  F.expr("t.conv_id = c.conv_id "
+                         "and c.turn_idx < t.turn_idx "
+                         "and c.ts <= t.ts "
+                         "and c.ts >= t.ts - INTERVAL 1 HOUR"))
+            .groupBy(F.col("t.conv_id"), F.col("t.turn_idx"),
+                     F.col("t.ts").alias("t_ts"))
+            .agg(F.max(F.col("c.ts")).alias("c_ts"))
+            .orderBy((F.col("t_ts") - F.col("c_ts")).desc(),
+                     "conv_id", "turn_idx")
+            .first())
+    assert pair is not None, "fixture has no matchable tool turns"
+    cut = pair["c_ts"] + (pair["t_ts"] - pair["c_ts"]) / 2
+    n_cross = (tools.filter(F.col("ts") > cut).alias("t")
+               .join(content.filter(F.col("ts") <= cut).alias("c"),
+                     F.expr("t.conv_id = c.conv_id "
+                            "and c.turn_idx < t.turn_idx "
+                            "and c.ts <= t.ts "
+                            "and c.ts >= t.ts - INTERVAL 1 HOUR"))
+               .count())
+    assert n_cross > 0, "fixture has no state crossing the kill point"
+    c_src = str(tmp_path / "content_src")
+    t_src = str(tmp_path / "tool_src")
+    content.filter(F.col("ts") <= cut).coalesce(1) \
+        .write.mode("overwrite").parquet(c_src)
+    tools.filter(F.col("ts") <= cut).coalesce(1) \
+        .write.mode("overwrite").parquet(t_src)
+
+    model = KGModel.load(model_path)
+    bc = spark.sparkContext.broadcast(model)
+    sink, ckpt = str(tmp_path / "ss_sink"), str(tmp_path / "ss_ckpt")
+
+    def start():
+        out = stream_stream_tool_triples(
+            read_transcript_stream(spark, c_src, max_files_per_trigger=1),
+            read_transcript_stream(spark, t_src, max_files_per_trigger=1),
+            bc)
+        return (out.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start())
+
+    # run 1: pre-T input only; windows in the last delay+lookback of T
+    # cannot finalize (no flush), so the interesting state is in the ckpt
+    q1 = start()
+    q1.awaitTermination(300)
+    n_run1 = spark.read.parquet(sink).count() \
+        if (os.path.isdir(sink)
+            and any(f.endswith(".parquet") for f in os.listdir(sink))) else 0
+
+    # the post-T rows + the flush sentinels (2h past max ts — matches
+    # nothing, finalizes every real window), then RESTART from the ckpt
+    import time
+    time.sleep(1.1)
+    content.filter(F.col("ts") > cut).coalesce(1) \
+        .write.mode("append").parquet(c_src)
+    tools.filter(F.col("ts") > cut).coalesce(1) \
+        .write.mode("append").parquet(t_src)
+    time.sleep(1.1)
+    flush = F.expr("max_ts + INTERVAL 2 HOURS")
+    mx = tr.agg(F.max("ts").alias("max_ts"))
+    mx.select(F.lit("__flush__").alias("conv_id"),
+              F.lit(0).alias("turn_idx"), F.lit("user").alias("role"),
+              F.lit("").alias("text"),
+              F.lit(None).cast("string").alias("tool"),
+              flush.alias("ts")) \
+        .coalesce(1).write.mode("append").parquet(c_src)
+    mx.select(F.lit("__flush__").alias("conv_id"),
+              F.lit(0).alias("turn_idx"), F.lit("tool").alias("role"),
+              F.lit("").alias("text"), F.lit("flush").alias("tool"),
+              flush.alias("ts")) \
+        .coalesce(1).write.mode("append").parquet(t_src)
+    q2 = start()
+    q2.awaitTermination(300)
+
+    # batch twin on the merged log
+    batch_out = str(tmp_path / "ss_batch")
+    src_all = str(tmp_path / "ss_all")
+    tr.coalesce(2).write.mode("overwrite").parquet(src_all)
+    backfill_tool_triples(spark, transcripts_path=src_all,
+                          out_dir=batch_out, model_path=model_path)
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj",
+            "subj_ne", "obj_ne"]
+    want = spark.read.parquet(f"{batch_out}/tool_triples").select(cols)
+    got = spark.read.parquet(sink).select(cols)
+    assert got.exceptAll(want).count() == 0   # no duplicate/ghost rows
+    assert want.exceptAll(got).count() == 0   # nothing lost to the kill
+    assert got.count() == want.count() > 0
+    # and the restart did real work: post-T triples exist only because
+    # run 2 finalized windows (and matched pre-T content) from restored
+    # checkpoint state, not from a cold start
+    assert got.count() > n_run1
 
 
 def test_stream_stream_tool_join_matches_batch(spark, fixture_dir,
