@@ -114,13 +114,17 @@ def materialize_graph(triples: DataFrame, out_dir: str,
     prunes to one partition family; nodes are small enough to write as
     ``n_parts`` plain files (they broadcast downstream anyway).
     """
-    edges = graph_edges(triples)
-    (edges.repartition(n_parts, "subj")
+    from pyspark.sql import Observation
+
+    # row counts come from the write jobs' own observed metrics — a
+    # re-read would be a second pair of jobs (footer-count scans locally,
+    # full LIST + footer reads on object storage at 100 TB)
+    e_obs, n_obs = Observation("edges"), Observation("nodes")
+    (graph_edges(triples).observe(e_obs, F.count(F.lit(1)).alias("n"))
+     .repartition(n_parts, "subj")
      .write.mode("overwrite").parquet(f"{out_dir}/edges"))
-    nodes = graph_nodes(triples)
-    (nodes.repartition(n_parts)
+    (graph_nodes(triples).observe(n_obs, F.count(F.lit(1)).alias("n"))
+     .repartition(n_parts)
      .write.mode("overwrite").parquet(f"{out_dir}/nodes"))
-    spark = triples.sparkSession
-    return {"n_edges": spark.read.parquet(f"{out_dir}/edges").count(),
-            "n_nodes": spark.read.parquet(f"{out_dir}/nodes").count(),
+    return {"n_edges": e_obs.get["n"], "n_nodes": n_obs.get["n"],
             "edges_dir": f"{out_dir}/edges", "nodes_dir": f"{out_dir}/nodes"}
