@@ -733,6 +733,35 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(d).orderBy("doc_id")
 
 
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample-only source-mixture rebalancing: keep probabilities
+    that move the corpus to a target token mixture (binding source caps
+    the budget), applied via the portable-md5 permille decision —
+    deterministic under retry/partitioning/engine, so DuckDB replays
+    the exact per-doc keeps. Bodies never shuffle; two
+    partial-aggregating scans (rate, then apply) are the whole plan."""
+    from morra_spark.operators.curation import mixture_rebalance
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return mixture_rebalance(
+        d, {"src0": 0.5, "src1": 0.3, "src2": 0.2}).orderBy("source")
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split leakage audit: planted normalized-exact clones (+1M
+    doc_id, upper-cased + '??') land in different md5 splits than their
+    sources, and the audit must count every cross-split duplicate pair
+    without ever joining at document grain (the (fingerprint, split)
+    aggregate caps a hot boilerplate at one row per split)."""
+    from morra_spark.operators.curation import split_leakage
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("text", F.concat(F.upper(F.col("text")), F.lit("??"))))
+    return split_leakage(d)
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc character Shannon entropy (bits/char) with a low-entropy
     gibberish flag — MAP-ONLY: the char array, distinct set, and
@@ -2218,6 +2247,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "char_entropy": q_char_entropy,
         "snapshot_diff": q_snapshot_diff,
+        "mixture_rebalance": q_mixture_rebalance,
+        "split_leakage": q_split_leakage,
     }
 
 
@@ -4044,5 +4075,68 @@ def oracle_sql() -> dict[str, str]:
                              * 1.0 / LEN(words) >= 0.1
                         THEN 'en_like' ELSE 'other' END AS lang_pred
             FROM w ORDER BY doc_id
+        """,
+        "mixture_rebalance": """
+            WITH t AS (SELECT doc_id, source,
+                    CASE WHEN LEN(TRIM(text)) = 0 THEN 0
+                         ELSE LEN(STRING_SPLIT_REGEX(TRIM(text), '\\s+'))
+                    END AS n_tok
+                FROM documents),
+            ps AS (SELECT source,
+                          CAST(SUM(n_tok) AS BIGINT) AS n_tokens_before,
+                          CAST(CASE source WHEN 'src0' THEN 0.5
+                               WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2
+                               ELSE 0.0 END AS DOUBLE) AS target_share
+                   FROM t GROUP BY source),
+            bud AS (SELECT MIN(n_tokens_before / target_share) AS budget
+                    FROM ps WHERE target_share > 0),
+            rates AS (SELECT source, n_tokens_before, target_share,
+                             CAST(LEAST(1000, FLOOR(
+                                 1000.0 * target_share * budget
+                                 / n_tokens_before)) AS INT)
+                               AS p_keep_permille
+                      FROM ps, bud),
+            kept AS (SELECT t.source,
+                            CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                            CAST(SUM(t.n_tok) AS BIGINT) AS n_tokens_kept
+                     FROM t JOIN rates r ON t.source = r.source
+                     WHERE CAST('0x' || SUBSTRING(
+                               MD5(CAST(doc_id AS VARCHAR)), 1, 15)
+                             AS BIGINT) % 1000 < r.p_keep_permille
+                     GROUP BY t.source)
+            SELECT r.source, r.n_tokens_before,
+                   ROUND(r.target_share, 4) AS target_share,
+                   r.p_keep_permille,
+                   CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT)
+                     AS n_docs_kept,
+                   CAST(COALESCE(k.n_tokens_kept, 0) AS BIGINT)
+                     AS n_tokens_kept
+            FROM rates r LEFT JOIN kept k ON r.source = k.source
+            ORDER BY r.source
+        """,
+        "split_leakage": """
+            WITH u AS (SELECT doc_id, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, UPPER(text) || '??'
+                       FROM documents),
+            k AS (SELECT MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                              LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                              ' +', ' ', 'g'))) AS fp,
+                         CASE WHEN CAST('0x' || SUBSTRING(
+                                  MD5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                AS BIGINT) % 1000 < 800 THEN 'train'
+                              WHEN CAST('0x' || SUBSTRING(
+                                  MD5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                AS BIGINT) % 1000 < 900 THEN 'val'
+                              ELSE 'test' END AS split
+                  FROM u),
+            per AS (SELECT fp, split, CAST(COUNT(*) AS BIGINT) AS n
+                    FROM k GROUP BY fp, split)
+            SELECT a.split AS split_a, b.split AS split_b,
+                   CAST(SUM(a.n * b.n) AS BIGINT) AS n_dup_pairs,
+                   CAST(COUNT(*) AS BIGINT) AS n_leaked_fps
+            FROM per a JOIN per b ON a.fp = b.fp AND a.split < b.split
+            GROUP BY a.split, b.split
+            ORDER BY split_a, split_b
         """,
     }

@@ -587,3 +587,103 @@ def encode_tokens(docs: DataFrame, vocab: DataFrame,
             .select("doc_id", F.col("pos").cast("int").alias("pos"),
                     F.coalesce(F.col("token_id"), F.lit(oov_id))
                     .cast("int").alias("token_id")))
+
+
+def mixture_rebalance(docs: DataFrame,
+                      targets: dict[str, float]) -> DataFrame:
+    """Downsample-only source-mixture rebalancing: compute, per source,
+    the keep probability that moves the corpus to the ``targets`` token
+    mixture, apply it with the portable-md5 doc decision, and report
+    before/after — the source re-weighting step (a DoReMi-style weight
+    vector applied by downsampling) between mixture ACCOUNTING
+    (``mixture_tokens``) and training-layout writes.
+
+    The achievable corpus size under downsampling-only is capped by the
+    binding source (the one with the least headroom): budget =
+    min_s(n_tokens_s / share_s); every source then keeps
+    ``share_s * budget`` tokens in expectation. Keep decisions are
+    doc-level on the md5 permille bucket of ``doc_id`` — deterministic
+    under retries, partitioning, and engines (the DuckDB oracle replays
+    the exact decision), and the permille is floored to an integer so
+    there is no float boundary inside the comparison.
+
+    Scale shape: one token-count aggregate over the corpus (few-row
+    result), the rates broadcast back, one map-only keep decision, one
+    closing aggregate — document bodies are never shuffled; a second
+    full scan is inherent to rate-then-apply (the rate needs the
+    totals) and both scans are partial-aggregating.
+    """
+    n_tok = ws_token_count()
+    share = F.coalesce(*[F.when(F.col("source") == k, F.lit(float(v)))
+                         for k, v in targets.items()], F.lit(0.0))
+    per_src = (docs.select("source", n_tok.alias("n_tok"))
+               .groupBy("source")
+               .agg(F.sum("n_tok").alias("n_tokens_before"))
+               .withColumn("target_share", share))
+    budget = (per_src.filter(F.col("target_share") > 0)
+              .agg(F.min(F.col("n_tokens_before") / F.col("target_share"))
+                   .alias("budget")))
+    rates = (per_src.crossJoin(F.broadcast(budget))
+             .withColumn(
+                 "p_keep_permille",
+                 F.least(F.lit(1000), F.floor(
+                     (F.lit(1000.0) * F.col("target_share")
+                      * F.col("budget")) / F.col("n_tokens_before")))
+                 .cast("int"))
+             .select("source", "n_tokens_before", "target_share",
+                     "p_keep_permille"))
+    kept = (docs.select("source", F.col("doc_id"), n_tok.alias("n_tok"))
+            .join(F.broadcast(rates.select("source", "p_keep_permille")),
+                  "source")
+            .filter(_portable_bucket(F.col("doc_id"))
+                    < F.col("p_keep_permille"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+                 F.sum("n_tok").alias("n_tokens_kept")))
+    return (rates.join(kept, "source", "left")
+            .select("source", "n_tokens_before",
+                    F.round("target_share", 4).alias("target_share"),
+                    "p_keep_permille",
+                    F.coalesce("n_docs_kept", F.lit(0)).cast("long")
+                    .alias("n_docs_kept"),
+                    F.coalesce("n_tokens_kept", F.lit(0)).cast("long")
+                    .alias("n_tokens_kept")))
+
+
+def split_leakage(docs: DataFrame, train_permille: int = 800,
+                  val_permille: int = 900) -> DataFrame:
+    """Cross-split leakage audit: normalized-exact duplicate documents
+    that landed in DIFFERENT splits of ``split_assign``'s deterministic
+    assignment — the check a training-data release runs before claiming
+    its eval split is clean (near-dup decontamination is
+    ``contamination_report``; this is the exact-copy tier over the
+    split boundary itself).
+
+    Plan: normalize + md5 fingerprint (map-only, 32-byte keys — bodies
+    never shuffle), ONE (fingerprint, split) partial-aggregating
+    groupBy, then a self-join on fingerprint over that aggregated grain
+    — a fingerprint duplicated a million times contributes at most one
+    row per split to the join, so a hot boilerplate cannot quadratic
+    the audit. Output: one row per (split_a, split_b) ordered pair
+    (a < b) with the duplicate-pair count and distinct leaked
+    fingerprints.
+    """
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")
+    b = _portable_bucket(F.col("doc_id"))
+    split = (F.when(b < train_permille, F.lit("train"))
+             .when(b < val_permille, F.lit("val"))
+             .otherwise(F.lit("test")))
+    per = (docs.select(F.md5(F.trim(norm)).alias("fp"),
+                       split.alias("split"))
+           .groupBy("fp", "split")
+           .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    a, c = per.alias("a"), per.alias("b")
+    pairs = a.join(c, (F.col("a.fp") == F.col("b.fp"))
+                   & (F.col("a.split") < F.col("b.split")))
+    return (pairs.groupBy(F.col("a.split").alias("split_a"),
+                          F.col("b.split").alias("split_b"))
+            .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("n_dup_pairs"),
+                 F.count(F.lit(1)).cast("long").alias("n_leaked_fps"))
+            .orderBy("split_a", "split_b"))

@@ -594,3 +594,72 @@ def test_pmi_collocations_hand_computed(spark):
     for pair, r in out.items():
         if pair != "x y":
             assert r.npmi < out["x y"].npmi
+
+
+def test_mixture_rebalance_binding_source_and_determinism(spark):
+    from morra_spark.operators.curation import mixture_rebalance
+
+    # src_a: 100 docs x 10 tokens = 1000; src_b: 100 x 30 = 3000;
+    # src_c: 50 x 10 = 500 (share 0 -> dropped entirely).
+    # targets a=0.5, b=0.5: budget = min(1000/0.5, 3000/0.5) = 2000
+    # -> a keeps 1000/1000 tokens (p=1000, the binding source),
+    #    b keeps 1000/3000 (p=333)
+    rows = ([(i, "src_a", " ".join(["w"] * 10)) for i in range(100)]
+            + [(1000 + i, "src_b", " ".join(["w"] * 30))
+               for i in range(100)]
+            + [(2000 + i, "src_c", " ".join(["w"] * 10))
+               for i in range(50)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string")
+    out = {r.source: r
+           for r in mixture_rebalance(
+               docs, {"src_a": 0.5, "src_b": 0.5}).collect()}
+    assert out["src_a"].p_keep_permille == 1000
+    assert out["src_a"].n_docs_kept == 100          # binding: keeps all
+    assert out["src_a"].n_tokens_kept == 1000
+    assert out["src_b"].p_keep_permille == 333
+    assert out["src_b"].n_tokens_kept <= 1500       # ~1000 expected
+    assert out["src_c"].p_keep_permille == 0
+    assert out["src_c"].n_docs_kept == 0 and out["src_c"].n_tokens_kept == 0
+    # deterministic under repartitioning (portable-md5 decision)
+    again = {r.source: r.n_docs_kept
+             for r in mixture_rebalance(
+                 docs.repartition(13),
+                 {"src_a": 0.5, "src_b": 0.5}).collect()}
+    assert again == {s: r.n_docs_kept for s, r in out.items()}
+
+
+def test_split_leakage_counts_cross_split_pairs(spark):
+    from morra_spark.operators.curation import mixture_rebalance  # noqa: F401
+    from morra_spark.operators.curation import _portable_bucket, split_leakage
+    from pyspark.sql import functions as F
+
+    # find doc_ids landing in each split under the real md5 rule, then
+    # plant one duplicate text across (2 train, 1 val, 1 test) and a
+    # unique text everywhere else -> pairs: train-val 2, train-test 2,
+    # val-test 1; one leaked fingerprint per split pair
+    ids = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    by_split = {r.split: r.ids for r in ids.select(
+        "doc_id", _portable_bucket(F.col("doc_id")).alias("b"))
+        .withColumn("split", F.when(F.col("b") < 800, "train")
+                    .when(F.col("b") < 900, "val").otherwise("test"))
+        .groupBy("split").agg(F.collect_list("doc_id").alias("ids"))
+        .collect()}
+    dup_ids = (sorted(by_split["train"])[:2] + sorted(by_split["val"])[:1]
+               + sorted(by_split["test"])[:1])
+    uniq_ids = sorted(by_split["train"])[2:6]
+    rows = [(int(i), "THE SAME, Document!") for i in dup_ids] \
+        + [(int(i), f"unique text number {i}") for i in uniq_ids]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.split_a, r.split_b): r for r in split_leakage(docs).collect()}
+    assert out[("train", "val")].n_dup_pairs == 2
+    assert out[("test", "train")].n_dup_pairs == 2
+    assert out[("test", "val")].n_dup_pairs == 1
+    assert all(r.n_leaked_fps == 1 for r in out.values())
+    # normalization bridges case/punct variants across splits
+    docs2 = spark.createDataFrame(
+        [(int(dup_ids[0]), "the same document"),
+         (int(dup_ids[2]), "THE SAME?? DOCUMENT!!")],
+        "doc_id long, text string")
+    out2 = split_leakage(docs2).collect()
+    assert len(out2) == 1 and out2[0].n_dup_pairs == 1
