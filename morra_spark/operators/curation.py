@@ -626,9 +626,12 @@ def mixture_rebalance(docs: DataFrame,
     rates = (per_src.crossJoin(F.broadcast(budget))
              .withColumn(
                  "p_keep_permille",
-                 F.least(F.lit(1000), F.floor(
+                 # a source with zero tokens has nothing to keep — guard
+                 # the rate division (ANSI Spark 4 raises on x/0)
+                 F.when(F.col("n_tokens_before") <= 0, F.lit(0))
+                 .otherwise(F.least(F.lit(1000), F.floor(
                      (F.lit(1000.0) * F.col("target_share")
-                      * F.col("budget")) / F.col("n_tokens_before")))
+                      * F.col("budget")) / F.col("n_tokens_before"))))
                  .cast("int"))
              .select("source", "n_tokens_before", "target_share",
                      "p_keep_permille"))

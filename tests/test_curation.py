@@ -627,6 +627,16 @@ def test_mixture_rebalance_binding_source_and_determinism(spark):
                  docs.repartition(13),
                  {"src_a": 0.5, "src_b": 0.5}).collect()}
     assert again == {s: r.n_docs_kept for s, r in out.items()}
+    # zero-token source must not divide by zero in the rate
+    empty = docs.unionByName(spark.createDataFrame(
+        [(9000, "src_empty", "   ")], "doc_id long, source string, text string"))
+    oute = {r.source: r for r in mixture_rebalance(
+        empty, {"src_a": 0.5, "src_b": 0.3, "src_empty": 0.2}).collect()}
+    assert oute["src_empty"].p_keep_permille == 0
+    assert oute["src_empty"].n_docs_kept == 0
+    # and the empty source is the binding one: a 0.2 share nobody can
+    # fill caps the downsample-only budget at zero — the honest answer
+    assert all(r.p_keep_permille == 0 for r in oute.values())
 
 
 def test_split_leakage_counts_cross_split_pairs(spark):
