@@ -499,3 +499,52 @@ def test_round5_tpch_shapes_plan_clean(spark):
         # checked by the absence of nested-loop fallbacks at any size
         if name in ("tpch_q8", "tpch_q9"):
             assert "BroadcastNestedLoopJoin" not in plan, (name, plan)
+
+
+def test_mixture_rebalance_broadcasts_rates_not_corpus(spark):
+    """The per-source keep rates (few rows) must come back to the corpus
+    as a BROADCAST build — if the corpus ever becomes a shuffle side of
+    that join, the rebalance costs a full-corpus exchange at 100 TB.
+    Expected shuffles: the two per-source aggregates (rate + closing
+    report) and their tiny joins only."""
+    from morra_spark.operators.curation import mixture_rebalance
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", "w " * 10) for i in range(100)],
+        "doc_id long, source string, text string")
+    plan = _spark_plan(mixture_rebalance(docs, {"src0": 0.6, "src1": 0.4}))
+    assert _broadcast_exchanges(plan) >= 2, plan   # budget + rates builds
+    # the corpus-side scan feeds a partial aggregate or a broadcast-join
+    # probe, never a plain hash exchange of doc rows: every shuffle in
+    # the plan carries the source-grain aggregate, not doc_id
+    for ln in plan.splitlines():
+        if re.search(r"(?<!Broadcast)Exchange hash", ln):
+            assert "doc_id" not in ln, ln
+
+
+def test_split_leakage_joins_at_aggregated_grain(spark):
+    """The cross-split self-join must consume the (fingerprint, split)
+    HashAggregate on BOTH sides — a doc-grain self-join would explode
+    on a hot boilerplate (n² pairs for an n-copy fingerprint)."""
+    from morra_spark.operators.curation import split_leakage
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i % 7}") for i in range(200)],
+        "doc_id long, text string")
+    plan = _spark_plan(split_leakage(docs))
+    m = re.search(r"SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin", plan)
+    assert m, plan
+    # the join keys are the fingerprint (fp), not doc_id, and the rows
+    # reaching it are already counted per (fp, split): the aggregate
+    # appears on the join's input side(s), i.e. before the join in the
+    # bottom-up plan string
+    join_pos = m.start()
+    join_line = plan[join_pos:plan.index("\n", join_pos)]
+    assert "fp#" in join_line and "doc_id" not in join_line, join_line
+    # children print BELOW their parent: both join inputs (after the
+    # join in the string) must be fp-keyed aggregates — counted rows,
+    # not documents
+    below = plan[join_pos:]
+    agg_inputs = re.findall(r"HashAggregate\(keys=\[fp#\d+, split#\d+\],"
+                            r" functions=\[count\(1\)\]", below)
+    assert len(agg_inputs) == 2, below
