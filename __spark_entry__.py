@@ -733,6 +733,37 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(d).orderBy("doc_id")
 
 
+def q_ann_filtered_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered + grouped vector search: top-3 cosine neighbors of the
+    probe PER LABEL, restricted to a metadata predicate (label IN 1,3,5)
+    — the hybrid filter-then-rank shape real vector workloads run. The
+    label predicate is a JVM scan filter (pushes to parquet, pruning
+    before any vector math); the per-group rank is one window over the
+    filtered rows; the probe broadcasts. At 100 TB the same composition
+    rides the IVF layout: the predicate prunes files, the probe prunes
+    centroid partitions, the window runs per surviving group."""
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("label").isin(1, 3, 5))
+    q = (_t(spark, sf_dir, "embeddings").orderBy("vec_id").limit(1)
+         .select(F.col("embedding").alias("q")))
+    j = e.crossJoin(F.broadcast(q))
+    dot = F.aggregate(F.zip_with("embedding", "q",
+                                 lambda x, y: x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("embedding",
+                                        lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("q",
+                                        lambda x: x.cast("double") * x.cast("double")),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    w = Window.partitionBy("label").orderBy(F.desc("c"), "vec_id")
+    return (j.select("vec_id", "label", (dot / (na * nb)).alias("c"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("label", "rank", "vec_id",
+                    F.round("c", 4).alias("cosine"))
+            .orderBy("label", "rank"))
+
+
 def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downsample-only source-mixture rebalancing: keep probabilities
     that move the corpus to a target token mixture (binding source caps
@@ -2249,6 +2280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "mixture_rebalance": q_mixture_rebalance,
         "split_leakage": q_split_leakage,
+        "ann_filtered_grouped_topk": q_ann_filtered_grouped_topk,
     }
 
 
@@ -4113,6 +4145,26 @@ def oracle_sql() -> dict[str, str]:
                      AS n_tokens_kept
             FROM rates r LEFT JOIN kept k ON r.source = k.source
             ORDER BY r.source
+        """,
+        "ann_filtered_grouped_topk": """
+            WITH q AS (SELECT embedding AS q FROM embeddings
+                       ORDER BY vec_id LIMIT 1),
+            s AS (SELECT vec_id, label,
+                         LIST_SUM(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+                           i -> CAST(embedding[i] AS DOUBLE) * CAST(q[i] AS DOUBLE)))
+                         / (SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                          * SQRT(LIST_SUM(LIST_TRANSFORM(q,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS c
+                  FROM embeddings, q
+                  WHERE label IN (1, 3, 5)),
+            r AS (SELECT label, vec_id, c,
+                         ROW_NUMBER() OVER (PARTITION BY label
+                                            ORDER BY c DESC, vec_id) AS rank
+                  FROM s)
+            SELECT label, CAST(rank AS INT) AS rank, vec_id,
+                   ROUND(c, 4) AS cosine
+            FROM r WHERE rank <= 3 ORDER BY label, rank
         """,
         "split_leakage": """
             WITH u AS (SELECT doc_id, text FROM documents
