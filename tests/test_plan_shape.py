@@ -548,3 +548,18 @@ def test_split_leakage_joins_at_aggregated_grain(spark):
     agg_inputs = re.findall(r"HashAggregate\(keys=\[fp#\d+, split#\d+\],"
                             r" functions=\[count\(1\)\]", below)
     assert len(agg_inputs) == 2, below
+
+
+def test_filtered_ann_pushes_predicate_to_scan(spark):
+    """The hybrid filter-then-rank vector search must push the label
+    predicate into the parquet scan — vector math over pruned rows
+    only. At 100 TB the filter prunes files before any dot product."""
+    import __spark_entry__ as E
+
+    df = E.queries()["ann_filtered_grouped_topk"](
+        spark, "/root/testdata/sf0.01")
+    plan = _spark_plan(df)
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert any("label" in ln and "IN (1,3,5)" in ln.replace("#", "")
+               or "label" in ln and "DataFilters: [label" in ln
+               for ln in scan_lines), plan
