@@ -733,6 +733,27 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(d).orderBy("doc_id")
 
 
+def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy survivorship: planted clones (+1M ids, re-hosted on a
+    LESS trusted source with extra punctuation; +2M ids on a MORE
+    trusted one) — the keep rule (source trust, then length, then id)
+    must pick the trusted copy even when it is neither first nor
+    longest, and fall back to length/id inside one source."""
+    from morra_spark.operators.dedup import dedup_survivorship
+
+    base = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        .withColumn("source", F.lit("mirror_spam"))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" !!")))
+    ).unionByName(
+        base.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2_000_000)
+        .withColumn("source", F.lit("curated")))
+    prio = {"curated": 0, **{f"src{i}": 1 for i in range(20)}}
+    return dedup_survivorship(d, prio).orderBy("fp")  # mirror_spam: unlisted
+
+
 def q_ann_filtered_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered + grouped vector search: top-3 cosine neighbors of the
     probe PER LABEL, restricted to a metadata predicate (label IN 1,3,5)
@@ -2281,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_rebalance": q_mixture_rebalance,
         "split_leakage": q_split_leakage,
         "ann_filtered_grouped_topk": q_ann_filtered_grouped_topk,
+        "dedup_survivorship": q_dedup_survivorship,
     }
 
 
@@ -4145,6 +4167,29 @@ def oracle_sql() -> dict[str, str]:
                      AS n_tokens_kept
             FROM rates r LEFT JOIN kept k ON r.source = k.source
             ORDER BY r.source
+        """,
+        "dedup_survivorship": """
+            WITH u AS (SELECT doc_id, source, text FROM documents
+                       UNION ALL
+                       SELECT doc_id + 1000000, 'mirror_spam',
+                              text || ' !!' FROM documents
+                       UNION ALL
+                       SELECT doc_id + 2000000, 'curated', text
+                       FROM documents WHERE doc_id % 3 = 0),
+            k AS (SELECT doc_id, source, text,
+                         MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                             LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g'))) AS fp,
+                         CASE WHEN source = 'curated' THEN 0
+                              WHEN source LIKE 'src%' THEN 1
+                              ELSE 21 END AS prio
+                  FROM u),
+            r AS (SELECT doc_id, source, prio, fp,
+                         ROW_NUMBER() OVER (PARTITION BY fp
+                             ORDER BY prio, LEN(text) DESC, doc_id) AS rn
+                  FROM k)
+            SELECT doc_id, source, CAST(prio AS INT) AS source_rank, fp
+            FROM r WHERE rn = 1 ORDER BY fp
         """,
         "ann_filtered_grouped_topk": """
             WITH q AS (SELECT embedding AS q FROM embeddings

@@ -436,3 +436,39 @@ def dedup_against_corpus(new_docs: DataFrame,
                     F.when(F.coalesce(F.col("k"), F.lit(False)), "known")
                     .otherwise("fresh").alias("status"))
             )
+
+
+def dedup_survivorship(docs: DataFrame,
+                       source_priority: dict[str, int]) -> DataFrame:
+    """Policy-based exact-dedup survivorship: one survivor per
+    normalized-duplicate group, chosen by (most-trusted source, then
+    longest text, then lowest doc_id) — production dedup's actual keep
+    rule, vs ``dedup_exact_keep_first``'s id-order tiebreak (a crawl
+    usually wants the canonical-domain copy, not the first-crawled one).
+
+    ``source_priority`` maps source → rank (lower = more trusted);
+    unlisted sources rank after all listed ones. One ranking window
+    over the md5 of normalized text — 32-byte grouping keys, the same
+    normalization as ``normalized_dup_groups`` so the two operators
+    agree on what a duplicate IS. At scale the window hash-partitions
+    by fingerprint; a mass-duplicated text is bounded by its own copy
+    count (the survivor choice needs the group's rows — salt-and-
+    two-phase it only if one text dominates the corpus).
+    """
+    from pyspark.sql.window import Window
+
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")
+    fp = F.md5(F.trim(norm))
+    unlisted = len(source_priority)
+    prio = F.coalesce(*[F.when(F.col("source") == k, F.lit(int(v)))
+                        for k, v in source_priority.items()],
+                      F.lit(unlisted))
+    w = Window.partitionBy("fp").orderBy(
+        "prio", F.length("text").desc(), "doc_id")
+    return (docs.withColumn("fp", fp).withColumn("prio", prio)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "source", F.col("prio").alias("source_rank"),
+                    "fp"))

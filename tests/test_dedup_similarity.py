@@ -456,3 +456,30 @@ def test_dedup_against_corpus_labels(spark):
     out = {r.doc_id: r.status
            for r in dedup_against_corpus(new, corpus).collect()}
     assert out == {10: "known", 11: "fresh", 12: "known"}
+
+
+def test_dedup_survivorship_policy_order(spark):
+    """Keep rule: source trust beats length beats id — and unlisted
+    sources rank after every listed one."""
+    from morra_spark.operators.dedup import dedup_survivorship
+
+    docs = spark.createDataFrame(
+        [  # group 1: same normalized text in three sources
+            (1, "spammy", "Hello, World!!!!"),     # longest, least trusted
+            (2, "crawl", "hello world"),
+            (3, "curated", "Hello World."),        # trusted -> survives
+            # group 2: one source, two lengths -> longer raw text wins
+            (10, "crawl", "same words here"),
+            (11, "crawl", "same, words, here!"),
+            # group 3: full tie -> lowest doc_id
+            (20, "crawl", "tie tie"),
+            (21, "crawl", "tie tie"),
+        ], "doc_id long, source string, text string")
+    out = dedup_survivorship(docs, {"curated": 0, "crawl": 1})
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {3, 11, 20}
+    assert got[3].source_rank == 0
+    # unlisted source ranks after listed even when planted as trusted-looking
+    out2 = dedup_survivorship(docs.filter(F.col("doc_id").isin(1, 2)),
+                              {"crawl": 0})
+    assert [r.doc_id for r in out2.collect()] == [2]
