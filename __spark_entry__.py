@@ -733,6 +733,18 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(d).orderBy("doc_id")
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunker (chunk=64, overlap=8): map-only
+    split→posexplode(starts)→slice→rejoin, zero shuffles — chunks at
+    scan speed with (doc_id, chunk_idx) lineage for the embed/index
+    stage. DuckDB replays starts as GENERATE_SERIES and slices the same
+    1-based inclusive windows."""
+    from morra_spark.operators.curation import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(d, chunk_tokens=64, overlap=8)
+
+
 def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Policy survivorship: planted clones (+1M ids, re-hosted on a
     LESS trusted source with extra punctuation; +2M ids on a MORE
@@ -2303,6 +2315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": q_split_leakage,
         "ann_filtered_grouped_topk": q_ann_filtered_grouped_topk,
         "dedup_survivorship": q_dedup_survivorship,
+        "doc_chunking": q_doc_chunking,
     }
 
 
@@ -4167,6 +4180,26 @@ def oracle_sql() -> dict[str, str]:
                      AS n_tokens_kept
             FROM rates r LEFT JOIN kept k ON r.source = k.source
             ORDER BY r.source
+        """,
+        "doc_chunking": """
+            WITH t AS (SELECT doc_id,
+                              CASE WHEN LEN(TRIM(text)) = 0
+                                   THEN CAST([] AS VARCHAR[])
+                                   ELSE STRING_SPLIT_REGEX(TRIM(text),
+                                                           '\\s+')
+                              END AS toks
+                       FROM documents),
+            ex AS (SELECT doc_id, toks,
+                          UNNEST(GENERATE_SERIES(0, LEN(toks) - 1, 56))
+                            AS start
+                   FROM t)
+            SELECT doc_id,
+                   CAST(start / 56 AS INT) AS chunk_idx,
+                   CAST(LEN(toks[start + 1 : start + 64]) AS INT)
+                     AS chunk_len,
+                   ARRAY_TO_STRING(toks[start + 1 : start + 64], ' ')
+                     AS chunk_text
+            FROM ex ORDER BY doc_id, chunk_idx
         """,
         "dedup_survivorship": """
             WITH u AS (SELECT doc_id, source, text FROM documents

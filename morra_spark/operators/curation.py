@@ -690,3 +690,36 @@ def split_leakage(docs: DataFrame, train_permille: int = 800,
             .agg(F.sum(F.col("a.n") * F.col("b.n")).alias("n_dup_pairs"),
                  F.count(F.lit(1)).cast("long").alias("n_leaked_fps"))
             .orderBy("split_a", "split_b"))
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 8) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    retrieval/context-window chunker (the inverse of ``pack_sequences``:
+    packing concatenates short docs, chunking splits long ones). Chunk
+    starts step by ``chunk_tokens - overlap``; the last chunk may be
+    short; empty documents produce no chunks.
+
+    Map-only: tokenize once, posexplode a generated starts sequence,
+    slice + rejoin per chunk — no shuffle anywhere, so it chunks 100 TB
+    at scan speed and the downstream embed/index stage gets
+    (doc_id, chunk_idx) lineage for free.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = ws_token_count()
+    starts = F.when(n > 0, F.sequence(
+        F.lit(0), n - 1, F.lit(step))).otherwise(
+        F.expr("array()").cast("array<long>"))
+    t = docs.select("doc_id", n.alias("n_tokens"),
+                    toks.alias("toks"), starts.alias("starts"))
+    ex = t.select("doc_id", "n_tokens",
+                  F.posexplode("starts").alias("chunk_idx", "start"),
+                  "toks")
+    chunk = F.slice("toks", F.col("start").cast("int") + 1, chunk_tokens)
+    return (ex.select("doc_id", F.col("chunk_idx").cast("int"),
+                      F.size(chunk).cast("int").alias("chunk_len"),
+                      F.array_join(chunk, " ").alias("chunk_text"))
+            .orderBy("doc_id", "chunk_idx"))

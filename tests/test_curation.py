@@ -673,3 +673,27 @@ def test_split_leakage_counts_cross_split_pairs(spark):
         "doc_id long, text string")
     out2 = split_leakage(docs2).collect()
     assert len(out2) == 1 and out2[0].n_dup_pairs == 1
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from morra_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),  # 10 tokens
+         (2, "a b"),                              # shorter than one chunk
+         (3, "")],                                # empty -> no chunks
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    got = {(r.doc_id, r.chunk_idx): r for r in out}
+    # step 3 -> starts 0,3,6,9: consecutive chunks share exactly 1 token
+    assert got[(1, 0)].chunk_text == "t1 t2 t3 t4"
+    assert got[(1, 1)].chunk_text == "t4 t5 t6 t7"
+    assert got[(1, 2)].chunk_text == "t7 t8 t9 t10"
+    assert got[(1, 3)].chunk_text == "t10" and got[(1, 3)].chunk_len == 1
+    assert got[(2, 0)].chunk_text == "a b" and got[(2, 0)].chunk_len == 2
+    assert not any(d == 3 for d, _ in got)
+    # every token of every doc appears in at least one chunk
+    assert sum(r.chunk_len for r in out if r.doc_id == 1) >= 10
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
