@@ -2170,7 +2170,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never in any window, (b) the 8 rows-only entries whose last
     # driver record is r1/r2, (c) the 4 oracled entries whose last
     # record is r2, (d) the 8 new TPC-H queries completing the 22/22
-    # sweep, (e) 26 refreshes of the core relational tier last recorded
+    # sweep, (e) 21 refreshes of the core relational tier last recorded
+    # in r3, (f) the 5 round-5 additions (mixture_rebalance,
+    # split_leakage, ann_filtered_grouped_topk, dedup_survivorship,
+    # doc_chunking) in place of 5 trivial set-op/sort refreshes,
     # in r3 — after this round every query's newest driver record is
     # ≤2 rounds old and the r1-r5 union covers all queries.
     # test_contract.py pins the window membership so an insertion can't
@@ -2221,22 +2224,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys_topk": q_hot_keys_topk,
         "rollup_metrics": q_rollup_metrics,
         "cube_metrics": q_cube_metrics,
-        "collect_list_ordered": q_collect_list_ordered,
         "window_lag_gap": q_window_lag_gap,
         "window_rank_argmax": q_window_rank_argmax,
         "window_running_sum": q_window_running_sum,
         "window_moving_avg": q_window_moving_avg,
         "sessionize": q_sessionize,
+        "curation_funnel": q_curation_funnel,
+        "span_dedup": q_span_dedup,
+        "interval_overlap_join": q_interval_overlap_join,
+        # (f) round-5 additions — in the window so the FINAL official
+        # record covers them (displacing 5 trivial set-op/sort entries
+        # whose r3-green records stand and whose semantics are the
+        # least informative to re-check)
+        "mixture_rebalance": q_mixture_rebalance,
+        "split_leakage": q_split_leakage,
+        "ann_filtered_grouped_topk": q_ann_filtered_grouped_topk,
+        "dedup_survivorship": q_dedup_survivorship,
+        "doc_chunking": q_doc_chunking,
+        # --- end of driver window ---------------------------------
+        # everything below carries a driver-green (or by-design
+        # rows-only) record from r3/r4 — newest record ≤2 rounds old
         "global_sort_topn": q_global_sort_topn,
         "union_all": q_union_all,
         "intersect_keys": q_intersect_keys,
         "except_keys": q_except_keys,
-        "curation_funnel": q_curation_funnel,
-        "span_dedup": q_span_dedup,
-        "interval_overlap_join": q_interval_overlap_join,
-        # --- end of driver window ---------------------------------
-        # everything below carries a driver-green (or by-design
-        # rows-only) record from r3/r4 — newest record ≤2 rounds old
+        "collect_list_ordered": q_collect_list_ordered,
         "tpch_q4": q_tpch_q4,
         "tpch_q21": q_tpch_q21,
         "tpch_q11": q_tpch_q11,
@@ -2311,11 +2323,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "char_entropy": q_char_entropy,
         "snapshot_diff": q_snapshot_diff,
-        "mixture_rebalance": q_mixture_rebalance,
-        "split_leakage": q_split_leakage,
-        "ann_filtered_grouped_topk": q_ann_filtered_grouped_topk,
-        "dedup_survivorship": q_dedup_survivorship,
-        "doc_chunking": q_doc_chunking,
     }
 
 
