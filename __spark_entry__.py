@@ -2163,6 +2163,48 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("media_id")
 
 
+def q_graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop neighborhood extraction (fixed k=2 frontier BFS) over the
+    bipartite user<->event-type graph — the subgraph pull a KG serving
+    layer runs per query entity. Seed = user node 'u:0'; ``hops`` is
+    the true minimum hop distance (0/1/2). Per level: ONE equi-join +
+    ONE distinct + ONE anti-join, all hash-partitioned on node id; the
+    fixed k keeps the computation SQL-expressible (oracle unrolls the
+    same two levels with NOT-IN guards)."""
+    from morra_spark.operators.components import khop_reach
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (ev.select(
+        F.concat(F.lit("u:"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"))
+        .distinct())
+    seeds = spark.createDataFrame([("u:0",)], "node string")
+    return khop_reach(edges, seeds, k=2).orderBy("hops", "node")
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered deterministic negative sampling for KG-embedding
+    training over a TPC-H-derived positive triple set (customer
+    -ordered-> part on a 1-in-97 order subset): 2 corruptions per
+    positive via dense-vocab index shift by an engine-portable md5 mix,
+    false negatives dropped by a co-keyed LEFT ANTI against the
+    positives. Fact-side plan: two broadcast joins + map-side md5 +
+    one anti-join exchange."""
+    from morra_spark.operators.kg_graph import negative_samples
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    li = _t(spark, sf_dir, "lineitem")
+    pos = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+           .select(F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+                   .alias("subj"),
+                   F.lit("ordered").alias("pred"),
+                   F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+                   .alias("obj"))
+           .distinct())
+    return (negative_samples(pos, n_neg=2)
+            .orderBy("subj", "neg_obj", "r"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER IS LOAD-BEARING (VERDICT r3 #1): the driver's
     # correctness gate checks the FIRST 50 entries only. Round-5 window
@@ -2323,6 +2365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         "char_entropy": q_char_entropy,
         "snapshot_diff": q_snapshot_diff,
+        "graph_khop_reach": q_graph_khop_reach,
+        "kg_negative_samples": q_kg_negative_samples,
     }
 
 
@@ -4275,5 +4319,55 @@ def oracle_sql() -> dict[str, str]:
             FROM per a JOIN per b ON a.fp = b.fp AND a.split < b.split
             GROUP BY a.split, b.split
             ORDER BY split_a, split_b
+        """,
+        "graph_khop_reach": """
+            WITH e0 AS (SELECT DISTINCT
+                            'u:' || CAST(user_id AS VARCHAR) AS src,
+                            't:' || event_type AS dst
+                        FROM events),
+            edges AS (SELECT src AS a, dst AS b FROM e0
+                      UNION SELECT dst, src FROM e0),
+            h0 AS (SELECT 'u:0' AS node),
+            h1 AS (SELECT DISTINCT e.b AS node
+                   FROM h0 JOIN edges e ON e.a = h0.node
+                   WHERE e.b NOT IN (SELECT node FROM h0)),
+            h2 AS (SELECT DISTINCT e.b AS node
+                   FROM h1 JOIN edges e ON e.a = h1.node
+                   WHERE e.b NOT IN (SELECT node FROM h0
+                                     UNION ALL SELECT node FROM h1))
+            SELECT node, CAST(hops AS INT) AS hops FROM (
+                SELECT node, 0 AS hops FROM h0
+                UNION ALL SELECT node, 1 FROM h1
+                UNION ALL SELECT node, 2 FROM h2)
+            ORDER BY hops, node
+        """,
+        "kg_negative_samples": """
+            WITH pos AS (SELECT DISTINCT
+                    'c:' || CAST(o.o_custkey AS VARCHAR) AS subj,
+                    'ordered' AS pred,
+                    'p:' || CAST(l.l_partkey AS VARCHAR) AS obj
+                FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE o.o_orderkey % 97 = 0),
+            vocab AS (SELECT obj AS ent,
+                             ROW_NUMBER() OVER (ORDER BY obj) - 1 AS idx
+                      FROM (SELECT DISTINCT obj FROM pos)),
+            m AS (SELECT COUNT(*) AS m FROM vocab),
+            mixed AS (SELECT p.subj, p.pred, v.idx, m.m,
+                    (CAST('0x' || SUBSTRING(
+                         MD5(p.subj || '|' || p.pred), 1, 15) AS BIGINT)
+                     % (m.m - 1)) + 1 AS mix
+                FROM pos p JOIN vocab v ON v.ent = p.obj CROSS JOIN m),
+            negs AS (SELECT subj, pred, r.r,
+                            (idx + mix * r.r) % m AS nidx
+                     FROM mixed CROSS JOIN
+                          (SELECT UNNEST([1, 2]) AS r) r),
+            cand AS (SELECT n.subj, n.pred, v.ent AS neg_obj,
+                            CAST(n.r AS INT) AS r
+                     FROM negs n JOIN vocab v ON v.idx = n.nidx)
+            SELECT c.subj, c.pred, c.neg_obj, c.r
+            FROM cand c LEFT JOIN pos p
+              ON p.subj = c.subj AND p.pred = c.pred AND p.obj = c.neg_obj
+            WHERE p.obj IS NULL
+            ORDER BY c.subj, c.neg_obj, c.r
         """,
     }

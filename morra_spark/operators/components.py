@@ -142,6 +142,51 @@ def pagerank_fixed(pairs: DataFrame, src: str = "src", dst: str = "dst",
                         F.round("pr", round_to).alias("pr"))
 
 
+def khop_reach(pairs: DataFrame, seeds: DataFrame, k: int = 2,
+               src: str = "src", dst: str = "dst",
+               seed_col: str = "node") -> DataFrame:
+    """Fixed-k BFS frontier expansion — the k-hop neighborhood extractor
+    a KG serving layer runs to pull a query entity's local subgraph
+    (RAG context assembly, link-prediction candidate generation, GNN
+    sampling). Returns ``(node, hops)`` where ``hops`` is the MINIMUM
+    hop distance (0..k) from any seed over the symmetrized edge set;
+    nodes farther than ``k`` hops are absent.
+
+    Algorithm: classic frontier BFS — per level, ONE equi-join
+    (frontier ⋈ edges) + ONE distinct + ONE anti-join against the
+    visited set. Correctness of ``hops`` as a true shortest-path
+    distance falls out of frontier order: a node is claimed by the
+    FIRST level that reaches it and the anti-join bars re-claims.
+
+    A FIXED small ``k`` keeps the whole computation SQL-expressible
+    (the DuckDB oracle unrolls the same k levels as chained CTEs with
+    NOT-IN guards) and keeps lineage shallow — no per-round checkpoint
+    needed, unlike the open-ended ``connected_components`` loop.
+
+    100 TB shape: every step is a hash equi-join / distinct on node id
+    — no windows, no driver state, no collect; the visited set stays
+    distributed and grows monotonically. Hub-node fan-out is bounded by
+    the per-level ``distinct`` (a neighbor reached via 10^6 parallel
+    paths shuffles once per level, not 10^6 times, thanks to map-side
+    partial aggregation of the distinct). For billion-edge graphs the
+    frontier join partitioning (on ``a``) is reused level to level.
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"))).distinct()
+    visited = (seeds.select(F.col(seed_col).alias("node")).distinct()
+               .withColumn("hops", F.lit(0)))
+    frontier = visited.select("node")
+    for level in range(1, k + 1):
+        nxt = (frontier.join(edges, frontier["node"] == edges["a"])
+               .select(F.col("b").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(level)))
+        visited = visited.unionByName(nxt)
+        frontier = nxt.select("node")
+    return visited.select("node", F.col("hops").cast("int").alias("hops"))
+
+
 def dedup_survivors(pairs: DataFrame, docs: DataFrame,
                     id_col: str = "doc_id", src: str = "src",
                     dst: str = "dst") -> DataFrame:

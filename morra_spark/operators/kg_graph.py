@@ -106,6 +106,67 @@ def graph_nodes(triples: DataFrame) -> DataFrame:
                     .alias("in_degree")))
 
 
+def negative_samples(positives: DataFrame, n_neg: int = 1,
+                     subj: str = "subj", pred: str = "pred",
+                     obj: str = "obj") -> DataFrame:
+    """Filtered deterministic negative sampling — the corrupt-triple
+    generator KG-embedding training (TransE/DistMult-style) needs next
+    to every positive triple table. For each positive (s, p, o) emit
+    ``n_neg`` corrupted triples (s, p, o') with o' drawn from the
+    object vocabulary, then drop FALSE negatives (corruptions that
+    collide with a real positive — 'filtered' protocol, Bordes et al.).
+
+    Determinism (and hence SQL-oracle replay) instead of RNG: the
+    object vocabulary gets a dense sort-rank index 0..M-1, and sample
+    ``r`` for a positive at index ``i`` is the entity at
+    ``(i + mix(s, p) * r) % M``, where ``mix`` is the repo's
+    engine-portable md5 integer reduced to [1, M-1]. The self-collision
+    (o' = o) needs no special case: (s, p, o) is itself a positive, so
+    the filter join removes it.
+
+    100 TB shape: the vocabulary is entity-dim-sized — orders smaller
+    than the triple table — so the rank window runs on the DIM side
+    (its single-partition sort is a vocab-sized op, never applied to
+    the fact table; at extreme vocab sizes swap in a two-level
+    zipWithIndex-style ranking) and the (idx -> entity) map BROADCASTS
+    to both the positive-indexing join and the negative-resolution
+    join. The fact-side work is two broadcast joins + one map-side
+    md5 + the final LEFT ANTI against positives, co-keyed on
+    (subj, pred, obj) — no shuffle carries more than key columns, and
+    the anti-join is the only fact-fact exchange.
+
+    Returns (subj, pred, neg_obj, r) — one row per surviving
+    corruption, r in 1..n_neg.
+    """
+    from pyspark.sql import Window
+
+    key = [subj, pred, obj]
+    pos = positives.select(*key).distinct()
+    vocab = (pos.select(F.col(obj).alias("_ent")).distinct()
+             .withColumn("idx", F.row_number().over(
+                 Window.orderBy("_ent")) - 1))
+    m = vocab.agg(F.count(F.lit(1)).alias("_m"))  # 1-row broadcast, no collect
+    mix = (F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.col(subj), F.col(pred))), 1, 15), 16, 10)
+        .cast("long") % (F.col("_m") - 1) + 1)
+    indexed = (pos
+               .join(F.broadcast(vocab.withColumnRenamed("_ent", obj)), obj)
+               .crossJoin(F.broadcast(m))
+               .withColumn("_mix", mix)
+               .withColumn("r", F.explode(F.sequence(F.lit(1),
+                                                     F.lit(int(n_neg)))))
+               .withColumn("_nidx",
+                           (F.col("idx") + F.col("_mix") * F.col("r"))
+                           % F.col("_m")))
+    resolve = vocab.select(F.col("idx").alias("_nidx"),
+                           F.col("_ent").alias("neg_obj"))
+    cand = (indexed.join(F.broadcast(resolve), "_nidx")
+            .select(subj, pred, "neg_obj", "r"))
+    return cand.join(
+        pos.withColumnRenamed(obj, "neg_obj"),
+        [subj, pred, "neg_obj"], "left_anti")
+
+
 def materialize_graph(triples: DataFrame, out_dir: str,
                       n_parts: int = 16) -> dict:
     """Write nodes/ and edges/ parquet under ``out_dir``.

@@ -697,3 +697,39 @@ def test_chunk_documents_overlap_and_edges(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_khop_reach_path_graph_true_distances(spark):
+    from morra_spark.operators.components import khop_reach
+
+    # path a-b-c-d-e, seed a, k=2: only a(0), b(1), c(2); d, e absent
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.hops for r in khop_reach(edges, seeds, k=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}
+
+
+def test_khop_reach_multi_seed_takes_min_distance(spark):
+    from morra_spark.operators.components import khop_reach
+
+    # same path, seeds {a, e}: c is 2 hops from both; d claims hop 1
+    # from e even though it is 3 from a — min over seeds wins
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("e",)], "node string")
+    out = {r.node: r.hops for r in khop_reach(edges, seeds, k=2).collect()}
+    assert out == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+
+def test_khop_reach_ignores_edge_direction_and_duplicates(spark):
+    from morra_spark.operators.components import khop_reach
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("b", "a"), ("a", "b"), ("c", "b")],
+        "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    out = {r.node: r.hops for r in khop_reach(edges, seeds, k=2).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2}

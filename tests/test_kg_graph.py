@@ -134,3 +134,52 @@ def test_materialize_roundtrip_and_determinism(spark, triples, tmp_path):
                                                   res["n_nodes"])
     nodes2 = spark.read.parquet(res["nodes_dir"]).orderBy("entity").collect()
     assert nodes1 == nodes2
+
+
+def test_negative_samples_filtered_and_deterministic(spark):
+    from morra_spark.operators.kg_graph import negative_samples
+
+    # 3 subjects x a 5-object vocabulary; s1 asserts 3 of the 5 objects
+    # so some corruptions MUST collide with positives and be filtered
+    pos_rows = [("s1", "p", "o1"), ("s1", "p", "o2"), ("s1", "p", "o3"),
+                ("s2", "p", "o4"), ("s3", "p", "o5")]
+    pos = spark.createDataFrame(pos_rows, "subj string, pred string, obj string")
+    out = negative_samples(pos, n_neg=2)
+    rows = [(r.subj, r.pred, r.neg_obj, r.r) for r in out.collect()]
+    # (a) no emitted negative is a positive
+    assert not ({(s, p, o) for s, p, o, _ in rows}
+                & set(pos_rows)), rows
+    # (b) every negative object comes from the positive-object vocab
+    vocab = {o for _, _, o in pos_rows}
+    assert all(o in vocab for _, _, o, _ in rows)
+    # (c) at most n_pos * n_neg rows, and collisions were actually
+    # dropped (s1 has 3/5 of the vocab as positives, so across its 6
+    # corruption slots at least one collision is guaranteed)
+    assert len(rows) < len(pos_rows) * 2
+    # (d) bit-stable across re-runs (no RNG anywhere)
+    rows2 = [(r.subj, r.pred, r.neg_obj, r.r)
+             for r in negative_samples(pos, n_neg=2).collect()]
+    assert sorted(rows) == sorted(rows2)
+
+
+def test_negative_samples_r1_always_survives_disjoint_subjects(spark):
+    from morra_spark.operators.kg_graph import negative_samples
+
+    # 4 subjects each asserting ONE distinct object: vocab M=4, mix in
+    # [1, M-1] = [1,3]. The r=1 corruption (idx+mix)%4 can never hit the
+    # subject's own object (mix != 0 mod 4) nor another positive (other
+    # positives have different subjects), so all 4 r=1 slots MUST
+    # survive. The r=2 slot self-collides exactly when mix = 2
+    # ((idx + 2*2) % 4 = idx) — allowed to be filtered, never emitted
+    # as a positive.
+    pos = spark.createDataFrame(
+        [("s", "p", "o1"), ("t", "p", "o2"), ("u", "p", "o3"),
+         ("v", "p", "o4")],
+        "subj string, pred string, obj string")
+    out = [(r.subj, r.neg_obj, r.r)
+           for r in negative_samples(pos, n_neg=2).collect()]
+    r1 = {s for s, _, r in out if r == 1}
+    assert r1 == {"s", "t", "u", "v"}
+    own = {"s": "o1", "t": "o2", "u": "o3", "v": "o4"}
+    assert all(own[s] != o for s, o, _ in out)
+    assert 4 <= len(out) <= 8

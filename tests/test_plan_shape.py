@@ -563,3 +563,22 @@ def test_filtered_ann_pushes_predicate_to_scan(spark):
     assert any("label" in ln and "IN (1,3,5)" in ln.replace("#", "")
                or "label" in ln and "DataFilters: [label" in ln
                for ln in scan_lines), plan
+
+
+def test_negative_samples_vocab_joins_broadcast(spark):
+    """The corrupt-triple generator's vocab joins are hint-pinned
+    broadcasts, the rank window / count aggregate are the only
+    single-partition exchanges (dim-sized vocab, never the fact side),
+    and there is no Python anywhere in the plan."""
+    from morra_spark.operators.kg_graph import negative_samples
+
+    pos = spark.range(200).select(
+        F.concat(F.lit("s"), (F.col("id") % 50).cast("string")).alias("subj"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("o"), (F.col("id") % 37).cast("string")).alias("obj"))
+    plan = _spark_plan(negative_samples(pos, n_neg=2))
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # idx + resolve (hinted)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+    # 3 = the vocab rank window planned under each of its two broadcast
+    # consumers + the 1-row count aggregate — all on the dim side
+    assert len(re.findall(r"Exchange SinglePartition", plan)) <= 3, plan
