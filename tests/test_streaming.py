@@ -580,3 +580,89 @@ def test_stream_stream_tool_join_matches_batch(spark, fixture_dir,
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert got.count() == want.count() > 0
+
+
+def _triples_fixture(spark, path, rows):
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, pred string,"
+              " obj string, subj_ne string, obj_ne string")
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_edge_rollup_matches_batch_merge(spark, tmp_path):
+    """Delta-then-compact edge maintenance: streaming per-batch deltas,
+    folded at read time, must equal the batch edge aggregate (mergeable
+    columns) over the full input — across micro-batch boundaries that
+    SPLIT an edge's supporting triples."""
+    from morra_spark.streaming.graph import (compact_edges, edge_deltas,
+                                             read_edge_rollup,
+                                             start_streaming_edge_rollup)
+
+    src = str(tmp_path / "triples")
+    # file 1 and file 2 both assert (a, likes, b) — the merge must SUM
+    # weights and take min/max turns across batches
+    _triples_fixture(spark, src, [
+        ("c1", 1, "a", "likes", "b", "PER", "PER"),
+        ("c1", 2, "a", "likes", "b", "PER", "PER"),
+        ("c1", 3, "b", "knows", "c", "PER", "ORG")])
+    _triples_fixture(spark, src, [
+        ("c2", 9, "a", "likes", "b", "PER", "PER"),
+        ("c2", 1, "c", "in", "d", "ORG", "LOC")])
+    gdir = str(tmp_path / "graph")
+    q = start_streaming_edge_rollup(
+        spark, triples_path=src, graph_dir=gdir,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_available_now=True)
+    q.awaitTermination(120)
+
+    def key(df):
+        return sorted(map(tuple, df.select(
+            "subj", "pred", "obj", "weight", "first_turn", "last_turn")
+            .collect()))
+
+    expect = key(edge_deltas(spark.read.parquet(src)))
+    assert key(read_edge_rollup(spark, gdir)) == expect
+    assert ("a", "likes", "b", 3, 1, 9) in expect  # split edge folded
+
+    # compaction folds deltas into the base without changing the answer
+    assert compact_edges(spark, gdir) >= 1
+    assert key(read_edge_rollup(spark, gdir)) == expect
+    assert compact_edges(spark, gdir) == 0  # nothing pending → no-op
+
+
+def test_streaming_edge_rollup_restart_processes_only_new_files(spark,
+                                                                tmp_path):
+    """Restart from the same checkpoint after compaction + new arrivals:
+    already-processed files must not re-add weight (the batch_id
+    overwrite + source checkpoint give exactly-once), and the rollup
+    equals a full batch recompute over everything seen."""
+    from morra_spark.streaming.graph import (compact_edges, edge_deltas,
+                                             read_edge_rollup,
+                                             start_streaming_edge_rollup)
+
+    src = str(tmp_path / "triples")
+    _triples_fixture(spark, src, [
+        ("c1", 1, "x", "p", "y", "PER", "PER")])
+    gdir = str(tmp_path / "graph")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_streaming_edge_rollup(spark, triples_path=src, graph_dir=gdir,
+                                    checkpoint_location=ckpt,
+                                    trigger_available_now=True)
+    q.awaitTermination(120)
+    compact_edges(spark, gdir)  # fold run 1 into the base
+
+    _triples_fixture(spark, src, [
+        ("c2", 5, "x", "p", "y", "PER", "PER"),
+        ("c2", 6, "y", "q", "z", "PER", "LOC")])
+    q2 = start_streaming_edge_rollup(spark, triples_path=src, graph_dir=gdir,
+                                     checkpoint_location=ckpt,
+                                     trigger_available_now=True)
+    q2.awaitTermination(120)
+
+    got = {(r.subj, r.pred, r.obj): (r.weight, r.first_turn, r.last_turn)
+           for r in read_edge_rollup(spark, gdir).collect()}
+    assert got == {("x", "p", "y"): (2, 1, 5), ("y", "q", "z"): (1, 6, 6)}
+    # parity with a from-scratch batch aggregate over the same input
+    batch = {(r.subj, r.pred, r.obj): (r.weight, r.first_turn, r.last_turn)
+             for r in edge_deltas(spark.read.parquet(src)).collect()}
+    assert got == batch
