@@ -2205,6 +2205,45 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("subj", "neg_obj", "r"))
 
 
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution / surface-form canonicalization (the north
+    rule's "canonicalization" step generalized to fuzzy variants): part
+    names plus deterministic typo'd twins (last char dropped for every
+    7th part, id-shifted) resolve to canonical entities via
+    normalize → two-key blocking (prefix-4 + head token, per-key cap
+    200) → length-prefiltered levenshtein<=1 → pointer-jumped connected
+    components. ALL quadratic-ish work runs at the distinct-surface-form
+    grain (vocab-sized), never the mention grain; the oracle replays
+    the identical blocking + edit distance + a recursive-CTE closure."""
+    from morra_spark.operators.entity_resolution import resolve_entities
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    var = (p.filter(F.col("p_partkey") % 7 == 0)
+           .select((F.col("p_partkey") + 1000000).alias("p_partkey"),
+                   F.expr("substring(p_name, 1, length(p_name) - 1)")
+                   .alias("p_name")))
+    ents = p.unionByName(var)
+    return (resolve_entities(ents, id_col="p_partkey", name_col="p_name",
+                             max_dist=1, block_cap=200)
+            .orderBy("entity_id"))
+
+
+def q_kg_fusion_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge fusion for a functional predicate: each user's
+    conflicting event_type assertions resolve to ONE value by
+    recency-decayed vote (weight exp(-age_days/7) vs the corpus anchor
+    = max ts, integer day ages so both engines feed exp identical
+    arguments; argmax over micro-unit-quantized scores, ties to the
+    smallest object). One partial-aggregating groupBy on (subj, obj)
+    then a subject window over the vastly smaller candidate grain."""
+    from morra_spark.operators.kg_graph import resolve_functional
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return (resolve_functional(ev, subj="user_id", obj="event_type",
+                               ts="ts", tau_days=7.0)
+            .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER IS LOAD-BEARING (VERDICT r3 #1): the driver's
     # correctness gate checks the FIRST 50 entries only. Round-5 window
@@ -2264,8 +2303,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_skew_join": q_salted_skew_join,
         "distinct_agg": q_distinct_agg,
         "hot_keys_topk": q_hot_keys_topk,
-        "rollup_metrics": q_rollup_metrics,
-        "cube_metrics": q_cube_metrics,
         "window_lag_gap": q_window_lag_gap,
         "window_rank_argmax": q_window_rank_argmax,
         "window_running_sum": q_window_running_sum,
@@ -2283,7 +2320,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered_grouped_topk": q_ann_filtered_grouped_topk,
         "dedup_survivorship": q_dedup_survivorship,
         "doc_chunking": q_doc_chunking,
+        # (g) final-session additions: entity resolution + knowledge
+        # fusion (displacing rollup/cube — r3-green, and the grouping
+        # family stays covered by grouping_sets_metrics, green r4)
+        "entity_resolution": q_entity_resolution,
+        "kg_fusion_resolve": q_kg_fusion_resolve,
         # --- end of driver window ---------------------------------
+        "rollup_metrics": q_rollup_metrics,
+        "cube_metrics": q_cube_metrics,
         # everything below carries a driver-green (or by-design
         # rows-only) record from r3/r4 — newest record ≤2 rounds old
         "global_sort_topn": q_global_sort_topn,
@@ -4369,5 +4413,76 @@ def oracle_sql() -> dict[str, str]:
               ON p.subj = c.subj AND p.pred = c.pred AND p.obj = c.neg_obj
             WHERE p.obj IS NULL
             ORDER BY c.subj, c.neg_obj, c.r
+        """,
+        "entity_resolution": """
+            WITH RECURSIVE
+            base AS (
+                SELECT p_partkey AS entity_id, p_name AS name FROM part
+                UNION ALL
+                SELECT p_partkey + 1000000,
+                       SUBSTR(p_name, 1, CAST(LENGTH(p_name) - 1 AS INT))
+                FROM part WHERE p_partkey % 7 = 0),
+            ids AS (SELECT entity_id, name,
+                           TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                               LOWER(name), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm
+                    FROM base),
+            forms AS (SELECT DISTINCT norm FROM ids),
+            b1 AS (SELECT norm, SUBSTR(norm, 1, 4) AS bk FROM forms
+                   QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 200),
+            b2 AS (SELECT norm,
+                          REGEXP_EXTRACT(norm, '[a-z0-9]+$', 0) AS bk
+                   FROM forms
+                   QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 200),
+            p1 AS (SELECT a.norm AS na, b.norm AS nb FROM b1 a JOIN b1 b
+                   ON a.bk = b.bk AND a.norm < b.norm
+                   AND ABS(LENGTH(a.norm) - LENGTH(b.norm)) <= 1
+                   AND levenshtein(a.norm, b.norm) <= 1),
+            p2 AS (SELECT a.norm AS na, b.norm AS nb FROM b2 a JOIN b2 b
+                   ON a.bk = b.bk AND a.norm < b.norm
+                   AND ABS(LENGTH(a.norm) - LENGTH(b.norm)) <= 1
+                   AND levenshtein(a.norm, b.norm) <= 1),
+            pairs AS (SELECT na, nb FROM p1 UNION SELECT na, nb FROM p2),
+            edges AS (SELECT na AS a, nb AS b FROM pairs
+                      UNION SELECT nb, na FROM pairs),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT reach.node, e.b FROM reach
+                JOIN edges e ON e.a = reach.r),
+            comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node),
+            canon AS (SELECT f.norm, COALESCE(c.c, f.norm) AS canon_name
+                      FROM forms f LEFT JOIN comp c ON f.norm = c.node),
+            mapped AS (SELECT i.entity_id, i.name, cn.canon_name
+                       FROM ids i JOIN canon cn ON i.norm = cn.norm),
+            cl AS (SELECT canon_name, MIN(entity_id) AS canon_id,
+                          COUNT(*) AS cluster_size
+                   FROM mapped GROUP BY canon_name)
+            SELECT m.entity_id, m.name, cl.canon_id, m.canon_name,
+                   cl.cluster_size
+            FROM mapped m JOIN cl ON m.canon_name = cl.canon_name
+            ORDER BY m.entity_id
+        """,
+        "kg_fusion_resolve": """
+            WITH a AS (SELECT MAX(ts) AS anchor FROM events),
+            w AS (SELECT user_id, event_type,
+                         EXP(-FLOOR(DATE_DIFF('second', ts,
+                                 (SELECT anchor FROM a)) / 86400.0)
+                             / 7.0) AS wt
+                  FROM events),
+            s AS (SELECT user_id, event_type, SUM(wt) AS score,
+                         COUNT(*) AS votes
+                  FROM w GROUP BY 1, 2),
+            r AS (SELECT user_id, event_type, score, votes,
+                         SUM(score) OVER (PARTITION BY user_id) AS total,
+                         COUNT(*) OVER (PARTITION BY user_id)
+                             AS n_candidates,
+                         ROW_NUMBER() OVER (PARTITION BY user_id
+                             ORDER BY CAST(ROUND(score * 1e6) AS BIGINT)
+                                      DESC, event_type) AS rn
+                  FROM s)
+            SELECT user_id, event_type, ROUND(score, 6) AS score, votes,
+                   ROUND(score / total, 6) AS support, n_candidates
+            FROM r WHERE rn = 1 ORDER BY user_id
         """,
     }

@@ -167,6 +167,68 @@ def negative_samples(positives: DataFrame, n_neg: int = 1,
         [subj, pred, "neg_obj"], "left_anti")
 
 
+def resolve_functional(assertions: DataFrame, subj: str, obj: str,
+                       ts: str = "ts", tau_days: float = 7.0,
+                       round_to: int = 6) -> DataFrame:
+    """Knowledge fusion for a functional predicate: one resolved object
+    per subject, by recency-decayed vote.
+
+    A transcript corpus asserts conflicting values for single-valued
+    facts ("user's current plan", "entity's type") — mentions pile up
+    over months and the NEWEST evidence should outweigh stale bulk.
+    Each assertion votes with weight ``exp(-age_days / tau_days)``
+    (age in whole days before the corpus anchor = the newest assertion
+    anywhere, so the job is deterministic and re-runnable); per
+    (subj, obj) the votes sum, and the subject resolves to the object
+    with the highest decayed score (ties broken by the
+    lexicographically smallest object — a fixed, engine-stable rule).
+
+    Determinism across engines: the age is an INTEGER day count
+    (``floor(seconds / 86400)``) so the ``exp`` argument is identical
+    bit-for-bit on both sides, and the argmax orders by the score
+    quantized to micro-units (``round(score * 1e6)`` as a long) —
+    double summation-order noise (~1e-10 relative) can never flip the
+    winner, and both engines pick the same row.
+
+    100 TB shape: ONE partial-aggregating groupBy on (subj, obj) —
+    map-side combine absorbs hot subjects — then a subject-keyed window
+    over the (subj, obj) grain, which is orders smaller than the
+    assertion table. No window ever touches raw assertions.
+
+    Returns (subj, resolved obj, score, votes, support, n_candidates):
+    ``support`` = winner's share of the subject's total decayed score,
+    ``n_candidates`` = number of distinct objects asserted.
+    """
+    from pyspark.sql import Window
+
+    anchor = assertions.agg(F.max(ts).alias("_anchor"))  # 1-row broadcast
+    weighted = (assertions
+                .crossJoin(F.broadcast(anchor))
+                .withColumn("_age_d", F.floor(
+                    (F.unix_timestamp("_anchor") - F.unix_timestamp(ts))
+                    / F.lit(86400.0)))
+                .withColumn("_w", F.exp(-F.col("_age_d")
+                                        / F.lit(float(tau_days)))))
+    scored = weighted.groupBy(subj, obj).agg(
+        F.sum("_w").alias("_score"),
+        F.count(F.lit(1)).alias("votes"))
+    w_subj = Window.partitionBy(subj)
+    ranked = (scored
+              .withColumn("_score_u",
+                          F.round(F.col("_score") * 1e6).cast("long"))
+              .withColumn("_total", F.sum("_score").over(w_subj))
+              .withColumn("n_candidates", F.count(F.lit(1)).over(w_subj))
+              .withColumn("_rn", F.row_number().over(
+                  w_subj.orderBy(F.col("_score_u").desc(), F.col(obj)))))
+    return (ranked.filter(F.col("_rn") == 1)
+            .select(subj, obj,
+                    F.round("_score", round_to).alias("score"),
+                    "votes",
+                    F.round(F.col("_score") / F.col("_total"),
+                            round_to).alias("support"),
+                    "n_candidates"))
+
+
 def materialize_graph(triples: DataFrame, out_dir: str,
                       n_parts: int = 16) -> dict:
     """Write nodes/ and edges/ parquet under ``out_dir``.

@@ -79,7 +79,7 @@ def test_driver_window_holds_the_intended_first_50():
         "hash_agg", "broadcast_join_dim", "sortmerge_join",
         "semi_join", "anti_join", "range_join", "tool_alignment",
         "asof_latest", "salted_skew_join", "distinct_agg",
-        "hot_keys_topk", "rollup_metrics", "cube_metrics",
+        "hot_keys_topk",
         "window_lag_gap", "window_rank_argmax",
         "window_running_sum", "window_moving_avg", "sessionize",
         "curation_funnel", "span_dedup",
@@ -89,6 +89,10 @@ def test_driver_window_holds_the_intended_first_50():
         "mixture_rebalance", "split_leakage",
         "ann_filtered_grouped_topk", "dedup_survivorship",
         "doc_chunking",
+        # (g) final-session additions: entity resolution + knowledge
+        # fusion (displacing rollup/cube — r3-green, and the grouping
+        # family stays covered by grouping_sets_metrics, green r4)
+        "entity_resolution", "kg_fusion_resolve",
     }
     assert len(expected) == 50
     assert set(window) == expected, (

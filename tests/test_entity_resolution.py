@@ -1,0 +1,129 @@
+"""Entity resolution (operators/entity_resolution.py) and knowledge
+fusion (kg_graph.resolve_functional) unit tests: merge semantics,
+determinism under repartitioning, block-cap quadratic guard, recency
+decay actually changing the outcome, and idempotency on the fixture KG
+node vocabulary."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from morra_spark.operators.entity_resolution import resolve_entities
+from morra_spark.operators.kg_graph import resolve_functional
+
+
+def _ents(spark, rows):
+    return spark.createDataFrame(rows, "entity_id long, name string")
+
+
+def _resolved(spark, rows, **kw):
+    out = resolve_entities(_ents(spark, rows), **kw).collect()
+    return {r.entity_id: r for r in out}
+
+
+def test_exact_and_fuzzy_merge(spark):
+    got = _resolved(spark, [
+        (1, "Acme Corp"),           # exact dup of 2 after normalize
+        (2, "acme  corp."),
+        (3, "Acme Cor"),            # dist 1 from "acme corp"
+        (4, "Zebra Systems"),       # unrelated singleton
+    ])
+    assert got[1].canon_id == got[2].canon_id == got[3].canon_id == 1
+    assert got[1].canon_name == "acme cor"  # lexicographic min form
+    assert got[1].cluster_size == 3
+    assert got[4].canon_id == 4 and got[4].cluster_size == 1
+
+
+def test_transitive_chain_merges(spark):
+    # "alpha xyz" ~ "alpha xy" ~ "alpha x" (dist-1 hops sharing the
+    # prefix-4 block) — the endpoints are dist 2 apart, only reachable
+    # transitively through the connected-components closure
+    got = _resolved(spark, [(1, "alpha xyz"), (2, "alpha xy"),
+                            (3, "alpha x")])
+    assert got[1].canon_id == got[2].canon_id == got[3].canon_id == 1
+    assert got[1].canon_name == "alpha x"
+    assert got[1].cluster_size == 3
+
+
+def test_distance_bound_respected(spark):
+    got = _resolved(spark, [(1, "alpha"), (2, "alzzz")])  # dist 3
+    assert got[1].canon_id != got[2].canon_id
+
+
+def test_block_cap_disables_fuzzy_but_not_exact(spark):
+    # 12 forms sharing prefix-4 AND head token; cap 10 → no fuzzy pairs
+    rows = [(i, f"widget{i}") for i in range(12)]
+    rows += [(100, "widget0"), (101, "widget0")]  # exact dups survive
+    got = _resolved(spark, rows, block_cap=10)
+    assert got[0].canon_id == got[100].canon_id == got[101].canon_id == 0
+    assert got[0].cluster_size == 3
+    assert got[1].cluster_size == 1  # fuzzy merge suppressed by cap
+
+
+def test_partitioning_invariance(spark):
+    rows = [(i, n) for i, n in enumerate(
+        ["red widget", "red widge", "red widgets", "blue bolt",
+         "blue  bolt", "BLUE BOLT.", "green gear", "green gea"])]
+    base = resolve_entities(_ents(spark, rows)).orderBy("entity_id")
+    shuffled = resolve_entities(
+        _ents(spark, rows).repartition(7)).orderBy("entity_id")
+    assert base.collect() == shuffled.collect()
+
+
+def test_resolution_idempotent_on_canon_names(spark):
+    rows = [(1, "Acme Corp"), (2, "acme cor"), (3, "zebra sys"),
+            (4, "zebra syst")]
+    first = resolve_entities(_ents(spark, rows))
+    canon = (first.select(F.col("canon_id").alias("entity_id"),
+                          F.col("canon_name").alias("name"))
+             .distinct())
+    second = resolve_entities(canon).collect()
+    # resolving already-canonical forms is identity... unless two canon
+    # forms are themselves near-dups — not the case here by construction
+    assert all(r.canon_name == r.name and r.cluster_size == 1
+               for r in second)
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2024, 1, day, hour)
+
+
+def test_fusion_recency_beats_stale_majority(spark):
+    # user 1: 3 stale 'basic' votes (60 days old, weight ~ 3*e^-60/7
+    # ~ 0.0006) vs 1 fresh 'pro' vote (weight 1) → pro wins despite
+    # losing the raw majority
+    rows = ([(1, "basic", _ts(1))] * 3
+            + [(1, "pro", dt.datetime(2024, 3, 1))]
+            + [(2, "basic", dt.datetime(2024, 3, 1))])  # anchor donor
+    df = spark.createDataFrame(
+        rows, "user_id long, plan string, ts timestamp")
+    out = {r.user_id: r for r in resolve_functional(
+        df, subj="user_id", obj="plan").collect()}
+    assert out[1].plan == "pro"
+    assert out[1].votes == 1
+    assert out[1].n_candidates == 2
+    assert 0.9 < out[1].support <= 1.0
+
+
+def test_fusion_tie_breaks_to_smallest_object(spark):
+    rows = [(1, "beta", _ts(5)), (1, "alpha", _ts(5))]
+    df = spark.createDataFrame(
+        rows, "user_id long, plan string, ts timestamp")
+    out = resolve_functional(df, subj="user_id", obj="plan").collect()
+    assert len(out) == 1 and out[0].plan == "alpha"
+    assert out[0].support == pytest.approx(0.5)
+
+
+def test_fusion_one_row_per_subject_and_support_bounds(spark):
+    rows = [(u, t, _ts(1 + (u * 3 + i) % 20))
+            for u in range(8) for i, t in enumerate(
+                ["a", "b", "a", "c", "b", "a"])]
+    df = spark.createDataFrame(
+        rows, "user_id long, plan string, ts timestamp")
+    out = resolve_functional(df, subj="user_id", obj="plan")
+    rows_out = out.collect()
+    assert len(rows_out) == 8
+    assert all(0.0 < r.support <= 1.0 for r in rows_out)
+    # winner's decayed score share must be the max share → >= 1/k
+    assert all(r.support >= 1.0 / r.n_candidates for r in rows_out)
