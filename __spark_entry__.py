@@ -2228,6 +2228,28 @@ def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("entity_id"))
 
 
+def q_entity_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted surface-form canonicalization map: the cluster
+    representative is the MOST-MENTIONED form (ties to the smallest),
+    so rare typo'd variants (every 13th part name, last char dropped,
+    weight 1 vs the originals' dup counts) fold INTO the dominant
+    spelling — the mention-canonicalization rule the flagship's
+    post-linking safety net uses (operators/entity_resolution.py)."""
+    from morra_spark.operators.entity_resolution import surface_form_map
+
+    p = _t(spark, sf_dir, "part")
+    base = p.groupBy(F.col("p_name").alias("name")) \
+        .agg(F.count(F.lit(1)).alias("w"))
+    var = (p.filter(F.col("p_partkey") % 13 == 0)
+           .select(F.expr("substring(p_name, 1, length(p_name) - 1)")
+                   .alias("name"))
+           .groupBy("name").agg(F.count(F.lit(1)).alias("w")))
+    vocab = (base.unionByName(var)
+             .groupBy("name").agg(F.sum("w").alias("w")))
+    return (surface_form_map(vocab, name_col="name", weight_col="w")
+            .orderBy("name"))
+
+
 def q_kg_fusion_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Knowledge fusion for a functional predicate: each user's
     conflicting event_type assertions resolve to ONE value by
@@ -2328,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- end of driver window ---------------------------------
         "rollup_metrics": q_rollup_metrics,
         "cube_metrics": q_cube_metrics,
+        "entity_canonical_map": q_entity_canonical_map,
         # everything below carries a driver-green (or by-design
         # rows-only) record from r3/r4 — newest record ≤2 rounds old
         "global_sort_topn": q_global_sort_topn,
@@ -4462,6 +4485,61 @@ def oracle_sql() -> dict[str, str]:
                    cl.cluster_size
             FROM mapped m JOIN cl ON m.canon_name = cl.canon_name
             ORDER BY m.entity_id
+        """,
+        "entity_canonical_map": """
+            WITH RECURSIVE
+            base AS (
+                SELECT p_name AS name, COUNT(*) AS w FROM part GROUP BY 1
+                UNION ALL
+                SELECT SUBSTR(p_name, 1, CAST(LENGTH(p_name) - 1 AS INT)),
+                       COUNT(*)
+                FROM part WHERE p_partkey % 13 = 0 GROUP BY 1),
+            vocab AS (SELECT name, SUM(w) AS w FROM base GROUP BY 1),
+            ids AS (SELECT name, w,
+                           TRIM(REGEXP_REPLACE(REGEXP_REPLACE(
+                               LOWER(name), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm
+                    FROM vocab),
+            wn AS (SELECT norm, SUM(w) AS w FROM ids GROUP BY 1),
+            forms AS (SELECT norm FROM wn),
+            b1 AS (SELECT norm, SUBSTR(norm, 1, 4) AS bk FROM forms
+                   QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 200),
+            b2 AS (SELECT norm,
+                          REGEXP_EXTRACT(norm, '[a-z0-9]+$', 0) AS bk
+                   FROM forms
+                   QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 200),
+            p1 AS (SELECT a.norm AS na, b.norm AS nb FROM b1 a JOIN b1 b
+                   ON a.bk = b.bk AND a.norm < b.norm
+                   AND ABS(LENGTH(a.norm) - LENGTH(b.norm)) <= 1
+                   AND levenshtein(a.norm, b.norm) <= 1),
+            p2 AS (SELECT a.norm AS na, b.norm AS nb FROM b2 a JOIN b2 b
+                   ON a.bk = b.bk AND a.norm < b.norm
+                   AND ABS(LENGTH(a.norm) - LENGTH(b.norm)) <= 1
+                   AND levenshtein(a.norm, b.norm) <= 1),
+            pairs AS (SELECT na, nb FROM p1 UNION SELECT na, nb FROM p2),
+            edges AS (SELECT na AS a, nb AS b FROM pairs
+                      UNION SELECT nb, na FROM pairs),
+            reach(node, r) AS (
+                SELECT a, a FROM edges
+                UNION
+                SELECT reach.node, e.b FROM reach
+                JOIN edges e ON e.a = reach.r),
+            comp AS (SELECT node, MIN(r) AS c FROM reach GROUP BY node),
+            clustered AS (SELECT f.norm,
+                                 COALESCE(c.c, f.norm) AS cluster, wn.w
+                          FROM forms f
+                          LEFT JOIN comp c ON f.norm = c.node
+                          JOIN wn ON wn.norm = f.norm),
+            rep AS (SELECT cluster, norm AS canon FROM (
+                        SELECT cluster, norm,
+                               ROW_NUMBER() OVER (PARTITION BY cluster
+                                   ORDER BY w DESC, norm) AS rn
+                        FROM clustered) WHERE rn = 1),
+            mapping AS (SELECT cl.norm, rep.canon
+                        FROM clustered cl JOIN rep USING (cluster))
+            SELECT DISTINCT i.name, m.canon
+            FROM ids i JOIN mapping m ON i.norm = m.norm
+            ORDER BY name
         """,
         "kg_fusion_resolve": """
             WITH a AS (SELECT MAX(ts) AS anchor FROM events),

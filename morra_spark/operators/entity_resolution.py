@@ -94,20 +94,9 @@ def resolve_entities(names: DataFrame, id_col: str = "entity_id",
     ids = names.select(F.col(id_col).alias("entity_id"),
                        F.col(name_col).alias("name")) \
         .withColumn("norm", normalize_name(F.col("name")))
-    # vocab grain: every quadratic-ish step below sees only this table
-    forms = ids.select("norm").distinct().localCheckpoint(eager=True)
-
-    p1 = _blocked_pairs(forms, F.substring("norm", 1, prefix_len),
-                        max_dist, block_cap)
-    p2 = _blocked_pairs(forms, F.regexp_extract("norm", "[a-z0-9]+$", 0),
-                        max_dist, block_cap)
-    pairs = p1.unionByName(p2).distinct()
-
-    comp = connected_components(pairs, src="na", dst="nb")
-    canon = (forms.join(comp, forms["norm"] == comp["node"], "left")
-             .select(forms["norm"],
-                     F.coalesce(comp["comp"], forms["norm"])
-                     .alias("canon_name")))
+    canon = _form_clusters(ids.select("norm").distinct(),
+                           max_dist, block_cap, prefix_len) \
+        .withColumnRenamed("cluster", "canon_name")
     mapped = ids.join(canon, "norm").select("entity_id", "name",
                                             "canon_name")
     clusters = mapped.groupBy("canon_name").agg(
@@ -115,3 +104,90 @@ def resolve_entities(names: DataFrame, id_col: str = "entity_id",
         F.count(F.lit(1)).alias("cluster_size"))
     return mapped.join(clusters, "canon_name").select(
         "entity_id", "name", "canon_id", "canon_name", "cluster_size")
+
+
+def _form_clusters(forms: DataFrame, max_dist: int, block_cap: int,
+                   prefix_len: int) -> DataFrame:
+    """Distinct (norm) → (norm, cluster): the fuzzy-closure cluster
+    label (lexicographically smallest member form; the form itself when
+    nothing merges). The vocab-grain core shared by id-level resolution
+    and weighted surface-form canonicalization."""
+    forms = forms.localCheckpoint(eager=True)  # feeds 3 consumers
+    p1 = _blocked_pairs(forms, F.substring("norm", 1, prefix_len),
+                        max_dist, block_cap)
+    p2 = _blocked_pairs(forms, F.regexp_extract("norm", "[a-z0-9]+$", 0),
+                        max_dist, block_cap)
+    pairs = p1.unionByName(p2).distinct()
+    comp = connected_components(pairs, src="na", dst="nb")
+    return (forms.join(comp, forms["norm"] == comp["node"], "left")
+            .select(forms["norm"],
+                    F.coalesce(comp["comp"], forms["norm"])
+                    .alias("cluster")))
+
+
+def surface_form_map(names: DataFrame, name_col: str = "name",
+                     weight_col: str | None = None, max_dist: int = 1,
+                     block_cap: int = 200,
+                     prefix_len: int = 4) -> DataFrame:
+    """(name[, weight]) → (name, canon): fuzzy canonicalization map
+    where the cluster representative is the HEAVIEST normalized form
+    (total weight of the names mapping to it; ties to the smallest
+    form) — for mention canonicalization the dominant spelling is the
+    right survivor, not the lexicographic minimum ("alice smit" must
+    fold INTO "alice smith", which out-mentions it 100:1, never the
+    reverse). With no ``weight_col`` every distinct name votes once.
+
+    Output is vocab-grain (one row per distinct input name), so the
+    downstream rewrite join broadcasts for any realistic entity
+    vocabulary.
+    """
+    ids = names.select(
+        F.col(name_col).alias("name"),
+        (F.col(weight_col) if weight_col else F.lit(1)).alias("w")) \
+        .withColumn("norm", normalize_name(F.col("name")))
+    wn = ids.groupBy("norm").agg(F.sum("w").alias("w"))
+    clustered = _form_clusters(wn.select("norm"), max_dist, block_cap,
+                               prefix_len).join(wn, "norm")
+    # min_by over (-w, norm): heaviest form first, ties to the smallest
+    rep = clustered.groupBy("cluster").agg(
+        F.expr("min_by(norm, struct(-w, norm))").alias("canon"))
+    mapping = clustered.join(rep, "cluster").select("norm", "canon")
+    return (ids.select("name", "norm").distinct()
+            .join(mapping, "norm").select("name", "canon"))
+
+
+def canonicalize_triples(triples: DataFrame,
+                         cols: tuple[str, str] = ("subj", "obj"),
+                         max_dist: int = 1, block_cap: int = 200,
+                         prefix_len: int = 4) -> DataFrame:
+    """Rewrite triple endpoints to their fuzzy-canonical surface forms.
+
+    The post-linking safety net the north rule's "canonicalization of
+    surface forms" implies at corpus scale: dictionary linking only
+    canonicalizes KNOWN surfaces — typo'd/OCR'd mentions that miss the
+    dictionary survive as near-duplicate entities and fragment the
+    graph (two node rows, split degrees). This pass builds the endpoint
+    vocabulary (subj ∪ obj, mention-weighted), fuzzy-clusters it at the
+    vocab grain, and rewrites both endpoint columns via the
+    (name → dominant form) map. Endpoints without a fuzzy neighbor map
+    to themselves; the triple stream itself is touched only by two
+    vocab-sized hash joins (broadcast-able), never shuffled on bodies.
+    """
+    s, o = cols
+    vocab = (triples.groupBy(F.col(s).alias("name")).agg(
+        F.count(F.lit(1)).alias("w"))
+        .unionByName(triples.groupBy(F.col(o).alias("name")).agg(
+            F.count(F.lit(1)).alias("w")))
+        .groupBy("name").agg(F.sum("w").alias("w")))
+    m = surface_form_map(vocab, name_col="name", weight_col="w",
+                         max_dist=max_dist, block_cap=block_cap,
+                         prefix_len=prefix_len)
+    for side in cols:
+        sm = m.select(F.col("name").alias(f"_{side}_n"),
+                      F.col("canon").alias(f"_{side}_c"))
+        triples = (triples.join(sm, F.col(side) == F.col(f"_{side}_n"),
+                                "left")
+                   .withColumn(side, F.coalesce(F.col(f"_{side}_c"),
+                                                F.col(side)))
+                   .drop(f"_{side}_n", f"_{side}_c"))
+    return triples

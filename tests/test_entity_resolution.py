@@ -9,7 +9,9 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from morra_spark.operators.entity_resolution import resolve_entities
+from morra_spark.operators.entity_resolution import (canonicalize_triples,
+                                                     resolve_entities,
+                                                     surface_form_map)
 from morra_spark.operators.kg_graph import resolve_functional
 
 
@@ -83,6 +85,67 @@ def test_resolution_idempotent_on_canon_names(spark):
     # forms are themselves near-dups — not the case here by construction
     assert all(r.canon_name == r.name and r.cluster_size == 1
                for r in second)
+
+
+def test_surface_form_map_picks_dominant_not_smallest(spark):
+    # "alice smit" is lexicographically SMALLER but 100x rarer — the
+    # weighted representative must be the dominant spelling
+    df = spark.createDataFrame(
+        [("alice smith", 100), ("alice smit", 1)], "name string, w long")
+    m = {r.name: r.canon for r in surface_form_map(
+        df, weight_col="w").collect()}
+    assert m == {"alice smith": "alice smith",
+                 "alice smit": "alice smith"}
+
+
+def test_canonicalize_triples_restores_typoed_endpoints(spark):
+    rows = ([("alice smith", "met", "bob jones")] * 9
+            + [("alice smit", "met", "bob jones")]      # typo'd subj
+            + [("alice smith", "met", "bob jone")])     # typo'd obj
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = canonicalize_triples(t)
+    assert out.count() == 11
+    got = out.select("subj", "obj").distinct().collect()
+    assert {(r.subj, r.obj) for r in got} == {("alice smith", "bob jones")}
+
+
+def test_canonicalize_triples_idempotent(spark):
+    rows = [("acme corp", "hired", "carol"), ("acme cor", "hired", "dan"),
+            ("zebra", "ate", "grass")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    once = canonicalize_triples(t).orderBy("subj", "pred", "obj")
+    twice = canonicalize_triples(once).orderBy("subj", "pred", "obj")
+    assert once.collect() == twice.collect()
+
+
+def test_canonicalize_clean_fixture_kg_is_a_noop(spark, fixture_dir):
+    """The fixture entity vocabulary has NO two canonical entities
+    within edit distance 1 of each other (asserted below, not assumed),
+    so fuzzy canonicalization over a clean pipeline run must be an
+    exact no-op — the safety net never fires on healthy data."""
+    from morra_spark.grammar import Lexicon
+
+    names = sorted(Lexicon().entity_type)
+    import numpy as np
+
+    def lev(a, b):
+        m = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev = m.copy()
+            m[0] = i
+            for j, cb in enumerate(b, 1):
+                m[j] = min(prev[j] + 1, m[j - 1] + 1,
+                           prev[j - 1] + (ca != cb))
+        return int(m[-1])
+
+    assert not [(a, b) for i, a in enumerate(names)
+                for b in names[i + 1:] if lev(a.lower(), b.lower()) <= 1]
+
+    gold = spark.read.parquet(f"{fixture_dir}/gold_triples") \
+        .select("subj", "pred", "obj")
+    canon = canonicalize_triples(gold)
+    assert (canon.exceptAll(gold).count() == 0
+            and gold.exceptAll(canon).count() == 0)
 
 
 def _ts(day, hour=0):
