@@ -156,6 +156,83 @@ def surface_form_map(names: DataFrame, name_col: str = "name",
             .join(mapping, "norm").select("name", "canon"))
 
 
+def admit_surface_forms(existing_map: DataFrame, new_names: DataFrame,
+                        name_col: str = "name", max_dist: int = 1,
+                        block_cap: int = 200,
+                        prefix_len: int = 4) -> DataFrame:
+    """Incremental entity resolution: admit a DELTA of surface forms
+    against a FROZEN canonical vocabulary.
+
+    A daily/streaming KG build cannot re-cluster the whole entity
+    vocabulary per batch — and must not: downstream tables key on
+    yesterday's canonical forms, so admission has to leave existing
+    canons untouched (the same frozen-state contract as
+    ``dedup.incremental_admission``). Each new name resolves by a fixed
+    priority:
+
+    1. **exact** — its normalized form already exists → adopt that
+       form's canon;
+    2. **fuzzy** — a blocked edit-distance match to an existing form →
+       adopt the NEAREST match's canon (ties: smallest canon, then
+       smallest matched form — fully deterministic);
+    3. **new cluster** — forms matching only other new forms cluster
+       among themselves (same pointer-jumped closure, delta-sized);
+    4. **singleton** — maps to itself.
+
+    Returns (name, canon) for the NEW names only; union with
+    ``existing_map`` for the updated vocabulary. Scale shape: the delta
+    is small by definition; the existing vocabulary is vocab-grain; the
+    fuzzy step is one blocked join delta×vocab with the same per-key
+    cap and length prefilter as the batch path — never all-pairs,
+    never mention-grain.
+    """
+    ex = existing_map.select(
+        normalize_name(F.col("name")).alias("norm"),
+        F.col("canon")).groupBy("norm").agg(
+        F.min("canon").alias("canon"))  # defensive: one canon per norm
+    new = new_names.select(F.col(name_col).alias("name")) \
+        .withColumn("norm", normalize_name(F.col("name"))).distinct()
+
+    # (1) exact adopt
+    exact = new.join(ex, "norm").select("name", "norm", "canon")
+    rest = new.join(ex, "norm", "left_anti") \
+        .select("norm").distinct().localCheckpoint(eager=True)
+
+    # (2) fuzzy adopt against the frozen vocab (delta x vocab, blocked)
+    ex_forms = ex.select("norm").localCheckpoint(eager=True)
+
+    def _keyed(df, prefix):
+        k1 = df.select(F.col("norm").alias(f"{prefix}n"),
+                       F.substring("norm", 1, prefix_len).alias("bk"))
+        k2 = df.select(F.col("norm").alias(f"{prefix}n"),
+                       F.regexp_extract("norm", "[a-z0-9]+$", 0)
+                       .alias("bk"))
+        return k1.unionByName(k2).distinct()
+
+    ex_keyed = _keyed(ex_forms, "e").withColumn(
+        "bn", F.count(F.lit(1)).over(Window.partitionBy("bk"))) \
+        .filter(F.col("bn") <= block_cap).drop("bn")
+    cand = (_keyed(rest, "d").join(ex_keyed, "bk")
+            .filter((F.abs(F.length("dn") - F.length("en")) <= max_dist))
+            .withColumn("dist", F.levenshtein("dn", "en"))
+            .filter(F.col("dist") <= max_dist)
+            .join(ex.withColumnRenamed("norm", "en"), "en")
+            .groupBy(F.col("dn").alias("norm"))
+            .agg(F.expr("min_by(canon, struct(dist, canon, en))")
+                 .alias("canon")))
+
+    # (3) cluster the leftovers among themselves; (4) singletons map to
+    # themselves via the coalesce in _form_clusters
+    leftover = rest.join(cand, "norm", "left_anti")
+    clustered = _form_clusters(leftover, max_dist, block_cap,
+                               prefix_len) \
+        .withColumnRenamed("cluster", "canon")
+
+    norm_map = exact.select("norm", "canon") \
+        .unionByName(cand).unionByName(clustered).distinct()
+    return new.join(norm_map, "norm").select("name", "canon")
+
+
 def canonicalize_triples(triples: DataFrame,
                          cols: tuple[str, str] = ("subj", "obj"),
                          max_dist: int = 1, block_cap: int = 200,

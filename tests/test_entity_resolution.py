@@ -9,7 +9,8 @@ import datetime as dt
 import pytest
 from pyspark.sql import functions as F
 
-from morra_spark.operators.entity_resolution import (canonicalize_triples,
+from morra_spark.operators.entity_resolution import (admit_surface_forms,
+                                                     canonicalize_triples,
                                                      resolve_entities,
                                                      surface_form_map)
 from morra_spark.operators.kg_graph import resolve_functional
@@ -146,6 +147,59 @@ def test_canonicalize_clean_fixture_kg_is_a_noop(spark, fixture_dir):
     canon = canonicalize_triples(gold)
     assert (canon.exceptAll(gold).count() == 0
             and gold.exceptAll(canon).count() == 0)
+
+
+def _map(spark, rows):
+    return spark.createDataFrame(rows, "name string, canon string")
+
+
+def _names(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "name string")
+
+
+def test_admit_exact_and_fuzzy_adopt_frozen_canon(spark):
+    existing = _map(spark, [("acme corp", "acme corp"),
+                            ("acme cor", "acme corp"),
+                            ("zebra sys", "zebra sys")])
+    out = {r.name: r.canon for r in admit_surface_forms(
+        existing, _names(spark, [
+            "ACME Corp.",     # exact after normalize -> adopt
+            "acme corpp",     # dist 1 from "acme corp" -> adopt its canon
+            "brand new co",   # nothing close -> singleton, self
+        ])).collect()}
+    assert out == {"ACME Corp.": "acme corp",
+                   "acme corpp": "acme corp",
+                   "brand new co": "brand new co"}
+
+
+def test_admit_new_new_forms_cluster_together(spark):
+    existing = _map(spark, [("zebra sys", "zebra sys")])
+    out = {r.name: r.canon for r in admit_surface_forms(
+        existing, _names(spark, ["nova labs", "nova lab"])).collect()}
+    # neither matches the frozen vocab; they merge with each other and
+    # the lexicographically smallest form is the new canon
+    assert out == {"nova labs": "nova lab", "nova lab": "nova lab"}
+
+
+def test_admit_nearest_match_wins_with_deterministic_ties(spark):
+    # "acme coro" is dist 1 from "acme corp" (canon A) and dist 1 from
+    # "acme core" (canon B): tie on distance -> smallest canon wins
+    existing = _map(spark, [("acme corp", "ca"), ("acme core", "cb")])
+    out = {r.name: r.canon for r in admit_surface_forms(
+        existing, _names(spark, ["acme coro"])).collect()}
+    assert out == {"acme coro": "ca"}
+
+
+def test_admit_is_idempotent_and_covers_exactly_the_delta(spark):
+    existing = _map(spark, [("acme corp", "acme corp")])
+    delta = ["acme corpp", "nova labs", "nova lab"]
+    first = admit_surface_forms(existing, _names(spark, delta))
+    assert {r.name for r in first.collect()} == set(delta)
+    # admit the same names again against the grown vocabulary: every
+    # one is now an exact hit and the mapping is unchanged
+    grown = existing.unionByName(first)
+    second = admit_surface_forms(grown, _names(spark, delta))
+    assert sorted(first.collect()) == sorted(second.collect())
 
 
 def _ts(day, hour=0):
