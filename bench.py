@@ -239,7 +239,11 @@ def micro_queries(spark, sf_dir: str) -> dict[str, float]:
              # floor (Q6) and two decorrelated subquery shapes (Q17
              # correlated scalar aggregate, Q21 semi+anti on one fact) —
              # gate-checked since r4 but never benched until now
-             "tpch_q6", "tpch_q17", "tpch_q21"]
+             "tpch_q6", "tpch_q17", "tpch_q21",
+             # final-session KG ops: vocab-grain fuzzy entity resolution
+             # (iterative CC — scheduling-overhead-dominated locally,
+             # like curation_funnel) and recency-decayed fusion
+             "entity_resolution", "kg_fusion_resolve"]
     qs = E.queries()
     out: dict[str, float] = {}
     tainted: list[str] = []

@@ -258,7 +258,8 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
                  model_path: str, run_id: str | None = None,
                  n_parts: int = 64, pos_mode: str | None = None,
                  ner_mode: str | None = None,
-                 only_part_keys: list[int] | None = None) -> dict:
+                 only_part_keys: list[int] | None = None,
+                 fuzzy_canonicalize: bool = False) -> dict:
     """Full resumable job: annotate+extract → triples sink + checkpoint.
 
     Returns summary counters. Re-running with the same ``run_id`` after a
@@ -268,6 +269,15 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
     switches (A8: None | 'two_pass' | 'voting'; A12: None | 'combine')
     without editing the pickle — autotrain stamps the swept-best modes
     into the artifact, these flags let a job deviate per run.
+
+    ``fuzzy_canonicalize``: opt-in post-pass that rewrites near-dup
+    entity endpoints (typo'd/OCR'd surfaces the dictionary link missed)
+    to their dominant spelling via the vocab-grain fuzzy closure
+    (operators/entity_resolution.canonicalize_triples) and writes
+    ``triples_canonical/``. A no-op on clean vocabularies (pytest
+    proves it on the fixture KG); mode=overwrite, so re-runs stay
+    idempotent. Off by default: the raw sink remains the source of
+    truth and downstream readers opt into the fused view.
     """
     model = KGModel.load(model_path)
     if pos_mode is not None:
@@ -334,5 +344,14 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
 
     triples = spark.read.parquet(triples_dir)
     n_triples = triples.count()
-    return {"run_id": run_id, "n_triples": n_triples,
-            "triples_dir": triples_dir, "ckpt_dir": ckpt_dir}
+    out = {"run_id": run_id, "n_triples": n_triples,
+           "triples_dir": triples_dir, "ckpt_dir": ckpt_dir}
+    if fuzzy_canonicalize:
+        from morra_spark.operators.entity_resolution import \
+            canonicalize_triples
+
+        canon_dir = f"{out_dir}/triples_canonical"
+        canonicalize_triples(triples).write.mode("overwrite") \
+            .partitionBy("part_key").parquet(canon_dir)
+        out["canonical_dir"] = canon_dir
+    return out

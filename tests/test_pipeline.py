@@ -18,6 +18,29 @@ def test_triple_pr_gate(spark, fixture_dir, pipeline_out):
     assert pr["recall"] >= 0.95, pr
 
 
+def test_fuzzy_canonicalize_stage_preserves_pr(spark, fixture_dir,
+                                               model_path, tmp_path):
+    """Opt-in fuzzy canonicalization writes triples_canonical/ and — on
+    the fixture KG, whose entity vocabulary has no dist-1 near-dups
+    (asserted in test_entity_resolution) — changes NOTHING: same rows,
+    same P/R gate."""
+    from morra_spark.plans.pipeline import run_pipeline
+
+    out = str(tmp_path / "kg_canon")
+    res = run_pipeline(spark, transcripts_path=f"{fixture_dir}/transcripts",
+                       out_dir=out, model_path=model_path,
+                       fuzzy_canonicalize=True)
+    assert res["canonical_dir"].endswith("triples_canonical")
+    canon = spark.read.parquet(res["canonical_dir"])
+    raw = spark.read.parquet(res["triples_dir"])
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    assert canon.select(cols).exceptAll(raw.select(cols)).count() == 0
+    assert raw.select(cols).exceptAll(canon.select(cols)).count() == 0
+    gold = spark.read.parquet(f"{fixture_dir}/gold_triples")
+    pr = triple_pr(canon, gold)
+    assert pr["precision"] >= 0.95 and pr["recall"] >= 0.95, pr
+
+
 def test_token_accuracy_vs_gold(spark, fixture_dir, model_path, model):
     from morra_spark.operators.tagger import annotate_turns
 

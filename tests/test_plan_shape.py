@@ -582,3 +582,23 @@ def test_negative_samples_vocab_joins_broadcast(spark):
     # 3 = the vocab rank window planned under each of its two broadcast
     # consumers + the 1-row count aggregate — all on the dim side
     assert len(re.findall(r"Exchange SinglePartition", plan)) <= 3, plan
+
+
+def test_entity_resolution_pairs_are_blocked_equi_joins(spark):
+    """The fuzzy pair generator must plan as an EQUI join on the
+    blocking key (hash or sort-merge) with the length prefilter and
+    levenshtein as post-join filters — never a CartesianProduct or
+    nested-loop over the vocabulary, and no Python anywhere (the edit
+    distance is the JVM builtin)."""
+    from morra_spark.operators.entity_resolution import _blocked_pairs
+
+    forms = spark.range(500).select(
+        F.concat(F.lit("name "), F.col("id").cast("string")).alias("norm"))
+    plan = _spark_plan(_blocked_pairs(
+        forms, F.substring("norm", 1, 4), max_dist=1, block_cap=200))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+                     plan), plan
+    assert "levenshtein" in plan, plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
