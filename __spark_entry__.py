@@ -2266,6 +2266,56 @@ def q_kg_fusion_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+# shared lexicons for the coref / co-mention queries: a deterministic
+# "entity" subset of the documents vocabulary and two designated
+# anaphoric markers — arbitrary but fixed, so Spark and DuckDB classify
+# tokens identically and the operators' semantics are what's under test
+COREF_ENTITIES = ["batch", "hash", "merge", "spark", "table", "window"]
+COREF_ANAPHORS = ["a", "the"]
+
+
+def q_coref_antecedents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coref-lite nearest-antecedent resolution
+    (operators/coref.resolve_anaphora): every anaphoric token resolves
+    to the last preceding entity token in the same document within a
+    12-position gap — ONE window over (doc, pos), no self-join. Oracle
+    replays it with LAST_VALUE(... IGNORE NULLS) over the same
+    unnest-with-ordinality token stream."""
+    from morra_spark.operators.coref import resolve_anaphora
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    toks = d.select("doc_id", F.posexplode(words).alias("pos", "word"))
+    m = (toks.filter(F.col("word").isin(COREF_ENTITIES + COREF_ANAPHORS))
+         .withColumn("is_anaphor", F.col("word").isin(COREF_ANAPHORS))
+         .withColumnRenamed("word", "entity"))
+    res = resolve_anaphora(m, part_col="doc_id", order_cols=("pos",),
+                           entity_col="entity", anaphor_col="is_anaphor",
+                           max_gap=12)
+    return (res.filter(F.col("is_anaphor") & F.col("resolved").isNotNull())
+            .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                    F.col("entity").alias("anaphor"),
+                    F.col("resolved").alias("antecedent"))
+            .orderBy("doc_id", "pos"))
+
+
+def q_kg_comention_npmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-mention NPMI edges (operators/kg_graph.comention_edges)
+    — the KG relation-suggestion layer: doc-distinct co-occurrence
+    counts normalized to [-1, 1]. The only corpus-sized work is the
+    distinct-(doc, entity) groupBy; document frequencies broadcast back
+    at the 6-entity vocabulary grain."""
+    from morra_spark.operators.kg_graph import comention_edges
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), " ")
+    m = (d.select("doc_id", F.explode(words).alias("entity"))
+         .filter(F.col("entity").isin(COREF_ENTITIES)))
+    return (comention_edges(m, doc_col="doc_id", entity_col="entity",
+                            min_pairs=2, doc_cap=64)
+            .orderBy("entity_a", "entity_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # DICT ORDER IS LOAD-BEARING (VERDICT r3 #1): the driver's
     # correctness gate checks the FIRST 50 entries only. Round-5 window
@@ -2434,6 +2484,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "graph_khop_reach": q_graph_khop_reach,
         "kg_negative_samples": q_kg_negative_samples,
+        # final-session additions (below the pinned window by design —
+        # correctness via the local gate replica, scripts/oracle_check.py)
+        "coref_antecedents": q_coref_antecedents,
+        "kg_comention_npmi": q_kg_comention_npmi,
     }
 
 
@@ -4562,5 +4616,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_type, ROUND(score, 6) AS score, votes,
                    ROUND(score / total, 6) AS support, n_candidates
             FROM r WHERE rn = 1 ORDER BY user_id
+        """,
+        "coref_antecedents": """
+            WITH toks AS (
+              SELECT doc_id, ws[i] AS word, CAST(i - 1 AS BIGINT) AS pos
+              FROM (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS ws
+                    FROM documents) d,
+                   UNNEST(GENERATE_SERIES(1, LEN(d.ws))) AS t(i)),
+            m AS (
+              SELECT doc_id, pos, word, word IN ('a', 'the') AS is_ana
+              FROM toks
+              WHERE word IN ('batch', 'hash', 'merge', 'spark', 'table',
+                             'window', 'a', 'the')),
+            r AS (
+              SELECT doc_id, pos, word, is_ana,
+                     LAST_VALUE(CASE WHEN NOT is_ana THEN word END
+                                IGNORE NULLS) OVER w AS ante,
+                     LAST_VALUE(CASE WHEN NOT is_ana THEN pos END
+                                IGNORE NULLS) OVER w AS ante_pos
+              FROM m
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING))
+            SELECT doc_id, pos, word AS anaphor, ante AS antecedent
+            FROM r
+            WHERE is_ana AND ante IS NOT NULL AND pos - ante_pos <= 12
+            ORDER BY doc_id, pos
+        """,
+        "kg_comention_npmi": """
+            WITH toks AS (
+              SELECT doc_id, ws[i] AS word
+              FROM (SELECT doc_id, STRING_SPLIT(TRIM(text), ' ') AS ws
+                    FROM documents) d,
+                   UNNEST(GENERATE_SERIES(1, LEN(d.ws))) AS t(i)),
+            dm AS (SELECT DISTINCT doc_id, word AS e FROM toks
+                   WHERE word IN ('batch', 'hash', 'merge', 'spark',
+                                  'table', 'window')),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dm),
+            df AS (SELECT e, CAST(COUNT(*) AS BIGINT) AS dfreq
+                   FROM dm GROUP BY e),
+            pairs AS (
+              SELECT a.e AS entity_a, b.e AS entity_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs_both
+              FROM dm a JOIN dm b
+                ON a.doc_id = b.doc_id AND a.e < b.e
+              GROUP BY a.e, b.e HAVING COUNT(*) >= 2)
+            SELECT entity_a, entity_b, n_docs_both,
+                   da.dfreq AS docs_a, db.dfreq AS docs_b,
+                   ROUND(CASE WHEN n_docs_both = n_docs THEN 1.0
+                         ELSE LN((n_docs_both / CAST(n_docs AS DOUBLE))
+                                 / ((da.dfreq / CAST(n_docs AS DOUBLE))
+                                    * (db.dfreq / CAST(n_docs AS DOUBLE))))
+                              / -LN(n_docs_both / CAST(n_docs AS DOUBLE))
+                         END, 6) AS npmi
+            FROM pairs
+            JOIN df da ON entity_a = da.e
+            JOIN df db ON entity_b = db.e, nd
+            ORDER BY entity_a, entity_b
         """,
     }

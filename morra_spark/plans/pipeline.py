@@ -259,7 +259,8 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
                  n_parts: int = 64, pos_mode: str | None = None,
                  ner_mode: str | None = None,
                  only_part_keys: list[int] | None = None,
-                 fuzzy_canonicalize: bool = False) -> dict:
+                 fuzzy_canonicalize: bool = False,
+                 resolve_pronouns: bool = False) -> dict:
     """Full resumable job: annotate+extract → triples sink + checkpoint.
 
     Returns summary counters. Re-running with the same ``run_id`` after a
@@ -278,6 +279,15 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
     proves it on the fixture KG); mode=overwrite, so re-runs stay
     idempotent. Off by default: the raw sink remains the source of
     truth and downstream readers opt into the fused view.
+
+    ``resolve_pronouns``: opt-in coref-lite stage (operators/coref.
+    resolve_triple_anaphora) that rewrites pronoun-SUBJECT triples to
+    the nearest preceding content subject in the same conversation and
+    drops unresolvable ones, BEFORE the sink — so stage 2's tool
+    alignment and every downstream reader see one coherent resolved
+    view. Costs one extra conv_id exchange in the content stage when
+    enabled (the resolution window); provably a no-op on the fixture
+    grammar, which never emits pronoun subjects (pytest-asserted).
     """
     model = KGModel.load(model_path)
     if pos_mode is not None:
@@ -309,6 +319,10 @@ def run_pipeline(spark: SparkSession, *, transcripts_path: str, out_dir: str,
         content = pending.drop("part_key").filter(F.col("role") != "tool")
         ann = CK.add_part_key(extract_turn_triples(content, model_bc), n_parts)
         out = extract_triples(ann, candidates)
+        if resolve_pronouns:
+            from morra_spark.operators.coref import resolve_triple_anaphora
+
+            out = resolve_triple_anaphora(out)
         # hot-conversation salting for the sink: part_key alone would put a
         # 10^6-turn conversation's triples in one write task; spreading by
         # turn_idx-hash salt inside repartition keeps tasks bounded while

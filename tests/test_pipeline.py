@@ -41,6 +41,30 @@ def test_fuzzy_canonicalize_stage_preserves_pr(spark, fixture_dir,
     assert pr["precision"] >= 0.95 and pr["recall"] >= 0.95, pr
 
 
+def test_resolve_pronouns_stage_noop_on_fixture(spark, fixture_dir,
+                                                model_path, pipeline_out,
+                                                tmp_path):
+    """Opt-in coref-lite (resolve_pronouns=True) is provably a NO-OP on
+    the fixture grammar — which never emits pronoun subjects (asserted
+    here on the baseline run, not assumed) — so the resolved run's sink
+    is row-identical to the baseline and the P/R gate holds. The actual
+    rewrite semantics are pinned in test_coref.py on planted streams."""
+    from morra_spark.plans.pipeline import run_pipeline
+
+    base_out, _res = pipeline_out
+    base = spark.read.parquet(f"{base_out}/triples")
+    pronouns = ["it", "they", "he", "she", "this", "that"]
+    assert base.filter(F.lower(F.col("subj")).isin(pronouns)).count() == 0
+
+    out = str(tmp_path / "kg_coref")
+    run_pipeline(spark, transcripts_path=f"{fixture_dir}/transcripts",
+                 out_dir=out, model_path=model_path, resolve_pronouns=True)
+    resolved = spark.read.parquet(f"{out}/triples")
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    assert resolved.select(cols).exceptAll(base.select(cols)).count() == 0
+    assert base.select(cols).exceptAll(resolved.select(cols)).count() == 0
+
+
 def test_token_accuracy_vs_gold(spark, fixture_dir, model_path, model):
     from morra_spark.operators.tagger import annotate_turns
 
