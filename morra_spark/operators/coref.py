@@ -87,14 +87,19 @@ def resolve_triple_anaphora(triples: DataFrame,
     """Rewrite pronoun-subject triples to the nearest preceding
     non-pronoun subject in the same conversation.
 
-    Deterministic antecedent rule (engine/partitioning-invariant): rows
-    order by (turn_idx, subj, pred, obj); the antecedent is the last
-    preceding non-pronoun row's subject under that total order, so
-    within a multi-triple turn the lexicographically LARGEST subject is
-    what a same-turn-later pronoun would see — but pronouns only ever
-    look at STRICTLY EARLIER turns (same-turn antecedents are excluded
-    below, matching how a turn-level tagger emits: the pronoun was
-    spoken before its own turn's later clauses were parsed).
+    Deterministic antecedent rule (engine/partitioning-invariant): the
+    antecedent of a pronoun at turn T is the subject of the last
+    non-pronoun row from a STRICTLY EARLIER turn under the total order
+    (turn_idx, subj, pred, obj) — i.e. the lexicographically largest
+    (subj, pred, obj) triple of the latest earlier turn that asserted
+    anything non-pronominal (same-turn content never resolves a
+    pronoun: the pronoun was spoken before its own turn's later
+    clauses were parsed). The window sorts pronoun rows BEFORE their
+    turn's content rows (is-pronoun descending inside the turn), so a
+    pronoun's preceding frame physically cannot contain same-turn
+    content and the strictly-earlier rule needs no post-filter — a
+    same-turn-only guard would otherwise DROP a resolvable pronoun
+    whose turn also carried content sorting before it.
     Unresolvable pronoun triples (no earlier content turn, or
     antecedent farther than ``max_gap`` turns) are DROPPED — a
     conservative recall/precision trade documented in the module
@@ -104,8 +109,10 @@ def resolve_triple_anaphora(triples: DataFrame,
     subj_ne, obj_ne); any extra columns (part_key, ...) are preserved.
     """
     is_pron = F.lower(F.col("subj")).isin([p.lower() for p in pronouns])
+    # pronoun rows sort FIRST inside their turn (desc on the boolean):
+    # every preceding non-pronoun row is then from an earlier turn
     w = (Window.partitionBy("conv_id")
-         .orderBy("turn_idx", "subj", "pred", "obj")
+         .orderBy("turn_idx", is_pron.desc(), "subj", "pred", "obj")
          .rowsBetween(Window.unboundedPreceding, -1))
     ante = F.last(
         F.when(~is_pron,
@@ -115,11 +122,7 @@ def resolve_triple_anaphora(triples: DataFrame,
         ignorenulls=True).over(w)
     t = (triples.withColumn("_pron", is_pron)
          .withColumn("_ante", ante))
-    # strictly-earlier-turn rule: a same-turn "antecedent" is really a
-    # later clause of the same utterance under the sort tie-break —
-    # reject it (ante.at < turn_idx, not <=)
-    ok = (F.col("_ante").isNotNull()
-          & (F.col("_ante.at") < F.col("turn_idx")))
+    ok = F.col("_ante").isNotNull()
     if max_gap is not None:
         ok = ok & ((F.col("turn_idx") - F.col("_ante.at")) <= max_gap)
     resolved = (t.filter(~F.col("_pron") | ok)

@@ -319,6 +319,97 @@ def start_stateful_tool_alignment(spark: SparkSession, *,
     return writer.start()
 
 
+PRON_STATE_SCHEMA = "last_idx int, ante_at int, subj string, subj_ne string"
+
+
+def _pronoun_fn(pronouns: tuple, max_gap: int | None, state_ttl_ms: int):
+    pron = {p.lower() for p in pronouns}
+
+    def resolve(key, pdfs: Iterator[pd.DataFrame],
+                state: GroupState) -> Iterator[pd.DataFrame]:
+        cols = ["conv_id", "turn_idx", "subj", "pred", "obj",
+                "subj_ne", "obj_ne"]
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(columns=cols)
+            return
+        last_idx, ante_at, ante, ante_ne = (state.get if state.exists
+                                            else (-1, -1, None, None))
+        chunks = [c for c in pdfs if len(c)]
+        pdf = (pd.concat(chunks, ignore_index=True) if chunks
+               else pd.DataFrame(columns=cols))
+        # same straggler guard + whole-group materialization as the
+        # tool aligner (one group can span Arrow chunks); assumption at
+        # TRIPLE grain: all triples of one turn arrive in the same
+        # micro-batch (true when triples are emitted per annotated turn)
+        pdf = pdf[pdf["turn_idx"] > last_idx] \
+            .sort_values(["turn_idx", "subj", "pred", "obj"], kind="stable")
+        outs = []
+        if len(pdf):
+            for t, grp in pdf.groupby("turn_idx", sort=True):
+                is_p = grp["subj"].str.lower().isin(pron).to_numpy()
+                content, prows = grp[~is_p], grp[is_p]
+                if len(content):
+                    outs.append(content)
+                if len(prows) and ante is not None and (
+                        max_gap is None or int(t) - ante_at <= max_gap):
+                    r = prows.copy()
+                    r["subj"] = ante
+                    r["subj_ne"] = ante_ne
+                    outs.append(r)
+                if len(content):
+                    # batch-parity antecedent: the lexicographically
+                    # largest (subj, pred, obj) content row of the turn
+                    mx = content.iloc[-1]  # already sorted
+                    ante, ante_ne, ante_at = \
+                        mx["subj"], mx["subj_ne"], int(t)
+            last_idx = int(pdf["turn_idx"].iloc[-1])
+        state.update((last_idx, ante_at, ante,
+                      ante_ne if isinstance(ante_ne, str) else None))
+        wm = state.getCurrentWatermarkMs()
+        if wm > 0:
+            state.setTimeoutTimestamp(wm + state_ttl_ms)
+        yield (pd.concat(outs, ignore_index=True)[cols] if outs
+               else pd.DataFrame(columns=cols))
+
+    return resolve
+
+
+def resolve_pronouns_stream(triples_stream: DataFrame,
+                            pronouns: tuple = ("it", "they", "he", "she",
+                                               "this", "that"),
+                            max_gap: int | None = None,
+                            state_ttl: str = "1 hour",
+                            delay: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ``operators/coref.resolve_triple_anaphora`` —
+    coref-lite over a LIVE triple stream with per-conversation keyed
+    state, so pronoun-subject triples resolve even when their
+    antecedent turn landed in an earlier micro-batch.
+
+    State per conversation is O(1): (high-water turn_idx, antecedent
+    turn, antecedent subj/subj_ne) — the same bounded-state contract as
+    the tool aligner, with the same event-time TTL and the same
+    append-only ordering assumption (a turn below the high-water mark
+    is dropped; recovery path = re-run the batch operator over the
+    affected history, exactly like ``backfill_tool_triples``).
+
+    Parity contract (test-asserted): over the same triples, streamed
+    output ≡ ``resolve_triple_anaphora`` row-for-row — non-pronoun rows
+    pass through, resolvable pronouns rewrite to the latest earlier
+    turn's largest (subj, pred, obj) content row, unresolvable ones
+    drop. Input needs the triple columns + ``ts`` for the watermark.
+    """
+    ttl_ms = _duration_ms(state_ttl)
+    narrowed = triples_stream.withWatermark("ts", delay)
+    return (narrowed.groupBy("conv_id")
+            .applyInPandasWithState(
+                _pronoun_fn(tuple(pronouns), max_gap, ttl_ms),
+                outputStructType=TOOL_TRIPLE_SCHEMA,
+                stateStructType=PRON_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
 def stream_stream_tool_triples(content_stream: DataFrame,
                                tool_stream: DataFrame, model_bc,
                                delay: str = "10 minutes",

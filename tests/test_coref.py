@@ -98,6 +98,25 @@ def test_triple_anaphora_drops_unresolvable_and_same_turn(spark):
     assert sorted((r["subj"], r["obj"]) for r in out) == [("zeb", "y")]
 
 
+def test_triple_anaphora_same_turn_content_does_not_block(spark):
+    """A pronoun whose OWN turn also carries content (sorting before it
+    under the tie-break) must still resolve to the EARLIER turn's
+    subject — same-turn content neither resolves it nor drops it."""
+    t = _triples(spark, [
+        ("c1", 1, "alice", "uses", "spark", "Person", "Tech"),
+        # turn 2: content subject "bob" < pronoun "it" in sort order
+        ("c1", 2, "bob", "merges", "x", "Person", "Tech"),
+        ("c1", 2, "it", "reads", "y", None, "Tech"),
+        # turn 3: pronoun sees turn 2's largest content subject
+        ("c1", 3, "this", "does", "z", None, "Tech"),
+    ])
+    out = {(r["turn_idx"], r["obj"]): r["subj"]
+           for r in resolve_triple_anaphora(t).collect()}
+    assert out[(2, "y")] == "alice"   # strictly earlier turn, not bob
+    assert out[(3, "z")] == "bob"
+    assert len(out) == 4
+
+
 def test_triple_anaphora_max_gap_and_passthrough_columns(spark):
     t = _triples(spark, [
         ("c1", 1, "alice", "uses", "spark", "Person", "Tech"),

@@ -589,6 +589,77 @@ def _triples_fixture(spark, path, rows):
     df.coalesce(1).write.mode("append").parquet(path)
 
 
+def test_streaming_pronoun_resolution_matches_batch(spark, tmp_path):
+    """Streaming coref-lite (resolve_pronouns_stream) must equal the
+    batch operator (resolve_triple_anaphora) over the same triples —
+    including a pronoun whose antecedent turn landed in an EARLIER
+    micro-batch (keyed state carries it) and an unresolvable pronoun at
+    a conversation start (dropped on both paths)."""
+    import time
+
+    from morra_spark.operators.coref import resolve_triple_anaphora
+    from morra_spark.streaming.stateful import resolve_pronouns_stream
+
+    src = str(tmp_path / "triples_src")
+    base_ts = "2024-01-01 00:00:"
+    early = [
+        ("c1", 1, "alice", "uses", "spark", "Person", "Tech"),
+        ("c1", 2, "bob", "merges", "x", "Person", "Tech"),
+        ("c1", 2, "zed", "reads", "y", "Person", "Tech"),
+        ("c2", 1, "it", "does", "q", None, "Tech"),   # unresolvable
+        ("c2", 2, "carol", "runs", "job", "Person", "Tech"),
+    ]
+    late = [
+        ("c1", 3, "it", "loads", "table", None, "Tech"),   # -> zed (state)
+        ("c1", 4, "they", "likes", "it", None, "Tech"),    # -> zed too
+        ("c2", 3, "she", "ships", "build", None, "Tech"),  # -> carol
+        ("c2", 4, "dave", "rolls", "back", "Person", "Tech"),
+    ]
+
+    def write(rows):
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, subj string, pred string,"
+                  " obj string, subj_ne string, obj_ne string")
+        (df.withColumn("ts", F.to_timestamp(
+            F.concat(F.lit(base_ts), F.format_string("%02d", "turn_idx"))))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    write(early)
+    time.sleep(1.1)  # file source orders by mod time: early file first
+    write(late)
+
+    stream = (spark.readStream
+              .schema("conv_id string, turn_idx int, subj string,"
+                      " pred string, obj string, subj_ne string,"
+                      " obj_ne string, ts timestamp")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out_dir = str(tmp_path / "resolved")
+    q = (resolve_pronouns_stream(stream).writeStream
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .foreachBatch(lambda df, bid: df.write.mode("overwrite")
+                       .parquet(f"{out_dir}/batch_id={bid}"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj",
+            "subj_ne", "obj_ne"]
+    got = sorted(map(tuple, spark.read.parquet(out_dir)
+                     .select(cols).collect()))
+    batch_in = spark.createDataFrame(
+        early + late,
+        "conv_id string, turn_idx int, subj string, pred string,"
+        " obj string, subj_ne string, obj_ne string")
+    want = sorted(map(tuple,
+                      resolve_triple_anaphora(batch_in)
+                      .select(cols).collect()))
+    assert got == want
+    # the scenario genuinely crossed batches: c1 turn 3's antecedent
+    # (zed, turn 2) was in the earlier file/micro-batch
+    assert ("c1", 3, "zed", "loads", "table", "Person", "Tech") in got
+    # and the conversation-start pronoun was dropped on both paths
+    assert not any(r[0] == "c2" and r[1] == 1 for r in got)
+
+
 def test_streaming_edge_rollup_matches_batch_merge(spark, tmp_path):
     """Delta-then-compact edge maintenance: streaming per-batch deltas,
     folded at read time, must equal the batch edge aggregate (mergeable
