@@ -602,3 +602,49 @@ def test_entity_resolution_pairs_are_blocked_equi_joins(spark):
                      plan), plan
     assert "levenshtein" in plan, plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_coref_triple_resolution_is_single_window_exchange(spark):
+    """resolve_triple_anaphora must plan as ONE hash exchange on the
+    conversation key feeding one window sort — no self-join, no
+    Python, no second shuffle (100 TB: pronoun resolution costs the
+    same as any per-conversation window pass)."""
+    from morra_spark.operators.coref import resolve_triple_anaphora
+
+    t = spark.range(2000).select(
+        (F.col("id") % 50).cast("string").alias("conv_id"),
+        (F.col("id") % 40).cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 3 == 0, F.lit("it"))
+         .otherwise(F.concat(F.lit("e"), (F.col("id") % 7))).alias("subj"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("o"), (F.col("id") % 5)).alias("obj"),
+        F.lit("NE").alias("subj_ne"), F.lit("NE").alias("obj_ne"))
+    plan = _spark_plan(resolve_triple_anaphora(t))
+    assert _shuffle_exchanges(plan) == 1, plan
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_comention_joins_broadcast_and_no_true_cartesian(spark):
+    """comention_edges: the per-doc pair generation is a co-keyed EQUI
+    self-join on the doc id (hash/sort-merge — never a nested loop over
+    the corpus); the document-frequency joins and the 1-row doc total
+    ride BroadcastExchange, so nothing vocabulary-sized shuffles the
+    pair set a second time."""
+    from morra_spark.operators.kg_graph import comention_edges
+
+    m = spark.range(5000).select(
+        (F.col("id") % 400).alias("doc_id"),
+        F.concat(F.lit("e"), (F.col("id") % 12)).alias("entity"))
+    plan = _spark_plan(comention_edges(m))
+    assert "CartesianProduct" not in plan, plan
+    # the per-doc pair self-join is an equi join on the doc key
+    assert re.search(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)",
+                     plan), plan
+    # the ONLY nested-loop is the 1-row doc-total cross (broadcast
+    # scalar) — the corpus-sized pair generation never nested-loops
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan
+    # df_a, df_b, and the 1-row n_docs total all broadcast
+    assert _broadcast_exchanges(plan) >= 3, plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
