@@ -2266,6 +2266,56 @@ def q_kg_fusion_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
+def _tpch_ne_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic NE-typed assertion stream derived from TPC-H (the
+    kg_negative_samples pattern, plus NE tags and a returnflag-driven
+    predicate split) — shared input of the ontology-induction and
+    entity-profile queries. NOT deduped: signature/edge support counts
+    want raw assertion multiplicity."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    li = _t(spark, sf_dir, "lineitem")
+    return (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+            .select(
+                F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+                .alias("subj"),
+                F.when(F.col("o_custkey") % 3 == 0, "PER")
+                .when(F.col("o_custkey") % 3 == 1, "ORG")
+                .otherwise("LOC").alias("subj_ne"),
+                F.when(F.col("l_returnflag") == "R", "returned")
+                .when(F.col("l_returnflag") == "A", "accepted")
+                .otherwise("kept").alias("pred"),
+                F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+                .alias("obj"),
+                F.when(F.col("l_partkey") % 2 == 0, "Prod")
+                .otherwise("Item").alias("obj_ne")))
+
+
+def q_kg_predicate_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ontology induction (operators/kg_graph.predicate_signatures):
+    per-predicate (subj_ne, obj_ne) type-signature profile with support
+    and within-predicate share — ONE partial-aggregating groupBy, the
+    rank window runs over the signature grain only."""
+    from morra_spark.operators.kg_graph import predicate_signatures
+
+    return (predicate_signatures(_tpch_ne_triples(spark, sf_dir))
+            .orderBy("pred", "rank"))
+
+
+def q_kg_entity_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity ego profiles (operators/kg_graph.entity_profiles): each
+    subject's out-degree, total edge weight, and top-3 outgoing
+    (pred, obj) neighbors by weight over the aggregated edge grain —
+    the serving-layer row a KG consumer reads instead of scanning
+    edges. One subject-keyed window over edges, never raw triples."""
+    from morra_spark.operators.kg_graph import entity_profiles
+
+    t = _tpch_ne_triples(spark, sf_dir)
+    edges = (t.groupBy("subj", "pred", "obj")
+             .agg(F.count(F.lit(1)).alias("weight")))
+    return (entity_profiles(edges, k=3)
+            .orderBy("entity", "rank"))
+
+
 # shared lexicons for the coref / co-mention queries: a deterministic
 # "entity" subset of the documents vocabulary and two designated
 # anaphoric markers — arbitrary but fixed, so Spark and DuckDB classify
@@ -2488,6 +2538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # correctness via the local gate replica, scripts/oracle_check.py)
         "coref_antecedents": q_coref_antecedents,
         "kg_comention_npmi": q_kg_comention_npmi,
+        "kg_predicate_signatures": q_kg_predicate_signatures,
+        "kg_entity_profiles": q_kg_entity_profiles,
     }
 
 
@@ -4673,5 +4725,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN df da ON entity_a = da.e
             JOIN df db ON entity_b = db.e, nd
             ORDER BY entity_a, entity_b
+        """,
+        "kg_predicate_signatures": """
+            WITH tri AS (
+              SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS subj,
+                     CASE WHEN o.o_custkey % 3 = 0 THEN 'PER'
+                          WHEN o.o_custkey % 3 = 1 THEN 'ORG'
+                          ELSE 'LOC' END AS subj_ne,
+                     CASE WHEN l.l_returnflag = 'R' THEN 'returned'
+                          WHEN l.l_returnflag = 'A' THEN 'accepted'
+                          ELSE 'kept' END AS pred,
+                     'p:' || CAST(l.l_partkey AS VARCHAR) AS obj,
+                     CASE WHEN l.l_partkey % 2 = 0 THEN 'Prod'
+                          ELSE 'Item' END AS obj_ne
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey % 97 = 0),
+            sig AS (SELECT pred, subj_ne, obj_ne,
+                           CAST(COUNT(*) AS BIGINT) AS n
+                    FROM tri GROUP BY pred, subj_ne, obj_ne)
+            SELECT pred, subj_ne, obj_ne, n,
+                   ROUND(n / CAST(SUM(n) OVER (PARTITION BY pred)
+                                  AS DOUBLE), 6) AS share,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY pred
+                        ORDER BY n DESC, subj_ne, obj_ne) AS INT) AS rank
+            FROM sig ORDER BY pred, rank
+        """,
+        "kg_entity_profiles": """
+            WITH tri AS (
+              SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS subj,
+                     CASE WHEN l.l_returnflag = 'R' THEN 'returned'
+                          WHEN l.l_returnflag = 'A' THEN 'accepted'
+                          ELSE 'kept' END AS pred,
+                     'p:' || CAST(l.l_partkey AS VARCHAR) AS obj
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey % 97 = 0),
+            e AS (SELECT subj, pred, obj,
+                         CAST(COUNT(*) AS BIGINT) AS weight
+                  FROM tri GROUP BY subj, pred, obj),
+            r AS (SELECT subj,
+                         CAST(COUNT(*) OVER (PARTITION BY subj)
+                              AS BIGINT) AS out_degree,
+                         CAST(SUM(weight) OVER (PARTITION BY subj)
+                              AS BIGINT) AS total_weight,
+                         CAST(ROW_NUMBER() OVER (PARTITION BY subj
+                              ORDER BY weight DESC, pred, obj)
+                              AS INT) AS rank,
+                         pred, obj, weight
+                  FROM e)
+            SELECT subj AS entity, out_degree, total_weight, rank,
+                   pred, obj AS neighbor, weight
+            FROM r WHERE rank <= 3 ORDER BY entity, rank
         """,
     }

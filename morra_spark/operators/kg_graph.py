@@ -229,6 +229,67 @@ def resolve_functional(assertions: DataFrame, subj: str, obj: str,
                     "n_candidates"))
 
 
+def predicate_signatures(triples: DataFrame, round_to: int = 6) -> DataFrame:
+    """Ontology induction over an extracted triple set: the
+    (subj_ne, pred, obj_ne) type-signature profile — for every
+    predicate, which NE-type pairs it actually connects, with support
+    and within-predicate share. This is the schema report every KG
+    build ships (it's how you notice ``born_in`` connecting Org→Person,
+    i.e. an extraction bug, before a consumer does) and the prior a
+    type-aware linker uses to rescore ambiguous candidates.
+
+    Deterministic: share rounds to ``round_to``; rank orders by
+    (n desc, subj_ne, obj_ne) so ties are stable across engines,
+    partitionings, and re-runs.
+
+    100 TB shape: ONE partial-aggregating groupBy over the triples —
+    the signature space is |preds| × |NE types|² (hundreds), so hub
+    predicates combine map-side and the window runs over the aggregated
+    signature grain, never corpus rows.
+    """
+    from pyspark.sql import Window
+
+    sig = (triples.groupBy("pred", "subj_ne", "obj_ne")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("pred")
+    return (sig
+            .withColumn("share", F.round(
+                F.col("n") / F.sum("n").over(w), round_to))
+            .withColumn("rank", F.row_number().over(
+                w.orderBy(F.col("n").desc(), "subj_ne", "obj_ne")))
+            .select("pred", "subj_ne", "obj_ne", "n", "share", "rank"))
+
+
+def entity_profiles(edges: DataFrame, k: int = 3) -> DataFrame:
+    """Per-entity ego summary — the serving-layer row a KG consumer
+    (RAG context assembly, entity cards, disambiguation UIs) reads
+    instead of scanning edges: each subject's out-degree, total edge
+    weight, and its top-``k`` outgoing (pred, obj) neighbors by weight
+    (ties: pred asc, obj asc — deterministic). LONG form (one row per
+    kept neighbor, rank 1..k) so the row stays narrow at any k.
+
+    Input grain: aggregated edges (subj, pred, obj, weight) —
+    ``graph_edges`` output, orders smaller than raw triples. One
+    subject-keyed window over that grain; per-subject totals share the
+    same window partition, so the whole profile costs ONE exchange.
+    A hub subject costs one sorted partition of its own edges — at
+    10^9-edge hubs, cap upstream with the same two-phase trick as
+    reassembly (only over-k subjects need the full sort).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("subj")
+    ranked = (edges
+              .withColumn("out_degree", F.count(F.lit(1)).over(w))
+              .withColumn("total_weight", F.sum("weight").over(w))
+              .withColumn("rank", F.row_number().over(
+                  w.orderBy(F.col("weight").desc(), "pred", "obj"))))
+    return (ranked.filter(F.col("rank") <= k)
+            .select(F.col("subj").alias("entity"), "out_degree",
+                    "total_weight", "rank", "pred",
+                    F.col("obj").alias("neighbor"), "weight"))
+
+
 def comention_edges(mentions: DataFrame, doc_col: str = "doc_id",
                     entity_col: str = "entity", min_pairs: int = 2,
                     doc_cap: int = 64, round_to: int = 6) -> DataFrame:

@@ -183,3 +183,48 @@ def test_negative_samples_r1_always_survives_disjoint_subjects(spark):
     own = {"s": "o1", "t": "o2", "u": "o3", "v": "o4"}
     assert all(own[s] != o for s, o, _ in out)
     assert 4 <= len(out) <= 8
+
+
+def test_predicate_signatures_hand_computed(spark):
+    from morra_spark.operators.kg_graph import predicate_signatures
+
+    t = spark.createDataFrame(
+        [("a", "PER", "likes", "x", "ORG"),
+         ("b", "PER", "likes", "y", "ORG"),
+         ("c", "PER", "likes", "z", "LOC"),
+         ("d", "ORG", "owns", "w", "LOC")],
+        "subj string, subj_ne string, pred string, obj string,"
+        " obj_ne string")
+    out = {(r["pred"], r["subj_ne"], r["obj_ne"]): r
+           for r in predicate_signatures(t).collect()}
+    likes_org = out[("likes", "PER", "ORG")]
+    assert likes_org["n"] == 2 and likes_org["rank"] == 1
+    assert likes_org["share"] == pytest.approx(2 / 3, abs=1e-6)
+    likes_loc = out[("likes", "PER", "LOC")]
+    assert likes_loc["n"] == 1 and likes_loc["rank"] == 2
+    owns = out[("owns", "ORG", "LOC")]
+    assert owns["share"] == pytest.approx(1.0) and owns["rank"] == 1
+    # signatures sum to 1 within every predicate
+    shares = predicate_signatures(t).groupBy("pred") \
+        .agg(F.round(F.sum("share"), 4).alias("s")).collect()
+    assert all(r["s"] == pytest.approx(1.0, abs=1e-3) for r in shares)
+
+
+def test_entity_profiles_topk_and_totals(spark):
+    from morra_spark.operators.kg_graph import entity_profiles
+
+    e = spark.createDataFrame(
+        [("a", "p1", "x", 5), ("a", "p1", "y", 3), ("a", "p2", "z", 3),
+         ("a", "p3", "w", 1), ("b", "p1", "x", 2)],
+        "subj string, pred string, obj string, weight long")
+    out = entity_profiles(e, k=2).collect()
+    a = sorted([r for r in out if r["entity"] == "a"],
+               key=lambda r: r["rank"])
+    # totals come from ALL edges, not just the kept top-k
+    assert a[0]["out_degree"] == 4 and a[0]["total_weight"] == 12
+    assert [(r["rank"], r["pred"], r["neighbor"], r["weight"])
+            for r in a] == [(1, "p1", "x", 5), (2, "p1", "y", 3)]
+    # weight tie (3): p1 < p2 wins deterministically
+    b = [r for r in out if r["entity"] == "b"]
+    assert len(b) == 1 and b[0]["out_degree"] == 1
+    assert b[0]["rank"] == 1 and b[0]["neighbor"] == "x"
