@@ -2301,6 +2301,46 @@ def q_kg_predicate_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("pred", "rank"))
 
 
+def q_kg_predicate_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate cardinality profile (operators/kg_graph.
+    predicate_cardinality) — decides which predicates knowledge fusion
+    may collapse. The derived stream mixes the three multi-valued
+    returnflag predicates with a planted FUNCTIONAL one (`is_type`,
+    a pure function of the subject), so both verdicts are exercised.
+    Two partial-aggregating groupBys, no window."""
+    from morra_spark.operators.kg_graph import predicate_cardinality
+
+    t = _tpch_ne_triples(spark, sf_dir)
+    functional = (t.select("subj").distinct()
+                  .select("subj",
+                          F.lit("is_type").alias("pred"),
+                          F.concat(F.lit("seg:"),
+                                   F.substring("subj", 3, 100).cast("long")
+                                   % 4).alias("obj")))
+    return (predicate_cardinality(
+        t.select("subj", "pred", "obj").unionByName(functional))
+        .orderBy("pred"))
+
+
+def q_kg_type_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NE-type conflict audit (operators/kg_graph.node_type_conflicts):
+    entities asserted under >1 NE tag, dominant tag + share. Conflicts
+    are planted deterministically (every part with partkey % 5 == 0
+    carries tag 'ALT' instead of its parity tag), so the report's
+    content is exact ground truth. One explode + two
+    partial-aggregating groupBys at (entity, ne) then entity grain."""
+    from morra_spark.operators.kg_graph import node_type_conflicts
+
+    t = _tpch_ne_triples(spark, sf_dir)
+    # plant subject-side conflicts: a customer whose order touches any
+    # %5==0 part is tagged ALT on those assertions only
+    t = t.withColumn(
+        "subj_ne",
+        F.when(F.substring("obj", 3, 100).cast("long") % 5 == 0, "ALT")
+        .otherwise(F.col("subj_ne")))
+    return node_type_conflicts(t).orderBy("entity")
+
+
 def q_kg_entity_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity ego profiles (operators/kg_graph.entity_profiles): each
     subject's out-degree, total edge weight, and top-3 outgoing
@@ -2540,6 +2580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_comention_npmi": q_kg_comention_npmi,
         "kg_predicate_signatures": q_kg_predicate_signatures,
         "kg_entity_profiles": q_kg_entity_profiles,
+        "kg_predicate_cardinality": q_kg_predicate_cardinality,
+        "kg_type_conflicts": q_kg_type_conflicts,
     }
 
 
@@ -4775,5 +4817,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT subj AS entity, out_degree, total_weight, rank,
                    pred, obj AS neighbor, weight
             FROM r WHERE rank <= 3 ORDER BY entity, rank
+        """,
+        "kg_predicate_cardinality": """
+            WITH tri AS (
+              SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS subj,
+                     CASE WHEN l.l_returnflag = 'R' THEN 'returned'
+                          WHEN l.l_returnflag = 'A' THEN 'accepted'
+                          ELSE 'kept' END AS pred,
+                     'p:' || CAST(l.l_partkey AS VARCHAR) AS obj
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey % 97 = 0),
+            func AS (
+              SELECT DISTINCT subj, 'is_type' AS pred,
+                     'seg:' || CAST(CAST(SUBSTRING(subj, 3) AS BIGINT) % 4
+                                    AS VARCHAR) AS obj
+              FROM tri),
+            allt AS (SELECT subj, pred, obj FROM tri
+                     UNION ALL SELECT subj, pred, obj FROM func),
+            ps AS (SELECT pred, subj, COUNT(DISTINCT obj) AS n_obj,
+                          COUNT(*) AS n_assert
+                   FROM allt GROUP BY pred, subj)
+            SELECT pred, CAST(COUNT(*) AS BIGINT) AS n_subjects,
+                   CAST(SUM(n_obj) AS BIGINT) AS n_pairs,
+                   CAST(SUM(n_assert) AS BIGINT) AS n_assertions,
+                   ROUND(SUM(n_obj) / CAST(COUNT(*) AS DOUBLE), 6)
+                       AS avg_obj_per_subj,
+                   CAST(MAX(n_obj) AS BIGINT) AS max_obj_per_subj,
+                   ROUND(SUM(n_obj) / CAST(COUNT(*) AS DOUBLE), 6) <= 1.05
+                       AS functional
+            FROM ps GROUP BY pred ORDER BY pred
+        """,
+        "kg_type_conflicts": """
+            WITH tri AS (
+              SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS subj,
+                     CASE WHEN l.l_partkey % 5 = 0 THEN 'ALT'
+                          WHEN o.o_custkey % 3 = 0 THEN 'PER'
+                          WHEN o.o_custkey % 3 = 1 THEN 'ORG'
+                          ELSE 'LOC' END AS subj_ne,
+                     'p:' || CAST(l.l_partkey AS VARCHAR) AS obj,
+                     CASE WHEN l.l_partkey % 2 = 0 THEN 'Prod'
+                          ELSE 'Item' END AS obj_ne
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey % 97 = 0),
+            m AS (SELECT subj AS entity, subj_ne AS ne FROM tri
+                  UNION ALL SELECT obj, obj_ne FROM tri),
+            pt AS (SELECT entity, ne, COUNT(*) AS n
+                   FROM m GROUP BY entity, ne),
+            r AS (SELECT entity, ne, n,
+                         CAST(SUM(n) OVER (PARTITION BY entity)
+                              AS BIGINT) AS n_mentions,
+                         CAST(COUNT(*) OVER (PARTITION BY entity)
+                              AS BIGINT) AS n_types,
+                         ROW_NUMBER() OVER (PARTITION BY entity
+                             ORDER BY n DESC, ne DESC) AS rn
+                  FROM pt)
+            SELECT entity, n_types, n_mentions, ne AS dominant_ne,
+                   ROUND(n / CAST(n_mentions AS DOUBLE), 6)
+                       AS dominant_share,
+                   ROUND(n / CAST(n_mentions AS DOUBLE), 6) < 0.8
+                       AS conflicted
+            FROM r WHERE rn = 1 AND n_types > 1 ORDER BY entity
         """,
     }

@@ -260,6 +260,76 @@ def predicate_signatures(triples: DataFrame, round_to: int = 6) -> DataFrame:
             .select("pred", "subj_ne", "obj_ne", "n", "share", "rank"))
 
 
+def predicate_cardinality(triples: DataFrame,
+                          functional_max_avg: float = 1.05,
+                          round_to: int = 6) -> DataFrame:
+    """Predicate cardinality profile — decides WHERE knowledge fusion
+    applies: a predicate whose subjects each assert ~one distinct
+    object is functional (``resolve_functional`` should arbitrate its
+    conflicts); one with many objects per subject is multi-valued and
+    must NOT be collapsed. Reports, per predicate: distinct subjects,
+    distinct (subj, obj) pairs, assertion count, average and max
+    distinct objects per subject, and the functional verdict
+    (avg ≤ ``functional_max_avg`` — a hair above 1.0 so a few
+    extraction errors don't flip a genuinely functional predicate).
+
+    100 TB shape: one partial-aggregating groupBy to the
+    (pred, subj) grain (hub subjects combine map-side; the count of
+    distinct objects is exact at that grain), then one tiny aggregate
+    to predicate grain. No window, no distinct over raw triples.
+    """
+    per_subj = (triples.groupBy("pred", "subj")
+                .agg(F.countDistinct("obj").alias("n_obj"),
+                     F.count(F.lit(1)).alias("n_assert")))
+    return (per_subj.groupBy("pred")
+            .agg(F.count(F.lit(1)).alias("n_subjects"),
+                 F.sum("n_obj").alias("n_pairs"),
+                 F.sum("n_assert").alias("n_assertions"),
+                 F.round(F.sum("n_obj") / F.count(F.lit(1)),
+                         round_to).alias("avg_obj_per_subj"),
+                 F.max("n_obj").alias("max_obj_per_subj"))
+            .withColumn("functional",
+                        F.col("avg_obj_per_subj")
+                        <= F.lit(float(functional_max_avg))))
+
+
+def node_type_conflicts(triples: DataFrame, min_share: float = 0.8,
+                        round_to: int = 6) -> DataFrame:
+    """NE-type conflict audit — the graph-quality report behind
+    ``graph_nodes``' deterministic type pick: entities asserted under
+    MORE than one NE tag across their mentions (subject and object
+    positions both count), with the dominant tag's share. A low
+    dominant share means the type pick is genuinely ambiguous
+    (extraction bug, or a real polysemous surface the linker should
+    split); ``conflicted`` flags share < ``min_share``. Entities with
+    one tag never appear — the report is the exception list.
+
+    100 TB shape: endpoint explode → ONE partial-aggregating groupBy at
+    (entity, ne) grain (hub entities combine map-side) → entity-grain
+    aggregate with max_by for the dominant tag (ties to the
+    lexicographically largest, same rule as graph_nodes). Output is
+    bounded by the conflicted vocabulary.
+    """
+    mentions = (triples.select(F.col("subj").alias("entity"),
+                               F.col("subj_ne").alias("ne"))
+                .unionByName(triples.select(F.col("obj").alias("entity"),
+                                            F.col("obj_ne").alias("ne"))))
+    per_tag = (mentions.groupBy("entity", "ne")
+               .agg(F.count(F.lit(1)).alias("n")))
+    agg = (per_tag.groupBy("entity")
+           .agg(F.count(F.lit(1)).alias("n_types"),
+                F.sum("n").alias("n_mentions"),
+                F.expr("max_by(ne, struct(n, ne))").alias("dominant_ne"),
+                F.max(F.struct("n", "ne")).getField("n").alias("_dom_n")))
+    return (agg.filter(F.col("n_types") > 1)
+            .withColumn("dominant_share", F.round(
+                F.col("_dom_n") / F.col("n_mentions"), round_to))
+            .withColumn("conflicted",
+                        F.col("dominant_share") < F.lit(float(min_share)))
+            .select("entity", "n_types", "n_mentions", "dominant_ne",
+                    "dominant_share", "conflicted"))
+
+
 def entity_profiles(edges: DataFrame, k: int = 3) -> DataFrame:
     """Per-entity ego summary — the serving-layer row a KG consumer
     (RAG context assembly, entity cards, disambiguation UIs) reads

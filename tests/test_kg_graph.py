@@ -228,3 +228,50 @@ def test_entity_profiles_topk_and_totals(spark):
     b = [r for r in out if r["entity"] == "b"]
     assert len(b) == 1 and b[0]["out_degree"] == 1
     assert b[0]["rank"] == 1 and b[0]["neighbor"] == "x"
+
+
+def test_predicate_cardinality_functional_verdict(spark):
+    from morra_spark.operators.kg_graph import predicate_cardinality
+
+    t = spark.createDataFrame(
+        # born_in: functional (1 obj/subj, repeated assertion ok)
+        [("a", "born_in", "x"), ("a", "born_in", "x"),
+         ("b", "born_in", "y"),
+         # likes: multi-valued (a asserts 3 distinct objects)
+         ("a", "likes", "p"), ("a", "likes", "q"), ("a", "likes", "r"),
+         ("b", "likes", "p")],
+        "subj string, pred string, obj string")
+    out = {r["pred"]: r for r in predicate_cardinality(t).collect()}
+    born = out["born_in"]
+    assert born["functional"] and born["n_subjects"] == 2
+    assert born["n_pairs"] == 2 and born["n_assertions"] == 3
+    assert born["avg_obj_per_subj"] == pytest.approx(1.0)
+    likes = out["likes"]
+    assert not likes["functional"] and likes["max_obj_per_subj"] == 3
+    assert likes["avg_obj_per_subj"] == pytest.approx(2.0)
+
+
+def test_node_type_conflicts_report(spark):
+    from morra_spark.operators.kg_graph import node_type_conflicts
+
+    t = spark.createDataFrame(
+        # "acme" is ORG twice as subject, LOC once as object -> 2 types,
+        # dominant ORG 2/3; "bob" always PER -> not in the report
+        [("acme", "ORG", "p", "bob", "PER"),
+         ("acme", "ORG", "p", "bob", "PER"),
+         ("bob", "PER", "visits", "acme", "LOC"),
+         # "zed": 50/50 split -> conflicted, tie broken to larger tag
+         ("zed", "AAA", "p", "bob", "PER"),
+         ("zed", "BBB", "p", "bob", "PER")],
+        "subj string, subj_ne string, pred string, obj string,"
+        " obj_ne string")
+    out = {r["entity"]: r for r in node_type_conflicts(t).collect()}
+    assert set(out) == {"acme", "zed"}
+    acme = out["acme"]
+    assert acme["n_types"] == 2 and acme["n_mentions"] == 3
+    assert acme["dominant_ne"] == "ORG"
+    assert acme["dominant_share"] == pytest.approx(2 / 3, abs=1e-6)
+    assert acme["conflicted"]  # 0.667 < 0.8
+    zed = out["zed"]
+    assert zed["dominant_ne"] == "BBB" and zed["conflicted"]
+    assert zed["dominant_share"] == pytest.approx(0.5)
