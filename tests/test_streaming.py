@@ -660,6 +660,67 @@ def test_streaming_pronoun_resolution_matches_batch(spark, tmp_path):
     assert not any(r[0] == "c2" and r[1] == 1 for r in got)
 
 
+def test_streaming_pronoun_resolution_restarts_from_checkpoint(spark,
+                                                               tmp_path):
+    """Kill-and-restart: run the pronoun resolver to completion on the
+    EARLY file only, stop, then deliver the LATE file to a fresh query
+    on the SAME checkpoint. The late pronouns' antecedents exist only
+    in the restored state store (their turns were consumed before the
+    restart), so a correct resume is provably load-bearing — and the
+    union of both runs' output must equal the batch operator."""
+    from morra_spark.operators.coref import resolve_triple_anaphora
+    from morra_spark.streaming.stateful import resolve_pronouns_stream
+
+    src = str(tmp_path / "triples_src")
+    schema = ("conv_id string, turn_idx int, subj string, pred string,"
+              " obj string, subj_ne string, obj_ne string")
+    early = [
+        ("c1", 1, "alice", "uses", "spark", "Person", "Tech"),
+        ("c1", 2, "it", "reads", "x", None, "Tech"),      # -> alice, run 1
+    ]
+    late = [
+        ("c1", 3, "they", "loads", "y", None, "Tech"),    # -> alice, RESTORED
+        ("c1", 4, "bob", "ships", "z", "Person", "Tech"),
+        ("c1", 5, "it", "rolls", "w", None, "Tech"),      # -> bob, run 2
+    ]
+
+    def write(rows):
+        (spark.createDataFrame(rows, schema)
+         .withColumn("ts", F.to_timestamp(
+             F.concat(F.lit("2024-01-01 00:00:"),
+                      F.format_string("%02d", "turn_idx"))))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    out_dir = str(tmp_path / "resolved")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (spark.readStream.schema(schema + ", ts timestamp")
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        q = (resolve_pronouns_stream(stream).writeStream
+             .option("checkpointLocation", ckpt)
+             .foreachBatch(lambda df, bid: df.write.mode("overwrite")
+                           .parquet(f"{out_dir}/batch_id={bid}"))
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write(early)
+    run_once()           # consumes the early file, checkpoints state
+    write(late)
+    run_once()           # fresh query, same checkpoint: only new file
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    got = sorted(map(tuple, spark.read.parquet(out_dir)
+                     .select(cols).collect()))
+    want = sorted(map(tuple, resolve_triple_anaphora(
+        spark.createDataFrame(early + late, schema))
+        .select(cols).collect()))
+    assert got == want
+    # turn 3's antecedent (alice, turn 1) was consumed BEFORE the
+    # restart — only the restored state store can have supplied it
+    assert ("c1", 3, "alice", "loads", "y") in got
+
+
 def test_streaming_edge_rollup_matches_batch_merge(spark, tmp_path):
     """Delta-then-compact edge maintenance: streaming per-batch deltas,
     folded at read time, must equal the batch edge aggregate (mergeable
