@@ -187,3 +187,25 @@ def test_comention_min_pairs_and_doc_cap(spark):
     # only (e0,e1) appears in >=2 docs after the cap
     assert [(r["entity_a"], r["entity_b"], r["n_docs_both"])
             for r in out] == [("e0", "e1", 3)]
+
+
+def test_resolve_anaphora_matches_python_reference(spark):
+    """Seeded random mention streams vs a direct python reference of
+    the nearest-antecedent rule — one Spark job over many
+    conversations, not one per example."""
+    import random
+
+    rng = random.Random(7)
+    rows, expected = [], {}
+    for c in range(40):
+        last = None
+        for t in range(rng.randrange(1, 25)):
+            is_ana = rng.random() < 0.4
+            ent = "pron" if is_ana else "e%d" % rng.randrange(6)
+            rows.append(("c%d" % c, t, 0, ent, is_ana))
+            expected[("c%d" % c, t)] = last if is_ana else ent
+            if not is_ana:
+                last = ent
+    out = {(r["conv_id"], r["turn_idx"]): r["resolved"]
+           for r in resolve_anaphora(_mentions(spark, rows)).collect()}
+    assert out == expected
