@@ -1,0 +1,102 @@
+"""KG build report — the one composed job a graph consumer runs after
+(or instead of re-running) the extraction pipeline: materialize the
+node/edge tables plus every audit and serving artifact this engine
+derives from a triple table, under one output directory.
+
+    python -m morra_spark.plans.kg_report \
+        --triples /path/to/triples --out /tmp/kg_report
+
+Artifacts (each a parquet dir under ``--out``):
+
+* ``edges/``, ``nodes/`` — the aggregated graph
+  (``operators/kg_graph.materialize_graph``: edges hash-laid-out by
+  subj for neighborhood pruning);
+* ``signatures/`` — per-predicate NE-type signature profile
+  (ontology induction);
+* ``cardinality/`` — predicate cardinality + the functional verdict
+  (which predicates ``resolve_functional`` may collapse);
+* ``type_conflicts/`` — entities asserted under >1 NE tag (the
+  exception list behind the nodes' deterministic type pick);
+* ``profiles/`` — per-entity top-k ego rows (the serving table);
+* ``summary/`` — one row of headline counts.
+
+Plan economics: the triple scan feeds edges, nodes, signatures,
+cardinality, and type_conflicts — five independent reduced-grain
+aggregates over one input. The input is localCheckpointed once so five
+write jobs share a single materialization of the (possibly expensive)
+upstream lineage instead of recomputing it per sink; profiles reuse the
+just-written edges (aggregated grain, orders smaller). At 100 TB each
+aggregate partial-combines map-side; nothing windows raw triples.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
+                  triples_path: str | None = None, out_dir: str,
+                  profile_k: int = 3, n_parts: int = 16) -> dict:
+    """Materialize the full report; returns headline counts."""
+    from morra_spark.operators.kg_graph import (entity_profiles,
+                                                materialize_graph,
+                                                node_type_conflicts,
+                                                predicate_cardinality,
+                                                predicate_signatures)
+
+    if triples is None:
+        triples = spark.read.parquet(triples_path)
+    t = triples.select("conv_id", "turn_idx", "subj", "pred", "obj",
+                       "subj_ne", "obj_ne").localCheckpoint(eager=True)
+
+    g = materialize_graph(t, out_dir, n_parts=n_parts)
+    predicate_signatures(t).write.mode("overwrite") \
+        .parquet(f"{out_dir}/signatures")
+    card = predicate_cardinality(t.select("subj", "pred", "obj"))
+    card.write.mode("overwrite").parquet(f"{out_dir}/cardinality")
+    node_type_conflicts(t).write.mode("overwrite") \
+        .parquet(f"{out_dir}/type_conflicts")
+    edges = spark.read.parquet(g["edges_dir"])
+    entity_profiles(edges, k=profile_k).write.mode("overwrite") \
+        .parquet(f"{out_dir}/profiles")
+
+    card_rows = spark.read.parquet(f"{out_dir}/cardinality")
+    conf_rows = spark.read.parquet(f"{out_dir}/type_conflicts")
+    summary = {
+        "n_triples": t.count(),
+        "n_edges": g["n_edges"], "n_nodes": g["n_nodes"],
+        "n_predicates": card_rows.count(),
+        "n_functional_predicates":
+            card_rows.filter("functional").count(),
+        "n_type_conflicted_entities":
+            conf_rows.filter("conflicted").count(),
+    }
+    spark.createDataFrame(
+        [tuple(summary.values())],
+        ", ".join(f"{k} long" for k in summary)) \
+        .write.mode("overwrite").parquet(f"{out_dir}/summary")
+    return summary
+
+
+def main() -> None:
+    from morra_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--triples", required=True,
+                    help="triple table parquet path (the pipeline sink)")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--profile-k", type=int, default=3)
+    ap.add_argument("--n-parts", type=int, default=16)
+    args = ap.parse_args()
+    spark = get_spark("kg_report")
+    s = run_kg_report(spark, triples_path=args.triples, out_dir=args.out,
+                      profile_k=args.profile_k, n_parts=args.n_parts)
+    for k, v in s.items():
+        print(f"{k:>28}: {v}")
+
+
+if __name__ == "__main__":
+    main()

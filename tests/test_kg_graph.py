@@ -275,3 +275,30 @@ def test_node_type_conflicts_report(spark):
     zed = out["zed"]
     assert zed["dominant_ne"] == "BBB" and zed["conflicted"]
     assert zed["dominant_share"] == pytest.approx(0.5)
+
+
+def test_kg_report_runner_reconciles(spark, triples, tmp_path):
+    """The composed report job writes every artifact and its summary
+    reconciles with the standalone operators on the same triples."""
+    from morra_spark.operators.kg_graph import (graph_edges,
+                                                predicate_cardinality)
+    from morra_spark.plans.kg_report import run_kg_report
+
+    out = str(tmp_path / "kg_report")
+    s = run_kg_report(spark, triples=triples, out_dir=out, profile_k=2)
+    assert s["n_triples"] == triples.count()
+    assert s["n_edges"] == graph_edges(triples).count() > 0
+    card = predicate_cardinality(triples.select("subj", "pred", "obj"))
+    assert s["n_predicates"] == card.count()
+    assert (s["n_functional_predicates"]
+            == card.filter("functional").count())
+    # artifacts written and self-consistent
+    prof = spark.read.parquet(f"{out}/profiles")
+    assert prof.filter(F.col("rank") > 2).count() == 0
+    sig = spark.read.parquet(f"{out}/signatures")
+    bad = (sig.groupBy("pred").agg(F.round(F.sum("share"), 3).alias("s"))
+           .filter(F.abs(F.col("s") - 1.0) > 0.01).count())
+    assert bad == 0
+    summary = spark.read.parquet(f"{out}/summary").collect()
+    assert len(summary) == 1
+    assert summary[0]["n_nodes"] == s["n_nodes"]
