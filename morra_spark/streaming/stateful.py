@@ -410,6 +410,43 @@ def resolve_pronouns_stream(triples_stream: DataFrame,
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
+def start_streaming_pronoun_resolution(spark: SparkSession, *,
+                                       triples_path: str, out_dir: str,
+                                       checkpoint_location: str,
+                                       pronouns: tuple = ("it", "they",
+                                                          "he", "she",
+                                                          "this", "that"),
+                                       max_gap: int | None = None,
+                                       max_files_per_trigger: int = 1,
+                                       trigger_available_now: bool = False):
+    """Streaming query: triple stream → coref-lite resolution →
+    idempotent per-batch_id parquet sink (the same retry-safe layout as
+    every other streaming sink here). Returns the StreamingQuery.
+
+    Input files must carry the triple columns + ``ts``; schema is
+    pinned here so a drifted producer fails loudly at start, not with
+    silent nulls mid-stream.
+    """
+    stream = (spark.readStream
+              .schema(TOOL_TRIPLE_SCHEMA + ", ts timestamp")
+              .option("maxFilesPerTrigger", str(max_files_per_trigger))
+              .parquet(triples_path))
+    resolved = resolve_pronouns_stream(stream, pronouns=pronouns,
+                                       max_gap=max_gap)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(f"{out_dir}/batch_id={batch_id}"))
+
+    writer = (resolved.writeStream
+              .option("checkpointLocation", checkpoint_location)
+              .foreachBatch(write_batch)
+              .outputMode("append"))
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_stream_tool_triples(content_stream: DataFrame,
                                tool_stream: DataFrame, model_bc,
                                delay: str = "10 minutes",

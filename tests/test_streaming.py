@@ -598,7 +598,8 @@ def test_streaming_pronoun_resolution_matches_batch(spark, tmp_path):
     import time
 
     from morra_spark.operators.coref import resolve_triple_anaphora
-    from morra_spark.streaming.stateful import resolve_pronouns_stream
+    from morra_spark.streaming.stateful import \
+        start_streaming_pronoun_resolution
 
     src = str(tmp_path / "triples_src")
     base_ts = "2024-01-01 00:00:"
@@ -628,17 +629,11 @@ def test_streaming_pronoun_resolution_matches_batch(spark, tmp_path):
     time.sleep(1.1)  # file source orders by mod time: early file first
     write(late)
 
-    stream = (spark.readStream
-              .schema("conv_id string, turn_idx int, subj string,"
-                      " pred string, obj string, subj_ne string,"
-                      " obj_ne string, ts timestamp")
-              .option("maxFilesPerTrigger", "1").parquet(src))
     out_dir = str(tmp_path / "resolved")
-    q = (resolve_pronouns_stream(stream).writeStream
-         .option("checkpointLocation", str(tmp_path / "ckpt"))
-         .foreachBatch(lambda df, bid: df.write.mode("overwrite")
-                       .parquet(f"{out_dir}/batch_id={bid}"))
-         .outputMode("append").trigger(availableNow=True).start())
+    q = start_streaming_pronoun_resolution(
+        spark, triples_path=src, out_dir=out_dir,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, trigger_available_now=True)
     q.awaitTermination(120)
 
     cols = ["conv_id", "turn_idx", "subj", "pred", "obj",
@@ -669,7 +664,8 @@ def test_streaming_pronoun_resolution_restarts_from_checkpoint(spark,
     restart), so a correct resume is provably load-bearing — and the
     union of both runs' output must equal the batch operator."""
     from morra_spark.operators.coref import resolve_triple_anaphora
-    from morra_spark.streaming.stateful import resolve_pronouns_stream
+    from morra_spark.streaming.stateful import \
+        start_streaming_pronoun_resolution
 
     src = str(tmp_path / "triples_src")
     schema = ("conv_id string, turn_idx int, subj string, pred string,"
@@ -695,13 +691,10 @@ def test_streaming_pronoun_resolution_restarts_from_checkpoint(spark,
     ckpt = str(tmp_path / "ckpt")
 
     def run_once():
-        stream = (spark.readStream.schema(schema + ", ts timestamp")
-                  .option("maxFilesPerTrigger", "1").parquet(src))
-        q = (resolve_pronouns_stream(stream).writeStream
-             .option("checkpointLocation", ckpt)
-             .foreachBatch(lambda df, bid: df.write.mode("overwrite")
-                           .parquet(f"{out_dir}/batch_id={bid}"))
-             .outputMode("append").trigger(availableNow=True).start())
+        q = start_streaming_pronoun_resolution(
+            spark, triples_path=src, out_dir=out_dir,
+            checkpoint_location=ckpt, max_files_per_trigger=1,
+            trigger_available_now=True)
         q.awaitTermination(120)
 
     write(early)
