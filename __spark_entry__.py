@@ -2341,6 +2341,30 @@ def q_kg_type_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node_type_conflicts(t).orderBy("entity")
 
 
+def q_kg_coparticipation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relation inference by co-participation (operators/kg_graph.
+    coparticipation_pairs): subjects sharing >= 3 distinct objects
+    under the same predicate, Jaccard-scored — the df-capped
+    n-gram-Jaccard structure at the KG grain (distinct memberships,
+    per-object subject cap, one co-keyed self-join)."""
+    from morra_spark.operators.kg_graph import coparticipation_pairs
+
+    # wider 1-in-5 order subset than _tpch_ne_triples: the 1-in-97
+    # slice leaves no subject pair sharing >= 2 objects at sf0.01
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    li = _t(spark, sf_dir, "lineitem")
+    t = (o.join(li, o["o_orderkey"] == li["l_orderkey"])
+         .select(F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+                 .alias("subj"),
+                 F.when(F.col("l_returnflag") == "R", "returned")
+                 .when(F.col("l_returnflag") == "A", "accepted")
+                 .otherwise("kept").alias("pred"),
+                 F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+                 .alias("obj")))
+    return (coparticipation_pairs(t, min_shared=2, obj_cap=64)
+            .orderBy("pred", "subj_a", "subj_b"))
+
+
 def q_kg_entity_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity ego profiles (operators/kg_graph.entity_profiles): each
     subject's out-degree, total edge weight, and top-3 outgoing
@@ -2582,6 +2606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_profiles": q_kg_entity_profiles,
         "kg_predicate_cardinality": q_kg_predicate_cardinality,
         "kg_type_conflicts": q_kg_type_conflicts,
+        "kg_coparticipation": q_kg_coparticipation,
     }
 
 
@@ -4877,5 +4902,38 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(n / CAST(n_mentions AS DOUBLE), 6) < 0.8
                        AS conflicted
             FROM r WHERE rn = 1 AND n_types > 1 ORDER BY entity
+        """,
+        "kg_coparticipation": """
+            WITH tri AS (
+              SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS subj,
+                     CASE WHEN l.l_returnflag = 'R' THEN 'returned'
+                          WHEN l.l_returnflag = 'A' THEN 'accepted'
+                          ELSE 'kept' END AS pred,
+                     'p:' || CAST(l.l_partkey AS VARCHAR) AS obj
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey % 5 = 0),
+            po AS (SELECT DISTINCT pred, obj, subj FROM tri),
+            capped AS (
+              SELECT pred, obj, subj FROM (
+                SELECT pred, obj, subj,
+                       ROW_NUMBER() OVER (PARTITION BY pred, obj
+                                          ORDER BY subj) AS rn
+                FROM po) WHERE rn <= 64),
+            nobj AS (SELECT pred, subj, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM capped GROUP BY pred, subj),
+            pairs AS (
+              SELECT a.pred, a.subj AS subj_a, b.subj AS subj_b,
+                     CAST(COUNT(*) AS BIGINT) AS n_shared
+              FROM capped a JOIN capped b
+                ON a.pred = b.pred AND a.obj = b.obj AND a.subj < b.subj
+              GROUP BY a.pred, a.subj, b.subj HAVING COUNT(*) >= 2)
+            SELECT p.pred, subj_a, subj_b, n_shared,
+                   na.n AS n_a, nb.n AS n_b,
+                   ROUND(n_shared / CAST(na.n + nb.n - n_shared
+                                         AS DOUBLE), 6) AS jaccard
+            FROM pairs p
+            JOIN nobj na ON na.pred = p.pred AND na.subj = subj_a
+            JOIN nobj nb ON nb.pred = p.pred AND nb.subj = subj_b
+            ORDER BY p.pred, subj_a, subj_b
         """,
     }

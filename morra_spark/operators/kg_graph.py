@@ -424,6 +424,58 @@ def comention_edges(mentions: DataFrame, doc_col: str = "doc_id",
                        F.round(npmi, round_to).alias("npmi")))
 
 
+def coparticipation_pairs(edges: DataFrame, min_shared: int = 2,
+                          obj_cap: int = 64,
+                          round_to: int = 6) -> DataFrame:
+    """Relation inference by co-participation: two subjects that share
+    ≥ ``min_shared`` distinct objects under the SAME predicate are
+    related even though no sentence ever asserted it (the classic
+    bipartite-projection signal: two customers returning the same parts,
+    two engineers touching the same services). Scored with Jaccard over
+    their object sets so a promiscuous subject doesn't rank above a
+    genuinely overlapping pair.
+
+    Structure = the df-capped n-gram-Jaccard dedup operator transplanted
+    to the KG grain: distinct (pred, obj, subj) first, a hard
+    deterministic ``obj_cap`` on subjects per (pred, obj) — a hub object
+    ("the login page") otherwise mints O(n²) pairs — then ONE co-keyed
+    self-join on (pred, obj) and a pair-grain aggregate. Per-subject
+    distinct-object counts aggregate at the (pred, subj) grain and join
+    back co-keyed — deliberately NOT broadcast: subject cardinality is
+    unbounded at corpus scale, the same reason ADVICE r3 removed the
+    corpus-cardinality broadcast from ngram_jaccard_pairs (dedup.py).
+    Nothing ever joins raw triples.
+    """
+    from pyspark.sql import Window
+
+    po = (edges.select("pred", "obj", "subj").distinct())
+    rn = F.row_number().over(
+        Window.partitionBy("pred", "obj").orderBy("subj"))
+    po_capped = po.withColumn("_rn", rn).filter(F.col("_rn") <= obj_cap) \
+        .drop("_rn")
+    # per-subject object counts from the CAPPED stream, so jaccard's
+    # denominator and numerator agree on which memberships exist
+    n_obj = po_capped.groupBy("pred", "subj") \
+        .agg(F.count(F.lit(1)).alias("_n"))
+    a = po_capped.select("pred", "obj", F.col("subj").alias("subj_a"))
+    b = po_capped.select("pred", "obj", F.col("subj").alias("subj_b"))
+    pairs = (a.join(b, ["pred", "obj"])
+             .filter(F.col("subj_a") < F.col("subj_b"))
+             .groupBy("pred", "subj_a", "subj_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    na = n_obj.select("pred", F.col("subj").alias("subj_a"),
+                      F.col("_n").alias("n_a"))
+    nb = n_obj.select("pred", F.col("subj").alias("subj_b"),
+                      F.col("_n").alias("n_b"))
+    out = (pairs.join(na, ["pred", "subj_a"])
+           .join(nb, ["pred", "subj_b"]))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b")
+                               - F.col("n_shared"))
+    return out.select("pred", "subj_a", "subj_b", "n_shared",
+                      "n_a", "n_b", F.round(jac, round_to).alias("jaccard"))
+
+
 def materialize_graph(triples: DataFrame, out_dir: str,
                       n_parts: int = 16) -> dict:
     """Write nodes/ and edges/ parquet under ``out_dir``.

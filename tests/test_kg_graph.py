@@ -302,3 +302,37 @@ def test_kg_report_runner_reconciles(spark, triples, tmp_path):
     summary = spark.read.parquet(f"{out}/summary").collect()
     assert len(summary) == 1
     assert summary[0]["n_nodes"] == s["n_nodes"]
+
+
+def test_coparticipation_hand_computed(spark):
+    from morra_spark.operators.kg_graph import coparticipation_pairs
+
+    e = spark.createDataFrame(
+        # under p: a={x,y,z}, b={x,y,w}, c={x} -> (a,b) share {x,y};
+        # c shares only x with each (below min_shared); duplicate
+        # membership rows must not inflate counts; pred q is separate
+        [("a", "p", "x"), ("a", "p", "x"), ("a", "p", "y"), ("a", "p", "z"),
+         ("b", "p", "x"), ("b", "p", "y"), ("b", "p", "w"),
+         ("c", "p", "x"),
+         ("a", "q", "x"), ("b", "q", "x")],
+        "subj string, pred string, obj string")
+    out = coparticipation_pairs(e, min_shared=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["pred"], r["subj_a"], r["subj_b"]) == ("p", "a", "b")
+    assert r["n_shared"] == 2 and r["n_a"] == 3 and r["n_b"] == 3
+    assert r["jaccard"] == pytest.approx(2 / 4, abs=1e-6)
+
+
+def test_coparticipation_obj_cap_bounds_hub_objects(spark):
+    from morra_spark.operators.kg_graph import coparticipation_pairs
+
+    # hub object "hot" touched by 10 subjects; cap 2 keeps s0, s1 only,
+    # so the only surviving pair is (s0, s1) via {hot, extra}
+    rows = [("s%d" % i, "p", "hot") for i in range(10)]
+    rows += [("s0", "p", "extra"), ("s1", "p", "extra")]
+    out = coparticipation_pairs(
+        spark.createDataFrame(rows, "subj string, pred string, obj string"),
+        min_shared=2, obj_cap=2).collect()
+    assert [(r["subj_a"], r["subj_b"], r["n_shared"]) for r in out] \
+        == [("s0", "s1", 2)]
