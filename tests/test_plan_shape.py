@@ -648,3 +648,31 @@ def test_comention_joins_broadcast_and_no_true_cartesian(spark):
     # df_a, df_b, and the 1-row n_docs total all broadcast
     assert _broadcast_exchanges(plan) >= 3, plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_coparticipation_is_cokeyed_equi_join_no_broadcast_counts(spark):
+    """coparticipation_pairs: the pair generation is an equi self-join
+    on (pred, obj) — never a nested loop — and the per-subject count
+    join-back is co-keyed, NOT broadcast (subject cardinality is
+    unbounded at corpus scale; the ngram_jaccard ADVICE r3 rule)."""
+    from morra_spark.operators.kg_graph import coparticipation_pairs
+
+    e = spark.range(4000).select(
+        F.concat(F.lit("s"), (F.col("id") % 300)).alias("subj"),
+        F.concat(F.lit("p"), (F.col("id") % 3)).alias("pred"),
+        F.concat(F.lit("o"), (F.col("id") % 40)).alias("obj"))
+    # disable size-based auto-broadcast: on a tiny test input Catalyst
+    # broadcasts everything anyway (fine, adaptive); what must NOT
+    # exist is a broadcast HINT, which would survive threshold=-1 and
+    # ship a subject-cardinality table to every executor at 100 TB
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _spark_plan(coparticipation_pairs(e))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan), plan
+    assert _broadcast_exchanges(plan) == 0, plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
