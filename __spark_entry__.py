@@ -2343,7 +2343,7 @@ def q_kg_type_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kg_coparticipation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relation inference by co-participation (operators/kg_graph.
-    coparticipation_pairs): subjects sharing >= 3 distinct objects
+    coparticipation_pairs): subjects sharing >= 2 distinct objects
     under the same predicate, Jaccard-scored — the df-capped
     n-gram-Jaccard structure at the KG grain (distinct memberships,
     per-object subject cap, one co-keyed self-join)."""

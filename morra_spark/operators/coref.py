@@ -108,14 +108,23 @@ def resolve_triple_anaphora(triples: DataFrame,
     Schema contract: input needs (conv_id, turn_idx, subj, pred, obj,
     subj_ne, obj_ne); any extra columns (part_key, ...) are preserved.
     """
-    is_pron = F.lower(F.col("subj")).isin([p.lower() for p in pronouns])
+    # null-safe: a null-subj row is NOT a pronoun (passes through
+    # unchanged) and NEVER serves as an antecedent — mirrored in the
+    # streaming twin (code-review finding: pandas NaN handling diverged)
+    is_pron = F.coalesce(
+        F.lower(F.col("subj")).isin([p.lower() for p in pronouns]),
+        F.lit(False))
     # pronoun rows sort FIRST inside their turn (desc on the boolean):
-    # every preceding non-pronoun row is then from an earlier turn
+    # every preceding non-pronoun row is then from an earlier turn.
+    # subj_ne is part of the order so duplicate (subj, pred, obj)
+    # content rows with differing NE tags still order totally — the
+    # inherited tag is the largest, on any partitioning or engine
     w = (Window.partitionBy("conv_id")
-         .orderBy("turn_idx", is_pron.desc(), "subj", "pred", "obj")
+         .orderBy("turn_idx", is_pron.desc(), "subj", "pred", "obj",
+                  "subj_ne")
          .rowsBetween(Window.unboundedPreceding, -1))
     ante = F.last(
-        F.when(~is_pron,
+        F.when(~is_pron & F.col("subj").isNotNull(),
                F.struct(F.col("turn_idx").alias("at"),
                         F.col("subj").alias("subj"),
                         F.col("subj_ne").alias("subj_ne"))),

@@ -47,32 +47,42 @@ def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
                                                 predicate_cardinality,
                                                 predicate_signatures)
 
+    from pyspark.sql import Observation
+
     if triples is None:
         triples = spark.read.parquet(triples_path)
     t = triples.select("conv_id", "turn_idx", "subj", "pred", "obj",
                        "subj_ne", "obj_ne").localCheckpoint(eager=True)
 
     g = materialize_graph(t, out_dir, n_parts=n_parts)
-    predicate_signatures(t).write.mode("overwrite") \
-        .parquet(f"{out_dir}/signatures")
-    card = predicate_cardinality(t.select("subj", "pred", "obj"))
-    card.write.mode("overwrite").parquet(f"{out_dir}/cardinality")
-    node_type_conflicts(t).write.mode("overwrite") \
-        .parquet(f"{out_dir}/type_conflicts")
+    # summary counts ride the write jobs' own observed metrics (the
+    # materialize_graph pattern) — re-reading the just-written parquet
+    # for counts would be a second job per artifact (code-review
+    # finding; full LIST + footer reads on object storage at 100 TB)
+    sig_obs = Observation("signatures")
+    card_obs, conf_obs = Observation("card"), Observation("conf")
+    (predicate_signatures(t)
+     .observe(sig_obs, F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite").parquet(f"{out_dir}/signatures"))
+    (predicate_cardinality(t.select("subj", "pred", "obj"))
+     .observe(card_obs, F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("functional").cast("long")).alias("n_func"))
+     .write.mode("overwrite").parquet(f"{out_dir}/cardinality"))
+    (node_type_conflicts(t)
+     .observe(conf_obs, F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("conflicted").cast("long")).alias("n_conf"))
+     .write.mode("overwrite").parquet(f"{out_dir}/type_conflicts"))
     edges = spark.read.parquet(g["edges_dir"])
     entity_profiles(edges, k=profile_k).write.mode("overwrite") \
         .parquet(f"{out_dir}/profiles")
 
-    card_rows = spark.read.parquet(f"{out_dir}/cardinality")
-    conf_rows = spark.read.parquet(f"{out_dir}/type_conflicts")
     summary = {
-        "n_triples": t.count(),
+        "n_triples": t.count(),  # checkpointed input: count is local
         "n_edges": g["n_edges"], "n_nodes": g["n_nodes"],
-        "n_predicates": card_rows.count(),
-        "n_functional_predicates":
-            card_rows.filter("functional").count(),
-        "n_type_conflicted_entities":
-            conf_rows.filter("conflicted").count(),
+        "n_signatures": sig_obs.get["n"],
+        "n_predicates": card_obs.get["n"],
+        "n_functional_predicates": int(card_obs.get["n_func"] or 0),
+        "n_type_conflicted_entities": int(conf_obs.get["n_conf"] or 0),
     }
     spark.createDataFrame(
         [tuple(summary.values())],

@@ -341,13 +341,24 @@ def _pronoun_fn(pronouns: tuple, max_gap: int | None, state_ttl_ms: int):
         # same straggler guard + whole-group materialization as the
         # tool aligner (one group can span Arrow chunks); assumption at
         # TRIPLE grain: all triples of one turn arrive in the same
-        # micro-batch (true when triples are emitted per annotated turn)
+        # micro-batch (true when triples are emitted per annotated turn).
+        # na_position='first' matches Spark's asc_nulls_first window
+        # order, so the 'largest content row' tie-break agrees with the
+        # batch operator even when subj_ne is null on some duplicates.
         pdf = pdf[pdf["turn_idx"] > last_idx] \
-            .sort_values(["turn_idx", "subj", "pred", "obj"], kind="stable")
+            .sort_values(["turn_idx", "subj", "pred", "obj", "subj_ne"],
+                         kind="stable", na_position="first")
         outs = []
         if len(pdf):
             for t, grp in pdf.groupby("turn_idx", sort=True):
-                is_p = grp["subj"].str.lower().isin(pron).to_numpy()
+                # null-safe classification, identical to the batch
+                # operator: a null subj is NOT a pronoun (passes
+                # through) and NEVER serves as an antecedent —
+                # pandas NaN would otherwise slip into string state
+                subjs = _strs(grp["subj"])
+                is_p = pd.Series(
+                    [s is not None and s.lower() in pron for s in subjs],
+                    index=grp.index).to_numpy()
                 content, prows = grp[~is_p], grp[is_p]
                 if len(content):
                     outs.append(content)
@@ -357,14 +368,18 @@ def _pronoun_fn(pronouns: tuple, max_gap: int | None, state_ttl_ms: int):
                     r["subj"] = ante
                     r["subj_ne"] = ante_ne
                     outs.append(r)
-                if len(content):
+                anchors = content[content["subj"].apply(
+                    lambda v: isinstance(v, str))]
+                if len(anchors):
                     # batch-parity antecedent: the lexicographically
-                    # largest (subj, pred, obj) content row of the turn
-                    mx = content.iloc[-1]  # already sorted
-                    ante, ante_ne, ante_at = \
-                        mx["subj"], mx["subj_ne"], int(t)
+                    # largest (subj, pred, obj, subj_ne) content row
+                    mx = anchors.iloc[-1]  # already sorted
+                    ante, ante_at = mx["subj"], int(t)
+                    ante_ne = (mx["subj_ne"]
+                               if isinstance(mx["subj_ne"], str) else None)
             last_idx = int(pdf["turn_idx"].iloc[-1])
-        state.update((last_idx, ante_at, ante,
+        state.update((last_idx, ante_at,
+                      ante if isinstance(ante, str) else None,
                       ante_ne if isinstance(ante_ne, str) else None))
         wm = state.getCurrentWatermarkMs()
         if wm > 0:

@@ -209,3 +209,23 @@ def test_resolve_anaphora_matches_python_reference(spark):
     out = {(r["conv_id"], r["turn_idx"]): r["resolved"]
            for r in resolve_anaphora(_mentions(spark, rows)).collect()}
     assert out == expected
+
+
+def test_triple_anaphora_duplicate_ne_rows_deterministic(spark):
+    """Duplicate (subj, pred, obj) content rows with differing NE tags
+    (a real occurrence — graph_edges aggregates exactly this case) must
+    yield ONE deterministic inherited tag: the largest, on any
+    partitioning. Null-subj rows pass through and never antecede."""
+    rows = [("c1", 1, "zed", "reads", "y", "Person", "T"),
+            ("c1", 1, "zed", "reads", "y", "Zeta", "T"),
+            ("c1", 1, None, "nul", "n", None, "T"),
+            ("c1", 2, "it", "does", "x", None, "T")]
+    t = _triples(spark, rows)
+    outs = []
+    for df in (t, t.repartition(7), t.repartition(3, "obj")):
+        got = {(r["turn_idx"], r["pred"]): (r["subj"], r["subj_ne"])
+               for r in resolve_triple_anaphora(df).collect()}
+        assert got[(2, "does")] == ("zed", "Zeta")   # largest tag wins
+        assert got[(1, "nul")] == (None, None)       # pass-through
+        outs.append(sorted(got.items()))
+    assert outs[0] == outs[1] == outs[2]

@@ -607,6 +607,11 @@ def test_streaming_pronoun_resolution_matches_batch(spark, tmp_path):
         ("c1", 1, "alice", "uses", "spark", "Person", "Tech"),
         ("c1", 2, "bob", "merges", "x", "Person", "Tech"),
         ("c1", 2, "zed", "reads", "y", "Person", "Tech"),
+        # duplicate (subj, pred, obj) with a DIFFERENT NE tag: the
+        # inherited tag must be the largest, identically on both paths
+        ("c1", 2, "zed", "reads", "y", "Zeta", "Tech"),
+        # null subj: passes through, never serves as an antecedent
+        ("c1", 2, None, "nul", "n", None, "Tech"),
         ("c2", 1, "it", "does", "q", None, "Tech"),   # unresolvable
         ("c2", 2, "carol", "runs", "job", "Person", "Tech"),
     ]
@@ -638,19 +643,20 @@ def test_streaming_pronoun_resolution_matches_batch(spark, tmp_path):
 
     cols = ["conv_id", "turn_idx", "subj", "pred", "obj",
             "subj_ne", "obj_ne"]
-    got = sorted(map(tuple, spark.read.parquet(out_dir)
-                     .select(cols).collect()))
+    def norm(rows):  # None-safe total order for the set compare
+        return sorted(map(tuple, rows),
+                      key=lambda r: tuple((v is None, v) for v in r))
+
+    got = norm(spark.read.parquet(out_dir).select(cols).collect())
     batch_in = spark.createDataFrame(
         early + late,
         "conv_id string, turn_idx int, subj string, pred string,"
         " obj string, subj_ne string, obj_ne string")
-    want = sorted(map(tuple,
-                      resolve_triple_anaphora(batch_in)
-                      .select(cols).collect()))
+    want = norm(resolve_triple_anaphora(batch_in).select(cols).collect())
     assert got == want
     # the scenario genuinely crossed batches: c1 turn 3's antecedent
     # (zed, turn 2) was in the earlier file/micro-batch
-    assert ("c1", 3, "zed", "loads", "table", "Person", "Tech") in got
+    assert ("c1", 3, "zed", "loads", "table", "Zeta", "Tech") in got
     # and the conversation-start pronoun was dropped on both paths
     assert not any(r[0] == "c2" and r[1] == 1 for r in got)
 
