@@ -25,6 +25,30 @@ def _is_path(target: str) -> bool:
     return "/" in target or target.startswith(("file:", "s3:", "s3a:", "hdfs:"))
 
 
+def fs_swap(spark: SparkSession, tmp: str, target: str) -> None:
+    """Replace ``target`` with ``tmp`` through the Hadoop FileSystem API,
+    CHECKING the boolean results.
+
+    Hadoop's ``FileSystem.rename``/``delete`` report most failures by
+    returning ``false`` rather than throwing (missing dst parent,
+    cross-filesystem move, S3A partial-rename) — an unchecked swap that
+    deleted the target and then failed to rename would silently destroy
+    the table and let the caller treat the next run as a fresh write
+    (code-review r5). Raises ``IOError`` and leaves ``tmp`` in place on
+    any failed step, so the data is still recoverable by hand.
+    """
+    jvm = spark._jvm
+    jtgt = jvm.org.apache.hadoop.fs.Path(target)
+    jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    fs = jtgt.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jtgt) and not fs.delete(jtgt, True):
+        raise IOError(f"fs_swap: could not delete existing {target}; "
+                      f"new data left at {tmp}")
+    if not fs.rename(jtmp, jtgt):
+        raise IOError(f"fs_swap: rename {tmp} -> {target} returned false "
+                      f"(target was removed; recover from {tmp})")
+
+
 def fs_exists(spark: SparkSession, path: str) -> bool:
     """Existence probe through the Hadoop FileSystem API.
 
@@ -139,14 +163,10 @@ def merge_upsert(df: DataFrame, target: str, keys: list[str]) -> None:
         tmp = target.rstrip("/") + "__upsert_tmp"
         out.write.mode("overwrite").parquet(tmp)
         # swap through the same FileSystem the data was written with —
-        # two metadata ops on any scheme, not local-only os.rename
-        jvm = spark._jvm
-        jtgt = jvm.org.apache.hadoop.fs.Path(target)
-        jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
-        fs = jtgt.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(jtgt):
-            fs.delete(jtgt, True)
-        fs.rename(jtmp, jtgt)
+        # two metadata ops on any scheme, not local-only os.rename;
+        # fs_swap checks the Hadoop boolean results so a failed rename
+        # raises instead of silently dropping the table
+        fs_swap(spark, tmp, target)
         return
     if not iceberg_available(spark):
         raise RuntimeError(f"no Iceberg catalog for table '{target}'")

@@ -16,11 +16,26 @@ for it. Instead each micro-batch:
    its own output (exactly-once without an additive-merge ledger; an
    additive MERGE would double-count on retry).
 
-Readers call ``read_edge_rollup`` (base ⊎ deltas, one mergeable
+Readers call ``read_edge_rollup`` (base ⊎ pending deltas, one mergeable
 groupBy); a maintenance job calls ``compact_edges`` to fold deltas into
 the base (read-amplification bound, same FS-swap crash-safety seam as
 ``tableio.merge_upsert`` — on a real cluster both become one Iceberg
 MERGE commit).
+
+Compaction correctness against a LIVE stream and crashes (code-review
+r5 — the original version deleted the whole delta directory, racing
+concurrent batch writes, and re-folded already-folded deltas after a
+crash between swap and delete):
+
+* the set of delta batch directories is SNAPSHOT-listed first; only
+  those exact directories are folded and later deleted, so a batch the
+  stream writes mid-compaction is untouched and folds next time;
+* the new base carries a ``_folded_batches.json`` manifest (underscore
+  prefix → invisible to parquet readers) naming every batch id it
+  already contains; both the reader and the next compaction EXCLUDE
+  manifested batch ids still on disk, so a crash between the base swap
+  and the delta delete double-counts nothing — re-running just deletes
+  the leftovers.
 
 Mergeability is the design constraint and is explicit in the schema:
 the rollup maintains ``weight`` (count → SUM), ``first_turn`` (MIN) and
@@ -62,16 +77,80 @@ def _merge(frames: list[DataFrame]) -> DataFrame:
                  F.max("last_turn").alias("last_turn")))
 
 
+_MANIFEST = "_folded_batches.json"
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jp = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jp.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _read_manifest(spark: SparkSession, graph_dir: str) -> set[int]:
+    """Batch ids the current base already contains (empty set when the
+    base is absent or predates the manifest scheme)."""
+    import json
+
+    jvm, fs = _fs(spark, graph_dir)
+    p = jvm.org.apache.hadoop.fs.Path(f"{graph_dir}/edges/{_MANIFEST}")
+    if not fs.exists(p):
+        return set()
+    stream = fs.open(p)
+    out = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 4096, True)
+    return set(json.loads(bytes(out.toByteArray()).decode("utf-8")))
+
+
+def _list_delta_batches(spark: SparkSession, graph_dir: str) -> list[int]:
+    """Snapshot-list the delta batch directories present RIGHT NOW —
+    the compaction folds and deletes exactly this set, so a batch the
+    live stream writes after the listing is never touched."""
+    jvm, fs = _fs(spark, graph_dir)
+    root = jvm.org.apache.hadoop.fs.Path(f"{graph_dir}/edge_deltas")
+    if not fs.exists(root):
+        return []
+    ids = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch_id="):
+            ids.append(int(name.split("=", 1)[1]))
+    return sorted(ids)
+
+
+def _pending_deltas(spark: SparkSession, graph_dir: str,
+                    batch_ids: list[int], folded: set[int]):
+    """Delta rows for the listed batches MINUS the already-folded ones
+    (static isin → partition-pruned scan). None when nothing pends."""
+    pending = [b for b in batch_ids if b not in folded]
+    if not pending:
+        return None, []
+    # explicit per-directory paths (not a root scan): a batch the
+    # stream is writing concurrently is never even listed, and the
+    # scan is pruned to exactly the pending partitions
+    root = f"{graph_dir}/edge_deltas"
+    paths = [f"{root}/batch_id={b}" for b in pending]
+    return (spark.read.option("basePath", root).parquet(*paths),
+            pending)
+
+
 def read_edge_rollup(spark: SparkSession, graph_dir: str) -> DataFrame:
-    """Current edge table = compacted base ⊎ pending deltas, folded by
+    """Current edge table = compacted base ⊎ PENDING deltas, folded by
     the algebraic merge. Either side may be absent (fresh stream / just
-    compacted)."""
+    compacted). Deltas whose batch id the base manifest already claims
+    are excluded — in the crash window between a compaction's base swap
+    and its delta delete, counting them again would double every weight
+    they carry."""
     from morra_spark.sources.tableio import read_existing_parquet
 
-    parts = [p for p in (read_existing_parquet(spark, f"{graph_dir}/edges"),
-                         read_existing_parquet(spark,
-                                               f"{graph_dir}/edge_deltas"))
-             if p is not None]
+    parts = []
+    base = read_existing_parquet(spark, f"{graph_dir}/edges")
+    if base is not None:
+        parts.append(base)
+    deltas, _ = _pending_deltas(spark, graph_dir,
+                                _list_delta_batches(spark, graph_dir),
+                                _read_manifest(spark, graph_dir))
+    if deltas is not None:
+        parts.append(deltas)
     if not parts:
         raise FileNotFoundError(f"no edge base or deltas under {graph_dir}")
     return _merge([p.select(*_EDGE_KEY, "weight", "first_turn", "last_turn")
@@ -79,31 +158,54 @@ def read_edge_rollup(spark: SparkSession, graph_dir: str) -> DataFrame:
 
 
 def compact_edges(spark: SparkSession, graph_dir: str) -> int:
-    """Fold pending deltas into the base and clear them; returns the
-    number of delta batch directories folded. Crash-safe up to the final
-    directory swap (two FS metadata ops — the gap an Iceberg MERGE
-    commit closes on a cluster, same caveat as ``tableio.merge_upsert``);
-    re-running after any earlier crash point is idempotent because the
-    deltas are only deleted after the swapped base already contains them.
+    """Fold pending deltas into the base and delete exactly those delta
+    directories; returns the number folded. Safe against a concurrent
+    stream (only the snapshot-listed batches are touched) and against a
+    crash at ANY point: the swapped base's manifest names every folded
+    batch, so a re-run after a crash between swap and delete sees those
+    batches as already-folded and only cleans them up — it never folds
+    a batch into a base that already contains it.
     """
-    from morra_spark.sources.tableio import read_existing_parquet
+    import json
 
-    deltas = read_existing_parquet(spark, f"{graph_dir}/edge_deltas")
-    if deltas is None:
-        return 0
-    n_batches = deltas.select("batch_id").distinct().count()
-    folded = read_edge_rollup(spark, graph_dir)
-    tmp = f"{graph_dir}/edges__compact_tmp"
-    folded.write.mode("overwrite").parquet(tmp)
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(graph_dir).getFileSystem(
-        spark._jsc.hadoopConfiguration())
-    base = jvm.org.apache.hadoop.fs.Path(f"{graph_dir}/edges")
-    if fs.exists(base):
-        fs.delete(base, True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), base)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{graph_dir}/edge_deltas"), True)
-    return n_batches
+    from morra_spark.sources.tableio import fs_swap, read_existing_parquet
+
+    batch_ids = _list_delta_batches(spark, graph_dir)
+    folded_before = _read_manifest(spark, graph_dir)
+    jvm, fs = _fs(spark, graph_dir)
+
+    deltas, pending = _pending_deltas(spark, graph_dir, batch_ids,
+                                      folded_before)
+    if deltas is not None:
+        base = read_existing_parquet(spark, f"{graph_dir}/edges")
+        frames = ([base.select(*_EDGE_KEY, "weight", "first_turn",
+                               "last_turn")] if base is not None else [])
+        frames.append(deltas.select(*_EDGE_KEY, "weight", "first_turn",
+                                    "last_turn"))
+        tmp = f"{graph_dir}/edges__compact_tmp"
+        _merge(frames).write.mode("overwrite").parquet(tmp)
+        # manifest rides INSIDE the new base dir (written before the
+        # swap, so base-with-manifest appears atomically with the data
+        # as far as any re-run is concerned). It keeps only ids that
+        # could still have a directory on disk: the just-folded set
+        # plus previously-folded ids whose delete never finished.
+        keep = sorted((folded_before & set(batch_ids)) | set(pending))
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{tmp}/{_MANIFEST}"),
+                        True)
+        out.write(bytearray(json.dumps(keep).encode("utf-8")))
+        out.close()
+        fs_swap(spark, tmp, f"{graph_dir}/edges")
+
+    # cleanup: delete the folded directories — the pending ones just
+    # folded plus any leftovers from a prior crashed compaction
+    for b in sorted(set(pending) | (folded_before & set(batch_ids))):
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{graph_dir}/edge_deltas/batch_id={b}")
+        if fs.exists(p) and not fs.delete(p, True):
+            raise IOError(f"compact_edges: could not delete folded delta "
+                          f"{p} — reads stay correct (manifest excludes "
+                          f"it) but the directory needs manual cleanup")
+    return len(pending)
 
 
 def start_streaming_edge_rollup(spark: SparkSession, *, triples_path: str,

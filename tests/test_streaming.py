@@ -797,3 +797,85 @@ def test_streaming_edge_rollup_restart_processes_only_new_files(spark,
     batch = {(r.subj, r.pred, r.obj): (r.weight, r.first_turn, r.last_turn)
              for r in edge_deltas(spark.read.parquet(src)).collect()}
     assert got == batch
+
+
+def test_edge_compaction_crash_window_never_double_counts(spark, tmp_path):
+    """Crash between the base swap and the delta delete (code-review
+    r5): the swapped base already contains the folded batches AND their
+    delta directories are still on disk. Both the reader and a re-run
+    compaction must treat those deltas as already-folded — the original
+    implementation re-folded them, doubling every weight."""
+    import shutil
+
+    from morra_spark.streaming.graph import (compact_edges, edge_deltas,
+                                             read_edge_rollup,
+                                             start_streaming_edge_rollup)
+
+    src = str(tmp_path / "triples")
+    _triples_fixture(spark, src, [
+        ("c1", 1, "a", "likes", "b", "PER", "PER"),
+        ("c1", 2, "a", "likes", "b", "PER", "PER")])
+    gdir = str(tmp_path / "graph")
+    q = start_streaming_edge_rollup(
+        spark, triples_path=src, graph_dir=gdir,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_available_now=True)
+    q.awaitTermination(120)
+
+    # snapshot the delta dirs, compact, then RESTORE them — exactly the
+    # on-disk state a crash between swap and delete leaves behind
+    shutil.copytree(f"{gdir}/edge_deltas", str(tmp_path / "stash"))
+    assert compact_edges(spark, gdir) == 1
+    shutil.copytree(str(tmp_path / "stash"), f"{gdir}/edge_deltas",
+                    dirs_exist_ok=True)
+
+    want = {("a", "likes", "b"): (2, 1, 2)}
+
+    def got():
+        return {(r.subj, r.pred, r.obj): (r.weight, r.first_turn,
+                                          r.last_turn)
+                for r in read_edge_rollup(spark, gdir).collect()}
+
+    assert got() == want          # reader excludes manifested batches
+    assert compact_edges(spark, gdir) == 0  # re-run folds NOTHING new
+    assert got() == want
+    import os
+    assert not os.path.exists(f"{gdir}/edge_deltas/batch_id=0")  # cleaned
+
+
+def test_edge_compaction_leaves_unlisted_batches_alone(spark, tmp_path):
+    """A delta batch written AFTER compaction snapshots its directory
+    listing (i.e. by the live stream mid-compaction) must survive: it
+    stays readable immediately and folds on the NEXT compaction. The
+    original implementation deleted the whole delta root, losing it."""
+    from morra_spark.streaming.graph import (compact_edges, edge_deltas,
+                                             read_edge_rollup,
+                                             start_streaming_edge_rollup)
+
+    src = str(tmp_path / "triples")
+    _triples_fixture(spark, src, [
+        ("c1", 1, "a", "likes", "b", "PER", "PER")])
+    gdir = str(tmp_path / "graph")
+    q = start_streaming_edge_rollup(
+        spark, triples_path=src, graph_dir=gdir,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_available_now=True)
+    q.awaitTermination(120)
+    assert compact_edges(spark, gdir) == 1
+
+    # a "concurrent" batch lands after the compaction listed its dirs —
+    # write it the exact way the stream sink does
+    late = spark.createDataFrame(
+        [("c2", 7, "x", "p", "y", "PER", "PER")],
+        "conv_id string, turn_idx int, subj string, pred string,"
+        " obj string, subj_ne string, obj_ne string")
+    (edge_deltas(late).write.mode("overwrite")
+     .parquet(f"{gdir}/edge_deltas/batch_id=1"))
+
+    got = {(r.subj, r.pred, r.obj) for r in
+           read_edge_rollup(spark, gdir).collect()}
+    assert got == {("a", "likes", "b"), ("x", "p", "y")}
+    assert compact_edges(spark, gdir) == 1   # folds ONLY the late batch
+    got2 = {(r.subj, r.pred, r.obj): r.weight for r in
+            read_edge_rollup(spark, gdir).collect()}
+    assert got2 == {("a", "likes", "b"): 1, ("x", "p", "y"): 1}
