@@ -4506,7 +4506,7 @@ def oracle_sql() -> dict[str, str]:
                              ' +', ' ', 'g'))) AS fp,
                          CASE WHEN source = 'curated' THEN 0
                               WHEN source LIKE 'src%' THEN 1
-                              ELSE 21 END AS prio
+                              ELSE 2 END AS prio
                   FROM u),
             r AS (SELECT doc_id, source, prio, fp,
                          ROW_NUMBER() OVER (PARTITION BY fp

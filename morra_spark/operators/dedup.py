@@ -461,7 +461,11 @@ def dedup_survivorship(docs: DataFrame,
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
         " +", " ")
     fp = F.md5(F.trim(norm))
-    unlisted = len(source_priority)
+    # fallback rank must sit after the WORST listed rank, not at
+    # len(dict) — sparse priorities like {canonical: 0, mirror: 10}
+    # would otherwise rank an unlisted source (2) ahead of a listed
+    # one (10) and keep the unknown copy (code-review r5)
+    unlisted = max(source_priority.values(), default=-1) + 1
     prio = F.coalesce(*[F.when(F.col("source") == k, F.lit(int(v)))
                         for k, v in source_priority.items()],
                       F.lit(unlisted))

@@ -483,3 +483,19 @@ def test_dedup_survivorship_policy_order(spark):
     out2 = dedup_survivorship(docs.filter(F.col("doc_id").isin(1, 2)),
                               {"crawl": 0})
     assert [r.doc_id for r in out2.collect()] == [2]
+
+
+def test_dedup_survivorship_sparse_priorities(spark):
+    """SPARSE priority values (code-review r5): with
+    {canonical: 0, mirror: 10} the fallback rank for an unlisted source
+    must land AFTER 10 — the old len(dict)=2 fallback ranked the
+    unlisted spam copy ahead of the listed mirror and kept the spam."""
+    from morra_spark.operators.dedup import dedup_survivorship
+
+    docs = spark.createDataFrame(
+        [(1, "mirror", "duplicate body"),
+         (2, "spam_host", "Duplicate Body!")],   # unlisted source
+        "doc_id long, source string, text string")
+    out = dedup_survivorship(docs, {"canonical": 0, "mirror": 10}).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].source == "mirror"
