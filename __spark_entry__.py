@@ -4595,7 +4595,7 @@ def oracle_sql() -> dict[str, str]:
             mixed AS (SELECT p.subj, p.pred, v.idx, m.m,
                     (CAST('0x' || SUBSTRING(
                          MD5(p.subj || '|' || p.pred), 1, 15) AS BIGINT)
-                     % (m.m - 1)) + 1 AS mix
+                     % GREATEST(m.m - 1, 1)) + 1 AS mix
                 FROM pos p JOIN vocab v ON v.ent = p.obj CROSS JOIN m),
             negs AS (SELECT subj, pred, r.r,
                             (idx + mix * r.r) % m AS nidx

@@ -61,9 +61,15 @@ def graph_edges(triples: DataFrame) -> DataFrame:
                .alias("subj_ne"),
                F.expr("max_by(obj_ne, struct(n, subj_ne, obj_ne))")
                .alias("obj_ne")))
-    return base.join(ne, key).select(
-        *key, "subj_ne", "obj_ne", "weight", "n_convs",
-        "first_turn", "last_turn")
+    # null-SAFE equi-join (still hash/SMJ-plannable): a pass-through
+    # triple with subj=NULL (resolve_triple_anaphora keeps unresolved
+    # pronouns as null-subj rows) forms a null group in BOTH groupBys —
+    # a null-rejecting join would silently drop its edge while
+    # graph_nodes still counted the obj endpoint (code-review r5)
+    cond = [base[c].eqNullSafe(ne[c]) for c in key]
+    return base.join(ne, cond).select(
+        *[base[c] for c in key], ne["subj_ne"], ne["obj_ne"],
+        "weight", "n_convs", "first_turn", "last_turn")
 
 
 def graph_nodes(triples: DataFrame) -> DataFrame:
@@ -76,9 +82,9 @@ def graph_nodes(triples: DataFrame) -> DataFrame:
     ordering, so the rank is made explicit and deterministic).
     """
     edges = graph_edges(triples)
-    out_deg = edges.groupBy(F.col("subj").alias("entity")) \
+    out_deg = edges.groupBy(F.col("subj").alias("_out_e")) \
         .agg(F.count(F.lit(1)).alias("out_degree"))
-    in_deg = edges.groupBy(F.col("obj").alias("entity")) \
+    in_deg = edges.groupBy(F.col("obj").alias("_in_e")) \
         .agg(F.count(F.lit(1)).alias("in_degree"))
     mentions = (triples.select(F.col("subj").alias("entity"),
                                F.col("subj_ne").alias("ne_type"),
@@ -91,14 +97,20 @@ def graph_nodes(triples: DataFrame) -> DataFrame:
                     F.approx_count_distinct("conv_id").alias("approx_convs")))
     ne_rank = (mentions.groupBy("entity", "ne_type")
                .agg(F.count(F.lit(1)).alias("n"))
-               .groupBy("entity")
+               .groupBy(F.col("entity").alias("_ne_e"))
                .agg(F.expr("max_by(ne_type, struct(n, ne_type))")
                     .alias("ne_type")))
     # max_by on struct(n, ne_type): highest count wins, ties resolve to
-    # the lexicographically LARGEST tag — a fixed, engine-stable rule
-    return (m_stats.join(ne_rank, "entity")
-            .join(out_deg, "entity", "left")
-            .join(in_deg, "entity", "left")
+    # the lexicographically LARGEST tag — a fixed, engine-stable rule.
+    # Joins are null-SAFE so the null entity (unresolved-pronoun subj)
+    # keeps its row and its degrees, matching graph_edges (code-review r5)
+    return (m_stats
+            .join(ne_rank, F.col("entity").eqNullSafe(F.col("_ne_e")))
+            .drop("_ne_e")
+            .join(out_deg, F.col("entity").eqNullSafe(F.col("_out_e")),
+                  "left").drop("_out_e")
+            .join(in_deg, F.col("entity").eqNullSafe(F.col("_in_e")),
+                  "left").drop("_in_e")
             .select("entity", "ne_type", "n_mentions", "approx_convs",
                     F.coalesce("out_degree", F.lit(0)).cast("long")
                     .alias("out_degree"),
@@ -146,9 +158,13 @@ def negative_samples(positives: DataFrame, n_neg: int = 1,
              .withColumn("idx", F.row_number().over(
                  Window.orderBy("_ent")) - 1))
     m = vocab.agg(F.count(F.lit(1)).alias("_m"))  # 1-row broadcast, no collect
+    # greatest(_m - 1, 1): a single-object vocabulary (_m = 1) would be
+    # x % 0 — DIVIDE_BY_ZERO under Spark 4 ANSI. With the guard, every
+    # corruption self-collides and the filter join yields the empty
+    # result the filtered protocol implies (code-review r5)
     mix = (F.conv(F.substring(
         F.md5(F.concat_ws("|", F.col(subj), F.col(pred))), 1, 15), 16, 10)
-        .cast("long") % (F.col("_m") - 1) + 1)
+        .cast("long") % F.greatest(F.col("_m") - 1, F.lit(1)) + 1)
     indexed = (pos
                .join(F.broadcast(vocab.withColumnRenamed("_ent", obj)), obj)
                .crossJoin(F.broadcast(m))

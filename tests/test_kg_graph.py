@@ -119,6 +119,47 @@ def test_approx_convs_agrees_with_exact(spark, triples):
     assert bad == 0, f"approx_convs outside tolerance for {bad} entities"
 
 
+def test_null_subj_edge_survives_and_reconciles(spark):
+    """code-review r5: a pass-through triple with subj=NULL (unresolved
+    pronoun from resolve_triple_anaphora) forms a null group in both of
+    graph_edges' groupBys; the join between them must be null-safe or
+    the edge silently vanishes while graph_nodes still counts the obj
+    endpoint — breaking weight-sum and degree reconciliation."""
+    from morra_spark.operators.kg_graph import graph_edges, graph_nodes
+
+    t = spark.createDataFrame(
+        [("c1", 1, None, "likes", "tea", None, "MISC"),
+         ("c1", 2, None, "likes", "tea", None, "MISC"),
+         ("c2", 1, "bob", "likes", "tea", "PER", "MISC")],
+        "conv_id string, turn_idx int, subj string, pred string,"
+        " obj string, subj_ne string, obj_ne string")
+    e = graph_edges(t)
+    assert e.count() == 2                      # null-subj edge kept
+    assert e.agg(F.sum("weight")).first()[0] == 3
+    null_edge = e.filter(F.col("subj").isNull()).first()
+    assert null_edge is not None and null_edge.weight == 2
+    n = graph_nodes(t)
+    # degrees still reconcile: each edge contributes one out + one in
+    assert n.agg(F.sum("out_degree")).first()[0] == 2
+    assert n.agg(F.sum("in_degree")).first()[0] == 2
+    # the null entity keeps its node row (null-safe node joins)
+    null_node = n.filter(F.col("entity").isNull()).first()
+    assert null_node is not None and null_node.out_degree == 1
+
+
+def test_negative_samples_single_object_vocab_is_empty(spark):
+    """code-review r5: M=1 object vocabulary made the mix expression
+    `x % (M-1)` — modulo zero, a DIVIDE_BY_ZERO crash under Spark 4
+    ANSI. The filtered protocol implies the EMPTY result instead (every
+    corruption self-collides with the one real object)."""
+    from morra_spark.operators.kg_graph import negative_samples
+
+    pos = spark.createDataFrame(
+        [("a", "p", "only"), ("b", "p", "only")],
+        "subj string, pred string, obj string")
+    assert negative_samples(pos, n_neg=2).count() == 0
+
+
 def test_materialize_roundtrip_and_determinism(spark, triples, tmp_path):
     from morra_spark.operators.kg_graph import materialize_graph
 
