@@ -742,7 +742,10 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from morra_spark.operators.curation import chunk_documents
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return chunk_documents(d, chunk_tokens=64, overlap=8)
+    # the sort lives in the query wrapper, not the operator — a global
+    # orderBy has no place in the 100 TB chunking plan (code-review r5)
+    return chunk_documents(d, chunk_tokens=64, overlap=8) \
+        .orderBy("doc_id", "chunk_idx")
 
 
 def q_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4481,9 +4484,10 @@ def oracle_sql() -> dict[str, str]:
                               END AS toks
                        FROM documents),
             ex AS (SELECT doc_id, toks,
-                          UNNEST(GENERATE_SERIES(0, LEN(toks) - 1, 56))
+                          UNNEST(GENERATE_SERIES(
+                              0, GREATEST(LEN(toks) - 8 - 1, 0), 56))
                             AS start
-                   FROM t)
+                   FROM t WHERE LEN(toks) > 0)
             SELECT doc_id,
                    CAST(start / 56 AS INT) AS chunk_idx,
                    CAST(LEN(toks[start + 1 : start + 64]) AS INT)

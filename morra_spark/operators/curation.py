@@ -614,12 +614,27 @@ def mixture_rebalance(docs: DataFrame,
     totals) and both scans are partial-aggregating.
     """
     n_tok = ws_token_count()
-    share = F.coalesce(*[F.when(F.col("source") == k, F.lit(float(v)))
-                         for k, v in targets.items()], F.lit(0.0))
+    # targets join in as a real (tiny) frame, FULL OUTER against the
+    # observed sources: a target source with zero corpus rows must
+    # still bind the budget (its headroom is 0, so the honest
+    # downsample-only budget is 0) and must appear in the report —
+    # the old CASE-expression share silently dropped it, so the caller
+    # read a report that looked like the mixture was achieved
+    # (code-review r5)
+    tgt = docs.sparkSession.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()],
+        "source string, target_share double")
     per_src = (docs.select("source", n_tok.alias("n_tok"))
                .groupBy("source")
                .agg(F.sum("n_tok").alias("n_tokens_before"))
-               .withColumn("target_share", share))
+               # no broadcast hint: Spark can't broadcast a FULL OUTER
+               # side, and both inputs here are source-cardinality
+               .join(tgt, "source", "full_outer")
+               .select("source",
+                       F.coalesce("n_tokens_before", F.lit(0))
+                       .cast("long").alias("n_tokens_before"),
+                       F.coalesce("target_share", F.lit(0.0))
+                       .alias("target_share")))
     budget = (per_src.filter(F.col("target_share") > 0)
               .agg(F.min(F.col("n_tokens_before") / F.col("target_share"))
                    .alias("budget")))
@@ -698,7 +713,14 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
     retrieval/context-window chunker (the inverse of ``pack_sequences``:
     packing concatenates short docs, chunking splits long ones). Chunk
     starts step by ``chunk_tokens - overlap``; the last chunk may be
-    short; empty documents produce no chunks.
+    short; empty documents produce no chunks. A trailing start whose
+    window is fully contained in the previous chunk (the previous chunk
+    already reached the end of the document — any start ``s > 0`` with
+    ``s >= n - overlap``) is never generated, so the embed/index stage
+    downstream sees no pure-overlap duplicate chunks (code-review r5).
+    Output order is unspecified, like every other operator here —
+    callers that need a sort add it (the global sort this function used
+    to end with belongs to no 100 TB plan).
 
     Map-only: tokenize once, posexplode a generated starts sequence,
     slice + rejoin per chunk — no shuffle anywhere, so it chunks 100 TB
@@ -711,7 +733,8 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n = ws_token_count()
     starts = F.when(n > 0, F.sequence(
-        F.lit(0), n - 1, F.lit(step))).otherwise(
+        F.lit(0), F.greatest(n - F.lit(overlap) - 1, F.lit(0)),
+        F.lit(step))).otherwise(
         F.expr("array()").cast("array<long>"))
     t = docs.select("doc_id", n.alias("n_tokens"),
                     toks.alias("toks"), starts.alias("starts"))
@@ -719,7 +742,6 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
                   F.posexplode("starts").alias("chunk_idx", "start"),
                   "toks")
     chunk = F.slice("toks", F.col("start").cast("int") + 1, chunk_tokens)
-    return (ex.select("doc_id", F.col("chunk_idx").cast("int"),
-                      F.size(chunk).cast("int").alias("chunk_len"),
-                      F.array_join(chunk, " ").alias("chunk_text"))
-            .orderBy("doc_id", "chunk_idx"))
+    return ex.select("doc_id", F.col("chunk_idx").cast("int"),
+                     F.size(chunk).cast("int").alias("chunk_len"),
+                     F.array_join(chunk, " ").alias("chunk_text"))

@@ -639,6 +639,26 @@ def test_mixture_rebalance_binding_source_and_determinism(spark):
     assert all(r.p_keep_permille == 0 for r in oute.values())
 
 
+def test_mixture_rebalance_reports_absent_target_source(spark):
+    """code-review r5: a target source with NO corpus rows must appear
+    in the report (zero tokens, zero keeps) and bind the budget to 0 —
+    the old CASE-expression share dropped it silently, so the report
+    looked like the target mixture was achieved."""
+    from morra_spark.operators.curation import mixture_rebalance
+
+    docs = spark.createDataFrame(
+        [(i, "web", "some web text here") for i in range(20)],
+        "doc_id long, source string, text string")
+    out = {r.source: r for r in mixture_rebalance(
+        docs, {"web": 0.5, "code": 0.5}).collect()}
+    assert set(out) == {"web", "code"}           # absent source reported
+    assert out["code"].n_tokens_before == 0
+    assert out["code"].target_share == 0.5
+    # downsample-only cannot mint 'code' tokens: budget 0, nothing kept
+    assert all(r.p_keep_permille == 0 and r.n_tokens_kept == 0
+               for r in out.values())
+
+
 def test_split_leakage_counts_cross_split_pairs(spark):
     from morra_spark.operators.curation import mixture_rebalance  # noqa: F401
     from morra_spark.operators.curation import _portable_bucket, split_leakage
@@ -685,11 +705,13 @@ def test_chunk_documents_overlap_and_edges(spark):
         "doc_id long, text string")
     out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
     got = {(r.doc_id, r.chunk_idx): r for r in out}
-    # step 3 -> starts 0,3,6,9: consecutive chunks share exactly 1 token
+    # step 3 -> starts 0,3,6: consecutive chunks share exactly 1 token.
+    # A start at 9 would be a pure-overlap chunk ("t10", fully inside
+    # chunk 2) — never generated (code-review r5)
     assert got[(1, 0)].chunk_text == "t1 t2 t3 t4"
     assert got[(1, 1)].chunk_text == "t4 t5 t6 t7"
     assert got[(1, 2)].chunk_text == "t7 t8 t9 t10"
-    assert got[(1, 3)].chunk_text == "t10" and got[(1, 3)].chunk_len == 1
+    assert (1, 3) not in got
     assert got[(2, 0)].chunk_text == "a b" and got[(2, 0)].chunk_len == 2
     assert not any(d == 3 for d, _ in got)
     # every token of every doc appears in at least one chunk
@@ -697,6 +719,27 @@ def test_chunk_documents_overlap_and_edges(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_documents_no_pure_overlap_trailing_chunk(spark):
+    """code-review r5: a doc one token short of a single chunk used to
+    emit a second chunk that was a strict subset of the first — a
+    duplicate fed straight to the embed/index stage. The non-subset
+    trailing chunk one token later must still be emitted."""
+    from morra_spark.operators.curation import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(57))),   # covered by chunk 0
+         (2, " ".join(f"w{i}" for i in range(65)))],  # genuine tail chunk
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_len == 57
+    assert len(by_doc[2]) == 2
+    tail = next(r for r in by_doc[2] if r.chunk_idx == 1)
+    assert tail.chunk_len == 9 and tail.chunk_text.endswith("w64")
 
 
 def test_khop_reach_path_graph_true_distances(spark):
