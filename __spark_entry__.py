@@ -4677,7 +4677,9 @@ def oracle_sql() -> dict[str, str]:
                                LOWER(name), '[^a-z0-9 ]', '', 'g'),
                                ' +', ' ', 'g')) AS norm
                     FROM vocab),
-            wn AS (SELECT norm, SUM(w) AS w FROM ids GROUP BY 1),
+            wname AS (SELECT name, norm, SUM(w) AS w FROM ids
+                      GROUP BY 1, 2),
+            wn AS (SELECT norm, SUM(w) AS w FROM wname GROUP BY 1),
             forms AS (SELECT norm FROM wn),
             b1 AS (SELECT norm, SUBSTR(norm, 1, 4) AS bk FROM forms
                    QUALIFY COUNT(*) OVER (PARTITION BY bk) <= 200),
@@ -4707,11 +4709,19 @@ def oracle_sql() -> dict[str, str]:
                           FROM forms f
                           LEFT JOIN comp c ON f.norm = c.node
                           JOIN wn ON wn.norm = f.norm),
-            rep AS (SELECT cluster, norm AS canon FROM (
+            rep_norm AS (SELECT cluster, norm AS rep_norm FROM (
                         SELECT cluster, norm,
                                ROW_NUMBER() OVER (PARTITION BY cluster
                                    ORDER BY w DESC, norm) AS rn
                         FROM clustered) WHERE rn = 1),
+            best_name AS (SELECT norm, name AS canon FROM (
+                        SELECT norm, name,
+                               ROW_NUMBER() OVER (PARTITION BY norm
+                                   ORDER BY w DESC, name) AS rn
+                        FROM wname) WHERE rn = 1),
+            rep AS (SELECT r.cluster, b.canon
+                    FROM rep_norm r JOIN best_name b
+                      ON b.norm = r.rep_norm),
             mapping AS (SELECT cl.norm, rep.canon
                         FROM clustered cl JOIN rep USING (cluster))
             SELECT DISTINCT i.name, m.canon

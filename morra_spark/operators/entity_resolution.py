@@ -130,12 +130,19 @@ def surface_form_map(names: DataFrame, name_col: str = "name",
                      block_cap: int = 200,
                      prefix_len: int = 4) -> DataFrame:
     """(name[, weight]) → (name, canon): fuzzy canonicalization map
-    where the cluster representative is the HEAVIEST normalized form
-    (total weight of the names mapping to it; ties to the smallest
-    form) — for mention canonicalization the dominant spelling is the
-    right survivor, not the lexicographic minimum ("alice smit" must
-    fold INTO "alice smith", which out-mentions it 100:1, never the
-    reverse). With no ``weight_col`` every distinct name votes once.
+    where the cluster representative is the dominant ORIGINAL spelling:
+    the heaviest normalized form in the cluster (ties to the smallest
+    form) picks the cluster, and the heaviest raw name within that form
+    (ties to the smallest name) is the canon — for mention
+    canonicalization the dominant spelling is the right survivor, not
+    the lexicographic minimum and NOT the lowercased/punct-stripped
+    normalization ("alice smit" must fold INTO "alice smith", which
+    out-mentions it 100:1; a singleton "Acme Corp." maps to ITSELF,
+    case and punctuation intact — code-review r5: the old version
+    rewrote every endpoint to its normalized form, destroying
+    case/punctuation corpus-wide and breaking joins against tables
+    keyed on the original surface). With no ``weight_col`` every
+    distinct name votes once.
 
     Output is vocab-grain (one row per distinct input name), so the
     downstream rewrite join broadcasts for any realistic entity
@@ -145,12 +152,19 @@ def surface_form_map(names: DataFrame, name_col: str = "name",
         F.col(name_col).alias("name"),
         (F.col(weight_col) if weight_col else F.lit(1)).alias("w")) \
         .withColumn("norm", normalize_name(F.col("name")))
-    wn = ids.groupBy("norm").agg(F.sum("w").alias("w"))
+    wname = ids.groupBy("name", "norm").agg(F.sum("w").alias("w"))
+    wn = wname.groupBy("norm").agg(F.sum("w").alias("w"))
     clustered = _form_clusters(wn.select("norm"), max_dist, block_cap,
                                prefix_len).join(wn, "norm")
-    # min_by over (-w, norm): heaviest form first, ties to the smallest
-    rep = clustered.groupBy("cluster").agg(
-        F.expr("min_by(norm, struct(-w, norm))").alias("canon"))
+    # two-level dominant pick, each level min_by over (-w, key):
+    # heaviest first, ties to the smallest
+    rep_norm = clustered.groupBy("cluster").agg(
+        F.expr("min_by(norm, struct(-w, norm))").alias("rep_norm"))
+    best_name = wname.groupBy("norm").agg(
+        F.expr("min_by(name, struct(-w, name))").alias("canon"))
+    rep = (rep_norm.join(best_name.withColumnRenamed("norm", "rep_norm"),
+                         "rep_norm")
+           .select("cluster", "canon"))
     mapping = clustered.join(rep, "cluster").select("norm", "canon")
     return (ids.select("name", "norm").distinct()
             .join(mapping, "norm").select("name", "canon"))

@@ -99,6 +99,25 @@ def test_surface_form_map_picks_dominant_not_smallest(spark):
                  "alice smit": "alice smith"}
 
 
+def test_surface_form_map_preserves_original_spelling(spark):
+    """code-review r5: the representative must be a raw input spelling,
+    never the lowercased/punct-stripped normalization — a singleton
+    'Acme Corp.' maps to ITSELF, and a cluster folds into the dominant
+    ORIGINAL spelling (case intact)."""
+    df = spark.createDataFrame(
+        [("Acme Corp.", 50),       # singleton cluster, mixed case
+         ("Alice Smith", 90),      # dominant spelling of its cluster
+         ("alice smith", 5),       # same norm, rarer spelling
+         ("alice smit", 1)],       # fuzzy neighbor, typo
+        "name string, w long")
+    m = {r.name: r.canon for r in surface_form_map(
+        df, weight_col="w").collect()}
+    assert m == {"Acme Corp.": "Acme Corp.",
+                 "Alice Smith": "Alice Smith",
+                 "alice smith": "Alice Smith",
+                 "alice smit": "Alice Smith"}
+
+
 def test_canonicalize_triples_restores_typoed_endpoints(spark):
     rows = ([("alice smith", "met", "bob jones")] * 9
             + [("alice smit", "met", "bob jones")]      # typo'd subj
