@@ -319,7 +319,17 @@ def start_stateful_tool_alignment(spark: SparkSession, *,
     return writer.start()
 
 
-PRON_STATE_SCHEMA = "last_idx int, ante_at int, subj string, subj_ne string"
+PRON_STATE_SCHEMA = ("last_idx int, ante_at int, subj string,"
+                     " subj_ne string, ante_pred string, ante_obj string,"
+                     " prev_at int, prev_subj string, prev_ne string")
+
+
+def _ante_key(s, p, o, ne):
+    """Null-first total order over an anchor row — the tuple twin of
+    the sort's na_position='first', so cross-batch running-max picks
+    the same row the batch window's last() would."""
+    return tuple((v is not None, v if v is not None else "")
+                 for v in (s, p, o, ne))
 
 
 def _pronoun_fn(pronouns: tuple, max_gap: int | None, state_ttl_ms: int):
@@ -333,24 +343,39 @@ def _pronoun_fn(pronouns: tuple, max_gap: int | None, state_ttl_ms: int):
             state.remove()
             yield pd.DataFrame(columns=cols)
             return
-        last_idx, ante_at, ante, ante_ne = (state.get if state.exists
-                                            else (-1, -1, None, None))
+        (last_idx, ante_at, ante, ante_ne, ante_pred, ante_obj,
+         prev_at, prev_ante, prev_ne) = (
+            state.get if state.exists
+            else (-1, -1, None, None, None, None, -1, None, None))
         chunks = [c for c in pdfs if len(c)]
         pdf = (pd.concat(chunks, ignore_index=True) if chunks
                else pd.DataFrame(columns=cols))
         # same straggler guard + whole-group materialization as the
-        # tool aligner (one group can span Arrow chunks); assumption at
-        # TRIPLE grain: all triples of one turn arrive in the same
-        # micro-batch (true when triples are emitted per annotated turn).
+        # tool aligner (one group can span Arrow chunks). The guard is
+        # `>=`, NOT `>`: micro-batch file boundaries do not respect
+        # turn grain, so the high-water turn may continue in the next
+        # batch — the old strict filter silently DROPPED those rows
+        # (code-review r5). Only turns strictly below the high-water
+        # mark are late (recovery = backfill, as documented).
         # na_position='first' matches Spark's asc_nulls_first window
         # order, so the 'largest content row' tie-break agrees with the
         # batch operator even when subj_ne is null on some duplicates.
-        pdf = pdf[pdf["turn_idx"] > last_idx] \
+        pdf = pdf[pdf["turn_idx"] >= last_idx] \
             .sort_values(["turn_idx", "subj", "pred", "obj", "subj_ne"],
                          kind="stable", na_position="first")
         outs = []
         if len(pdf):
             for t, grp in pdf.groupby("turn_idx", sort=True):
+                t = int(t)
+                # antecedent visible to THIS turn's pronouns — never
+                # the turn's own anchor: when the stored anchor already
+                # sits at t (the boundary turn continuing in this
+                # batch), fall back to the previous turn's antecedent,
+                # exactly what the earlier slice of turn t resolved with
+                if ante_at < t:
+                    use_ante, use_ne, use_at = ante, ante_ne, ante_at
+                else:
+                    use_ante, use_ne, use_at = prev_ante, prev_ne, prev_at
                 # null-safe classification, identical to the batch
                 # operator: a null subj is NOT a pronoun (passes
                 # through) and NEVER serves as an antecedent —
@@ -362,11 +387,11 @@ def _pronoun_fn(pronouns: tuple, max_gap: int | None, state_ttl_ms: int):
                 content, prows = grp[~is_p], grp[is_p]
                 if len(content):
                     outs.append(content)
-                if len(prows) and ante is not None and (
-                        max_gap is None or int(t) - ante_at <= max_gap):
+                if len(prows) and use_ante is not None and (
+                        max_gap is None or t - use_at <= max_gap):
                     r = prows.copy()
-                    r["subj"] = ante
-                    r["subj_ne"] = ante_ne
+                    r["subj"] = use_ante
+                    r["subj_ne"] = use_ne
                     outs.append(r)
                 anchors = content[content["subj"].apply(
                     lambda v: isinstance(v, str))]
@@ -374,13 +399,32 @@ def _pronoun_fn(pronouns: tuple, max_gap: int | None, state_ttl_ms: int):
                     # batch-parity antecedent: the lexicographically
                     # largest (subj, pred, obj, subj_ne) content row
                     mx = anchors.iloc[-1]  # already sorted
-                    ante, ante_at = mx["subj"], int(t)
-                    ante_ne = (mx["subj_ne"]
-                               if isinstance(mx["subj_ne"], str) else None)
+                    cand = (mx["subj"],
+                            mx["pred"] if isinstance(mx["pred"], str)
+                            else None,
+                            mx["obj"] if isinstance(mx["obj"], str)
+                            else None,
+                            mx["subj_ne"] if isinstance(mx["subj_ne"], str)
+                            else None)
+                    if ante_at == t:
+                        # boundary turn grew across batches: keep the
+                        # running max so the stored anchor equals the
+                        # batch pick over ALL of the turn's rows
+                        if _ante_key(*cand) > _ante_key(
+                                ante, ante_pred, ante_obj, ante_ne):
+                            ante, ante_pred, ante_obj, ante_ne = cand
+                    else:
+                        prev_at, prev_ante, prev_ne = ante_at, ante, ante_ne
+                        ante_at = t
+                        ante, ante_pred, ante_obj, ante_ne = cand
             last_idx = int(pdf["turn_idx"].iloc[-1])
-        state.update((last_idx, ante_at,
-                      ante if isinstance(ante, str) else None,
-                      ante_ne if isinstance(ante_ne, str) else None))
+
+        def _s(v):
+            return v if isinstance(v, str) else None
+
+        state.update((last_idx, ante_at, _s(ante), _s(ante_ne),
+                      _s(ante_pred), _s(ante_obj),
+                      prev_at, _s(prev_ante), _s(prev_ne)))
         wm = state.getCurrentWatermarkMs()
         if wm > 0:
             state.setTimeoutTimestamp(wm + state_ttl_ms)
@@ -401,12 +445,17 @@ def resolve_pronouns_stream(triples_stream: DataFrame,
     state, so pronoun-subject triples resolve even when their
     antecedent turn landed in an earlier micro-batch.
 
-    State per conversation is O(1): (high-water turn_idx, antecedent
-    turn, antecedent subj/subj_ne) — the same bounded-state contract as
-    the tool aligner, with the same event-time TTL and the same
-    append-only ordering assumption (a turn below the high-water mark
-    is dropped; recovery path = re-run the batch operator over the
-    affected history, exactly like ``backfill_tool_triples``).
+    State per conversation is O(1): (high-water turn_idx, anchor row of
+    the latest content turn, the PREVIOUS turn's antecedent) — the same
+    bounded-state contract as the tool aligner, with the same
+    event-time TTL. The high-water turn itself may CONTINUE across
+    micro-batches (file boundaries do not respect turn grain): its late
+    rows are admitted, resolve against the previous-turn antecedent the
+    earlier slice used, and the stored anchor keeps a running max so
+    parity with the batch window holds (code-review r5). Only turns
+    strictly below the high-water mark are dropped (recovery = re-run
+    the batch operator over the affected history, exactly like
+    ``backfill_tool_triples``).
 
     Parity contract (test-asserted): over the same triples, streamed
     output ≡ ``resolve_triple_anaphora`` row-for-row — non-pronoun rows

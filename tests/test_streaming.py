@@ -720,6 +720,70 @@ def test_streaming_pronoun_resolution_restarts_from_checkpoint(spark,
     assert ("c1", 3, "alice", "loads", "y") in got
 
 
+def test_streaming_pronoun_turn_split_across_batches(spark, tmp_path):
+    """code-review r5: micro-batch file boundaries do not respect turn
+    grain. A turn whose triples arrive split across two batches used to
+    lose its second slice entirely (the strict high-water filter
+    discarded it). Now the late slice passes through, its pronoun rows
+    resolve with the SAME previous-turn antecedent the early slice
+    used, and a later content row can still become the turn's anchor
+    (running max) — all equal to the batch operator over the union."""
+    import time
+
+    from morra_spark.operators.coref import resolve_triple_anaphora
+    from morra_spark.streaming.stateful import \
+        start_streaming_pronoun_resolution
+
+    src = str(tmp_path / "triples_src")
+    schema = ("conv_id string, turn_idx int, subj string, pred string,"
+              " obj string, subj_ne string, obj_ne string")
+    # batch 1: turn 1 anchor + the FIRST slice of turn 2
+    early = [
+        ("c1", 1, "alice", "uses", "spark", "Person", "Tech"),
+        ("c1", 2, "bob", "merges", "x", "Person", "Tech"),
+        ("c1", 2, "it", "fails", "fast", None, "Tech"),   # -> alice
+    ]
+    # batch 2: the REST of turn 2 (a pronoun + a LARGER content row
+    # that must become turn 2's anchor), then a turn-3 pronoun
+    late = [
+        ("c1", 2, "they", "retry", "x", None, "Tech"),    # -> alice still
+        ("c1", 2, "zed", "reads", "y", "Person", "Tech"), # new turn-2 max
+        ("c1", 3, "it", "loads", "t", None, "Tech"),      # -> zed
+    ]
+
+    def write(rows):
+        (spark.createDataFrame(rows, schema)
+         .withColumn("ts", F.to_timestamp(
+             F.concat(F.lit("2024-01-01 00:00:"),
+                      F.format_string("%02d", "turn_idx"))))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    write(early)
+    time.sleep(1.1)  # file source orders by mod time: early file first
+    write(late)
+
+    out_dir = str(tmp_path / "resolved")
+    q = start_streaming_pronoun_resolution(
+        spark, triples_path=src, out_dir=out_dir,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1, trigger_available_now=True)
+    q.awaitTermination(120)
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    got = sorted(map(tuple, spark.read.parquet(out_dir)
+                     .select(cols).collect()))
+    want = sorted(map(tuple, resolve_triple_anaphora(
+        spark.createDataFrame(early + late, schema))
+        .select(cols).collect()))
+    assert got == want
+    # the late slice survived: its content row AND its pronoun row
+    assert ("c1", 2, "zed", "reads", "y") in got
+    assert ("c1", 2, "alice", "retry", "x") in got
+    # turn 3 resolved against the RUNNING-MAX anchor (zed arrived in
+    # batch 2; bob from batch 1 must not win)
+    assert ("c1", 3, "zed", "loads", "t") in got
+
+
 def test_streaming_edge_rollup_matches_batch_merge(spark, tmp_path):
     """Delta-then-compact edge maintenance: streaming per-batch deltas,
     folded at read time, must equal the batch edge aggregate (mergeable
