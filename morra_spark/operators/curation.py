@@ -686,14 +686,13 @@ def split_leakage(docs: DataFrame, train_permille: int = 800,
     (a < b) with the duplicate-pair count and distinct leaked
     fingerprints.
     """
-    norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-        " +", " ")
+    from morra_spark.operators.dedup import normalized_text_fp
+
     b = _portable_bucket(F.col("doc_id"))
     split = (F.when(b < train_permille, F.lit("train"))
              .when(b < val_permille, F.lit("val"))
              .otherwise(F.lit("test")))
-    per = (docs.select(F.md5(F.trim(norm)).alias("fp"),
+    per = (docs.select(normalized_text_fp(F.col("text")).alias("fp"),
                        split.alias("split"))
            .groupBy("fp", "split")
            .agg(F.count(F.lit(1)).cast("long").alias("n")))

@@ -22,6 +22,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def normalized_text_fp(col: F.Column) -> F.Column:
+    """32-byte md5 of the case/punctuation-normalized text — THE
+    normalized-exact duplicate key, shared by ``normalized_dup_groups``,
+    ``dedup_survivorship`` and ``curation.split_leakage`` so the three
+    audits can never drift apart (code-review r5 deduplicated three
+    inlined copies). Normalization = ``entity_resolution.normalize_name``
+    (lower, strip non-alnum, collapse/trim whitespace; ASCII-safe, so
+    the DuckDB oracles replay it codepoint-for-codepoint)."""
+    from morra_spark.operators.entity_resolution import normalize_name
+
+    return F.md5(normalize_name(col))
+
+
 def _word_shingles(df: DataFrame, text_col: str = "text", n: int = 3):
     """(doc_id, tri) distinct word-n-gram shingles, built-ins only.
 
@@ -402,10 +415,7 @@ def normalized_dup_groups(docs: DataFrame) -> DataFrame:
     shuffle so grouped rows carry 32 bytes, not document bodies.
     Returns groups with >= 2 members: (norm_key, n_docs, min_doc_id).
     """
-    norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-        " +", " ")
-    key = F.md5(F.trim(norm))
+    key = normalized_text_fp(F.col("text"))
     return (docs.select("doc_id", key.alias("norm_key"))
             .groupBy("norm_key")
             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -457,10 +467,7 @@ def dedup_survivorship(docs: DataFrame,
     """
     from pyspark.sql.window import Window
 
-    norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
-        " +", " ")
-    fp = F.md5(F.trim(norm))
+    fp = normalized_text_fp(F.col("text"))
     # fallback rank must sit after the WORST listed rank, not at
     # len(dict) — sparse priorities like {canonical: 0, mirror: 10}
     # would otherwise rank an unlisted source (2) ahead of a listed
