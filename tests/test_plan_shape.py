@@ -676,3 +676,32 @@ def test_coparticipation_is_cokeyed_equi_join_no_broadcast_counts(spark):
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan), plan
     assert _broadcast_exchanges(plan) == 0, plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+
+
+def test_graph_rollup_nullsafe_joins_stay_equi_joins(spark):
+    """graph_edges/graph_nodes joins went null-SAFE (code-review r5:
+    null-subj edges must survive). eqNullSafe is still an equi-join
+    key for Catalyst — pin that the rollup plans as hash/sort-merge
+    joins, never a BroadcastNestedLoopJoin/CartesianProduct, which is
+    what a non-equi rewrite would silently cost at 100 TB."""
+    from morra_spark.operators.kg_graph import graph_edges, graph_nodes
+
+    t = spark.range(2000).select(
+        F.concat(F.lit("c"), (F.col("id") % 40)).alias("conv_id"),
+        (F.col("id") % 100).cast("int").alias("turn_idx"),
+        F.when(F.col("id") % 17 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("s"), F.col("id") % 50)).alias("subj"),
+        F.concat(F.lit("p"), (F.col("id") % 5)).alias("pred"),
+        F.concat(F.lit("o"), (F.col("id") % 30)).alias("obj"),
+        F.lit("PER").alias("subj_ne"), F.lit("ORG").alias("obj_ne"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for plan in (_spark_plan(graph_edges(t)),
+                     _spark_plan(graph_nodes(t))):
+            assert "CartesianProduct" not in plan, plan
+            assert "BroadcastNestedLoopJoin" not in plan, plan
+            assert re.search(r"(SortMergeJoin|ShuffledHashJoin)", plan), plan
+            assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
