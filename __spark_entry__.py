@@ -2610,7 +2610,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_cardinality": q_kg_predicate_cardinality,
         "kg_type_conflicts": q_kg_type_conflicts,
         "kg_coparticipation": q_kg_coparticipation,
+        "kg_transitive_closure": q_kg_transitive_closure,
+        "kg_relation_compose": q_kg_relation_compose,
+        "kg_functional_history": q_kg_functional_history,
     }
+
+
+def q_kg_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy rollup closure (operators/components.transitive_closure):
+    min-plus path doubling over a binary part hierarchy
+    (p:k child_of p:k//2, depth ~log2(|part|)) — every (descendant,
+    ancestor) pair with exact minimum hop distance in O(log depth)
+    rounds. The DuckDB oracle walks the same hierarchy with a recursive
+    CTE and must agree on every pair AND every distance."""
+    from morra_spark.operators.components import transitive_closure
+
+    p = _t(spark, sf_dir, "part").select("p_partkey") \
+        .filter(F.col("p_partkey") >= 2)
+    edges = p.select(
+        F.concat(F.lit("p:"), F.col("p_partkey").cast("string"))
+        .alias("src"),
+        F.concat(F.lit("p:"),
+                 F.expr("p_partkey div 2").cast("string")).alias("dst"))
+    return transitive_closure(edges).orderBy("src", "dst")
+
+
+def q_kg_relation_compose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop relation composition (operators/kg_graph.compose_relations):
+    customer -[ordered]-> order -[contains]-> part chains collapsed to
+    the derived (customer, part) predicate with witness counts. The
+    mid cap (5) genuinely fires — TPC-H orders carry up to 7 lineitems
+    — so the oracle replays the same hub-drop rule, not just the
+    join."""
+    from morra_spark.operators.kg_graph import compose_relations
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 13 == 0)
+    li = _t(spark, sf_dir, "lineitem") \
+        .filter(F.col("l_orderkey") % 13 == 0)
+    e1 = o.select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+        .alias("subj"),
+        F.concat(F.lit("o:"), F.col("o_orderkey").cast("string"))
+        .alias("obj"))
+    e2 = li.select(
+        F.concat(F.lit("o:"), F.col("l_orderkey").cast("string"))
+        .alias("subj"),
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+        .alias("obj"))
+    return (compose_relations(e1, e2, mid_cap=5)
+            .orderBy("subj", "obj"))
+
+
+def q_kg_functional_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG / SCD2 at triple grain (operators/kg_graph.
+    functional_history): each customer's order-status value history as
+    validity intervals — change points open intervals, the next start
+    closes them, the last stays open (is_current). Interval bounds are
+    string-formatted with an 'open' sentinel so both engines agree on
+    null dates byte-for-byte."""
+    from morra_spark.operators.kg_graph import functional_history
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    a = o.select(
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+        .alias("subj"),
+        F.lit("order_status").alias("pred"),
+        F.col("o_orderstatus").alias("obj"),
+        F.col("o_orderdate").alias("ts"))
+    h = functional_history(a)
+    return (h.select(
+        "subj", "pred", "obj",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format("valid_to", "yyyy-MM-dd"),
+                   F.lit("open")).alias("valid_to"),
+        "is_current")
+        .orderBy("subj", "valid_from", "obj"))
 
 
 def _lsh_bucket_oracle() -> str:
@@ -4949,5 +5023,63 @@ def oracle_sql() -> dict[str, str]:
             JOIN nobj na ON na.pred = p.pred AND na.subj = subj_a
             JOIN nobj nb ON nb.pred = p.pred AND nb.subj = subj_b
             ORDER BY p.pred, subj_a, subj_b
+        """,
+        "kg_transitive_closure": """
+            WITH RECURSIVE e AS (
+              SELECT 'p:' || CAST(p_partkey AS VARCHAR) AS src,
+                     'p:' || CAST(p_partkey // 2 AS VARCHAR) AS dst
+              FROM part WHERE p_partkey >= 2),
+            reach(src, dst, dist) AS (
+              SELECT src, dst, CAST(1 AS BIGINT) FROM e
+              UNION
+              SELECT r.src, e.dst, r.dist + 1
+              FROM reach r JOIN e ON r.dst = e.src)
+            SELECT src, dst, MIN(dist) AS dist
+            FROM reach GROUP BY src, dst ORDER BY src, dst
+        """,
+        "kg_relation_compose": """
+            WITH e1 AS (SELECT DISTINCT
+                          'c:' || CAST(o_custkey AS VARCHAR) AS subj,
+                          'o:' || CAST(o_orderkey AS VARCHAR) AS mid
+                        FROM orders WHERE o_orderkey % 13 = 0),
+            e2 AS (SELECT DISTINCT
+                     'o:' || CAST(l_orderkey AS VARCHAR) AS mid,
+                     'p:' || CAST(l_partkey AS VARCHAR) AS obj
+                   FROM lineitem WHERE l_orderkey % 13 = 0),
+            kept AS (SELECT mid, obj FROM e2
+                     WHERE mid IN (SELECT mid FROM e2
+                                   GROUP BY mid HAVING COUNT(*) <= 5))
+            SELECT subj, obj, CAST(COUNT(*) AS BIGINT) AS n_paths,
+                   MIN(mid) AS top_mid
+            FROM e1 JOIN kept USING (mid)
+            GROUP BY subj, obj ORDER BY subj, obj
+        """,
+        "kg_functional_history": """
+            WITH a AS (SELECT DISTINCT
+                         'c:' || CAST(o_custkey AS VARCHAR) AS subj,
+                         'order_status' AS pred,
+                         o_orderstatus AS obj,
+                         o_orderdate AS ts
+                       FROM orders WHERE o_orderkey % 7 = 0),
+            marked AS (SELECT *, LAG(obj) OVER
+                         (PARTITION BY subj, pred
+                          ORDER BY ts, obj) AS prev
+                       FROM a),
+            starts AS (SELECT subj, pred, obj, ts AS valid_from
+                       FROM marked
+                       WHERE prev IS NULL OR obj <> prev),
+            iv AS (SELECT subj, pred, obj, valid_from,
+                          LEAD(valid_from) OVER
+                            (PARTITION BY subj, pred
+                             ORDER BY valid_from, obj) AS valid_to
+                   FROM starts)
+            SELECT subj, pred, obj,
+                   STRFTIME(valid_from, '%Y-%m-%d') AS valid_from,
+                   -- is_current computed from the RAW column before the
+                   -- string alias shadows it (DuckDB lateral aliasing)
+                   iv.valid_to IS NULL AS is_current,
+                   COALESCE(STRFTIME(iv.valid_to, '%Y-%m-%d'), 'open')
+                     AS valid_to
+            FROM iv ORDER BY subj, valid_from, obj
         """,
     }

@@ -492,6 +492,95 @@ def coparticipation_pairs(edges: DataFrame, min_shared: int = 2,
                       "n_a", "n_b", F.round(jac, round_to).alias("jaccard"))
 
 
+def compose_relations(e1: DataFrame, e2: DataFrame,
+                      mid_cap: int = 64) -> DataFrame:
+    """2-hop relation composition — derive ``subj -[p1∘p2]-> obj`` from
+    ``subj -[p1]-> mid -[p2]-> obj`` (the triple-pattern path query a
+    KG serving layer answers, and the rule-mining primitive behind
+    "customer ordered_part part" style derived predicates).
+
+    Inputs are edge sets at the AGGREGATED (subj, obj) grain (e.g.
+    ``graph_edges`` output projected to two columns); output is one row
+    per derived (subj, obj) pair with ``n_paths`` (distinct mid nodes
+    witnessing the composition) and ``top_mid`` (the lexicographically
+    smallest witness, a stable example for display/debugging).
+
+    100 TB shape: ONE equi-join on the mid key + one partial-aggregating
+    groupBy. The scale hazard of relation composition is the hub mid
+    node (an order shared by every part, a "USA" entity linked to
+    everything): a mid with fan-in f1 and fan-out f2 contributes
+    f1 × f2 join rows. ``mid_cap`` applies the df-cap discipline from
+    ``dedup.ngram_jaccard_pairs``: mids whose fan-out under p2 exceeds
+    the cap are dropped BEFORE the join (and reported is the caller's
+    job — the cap is a documented recall bound, not silent truncation),
+    so the worst-case join fan-out is bounded by cap × |e1|. Both
+    groupBys partial-aggregate map-side.
+    """
+    a = (e1.select(F.col("subj"), F.col("obj").alias("mid"))
+         .distinct())
+    b = (e2.select(F.col("subj").alias("mid"), F.col("obj"))
+         .distinct())
+    fanout = b.groupBy("mid").agg(F.count(F.lit(1)).alias("_fo"))
+    kept = (b.join(fanout.filter(F.col("_fo") <= mid_cap), "mid")
+            .select("mid", "obj"))
+    return (a.join(kept, "mid")
+            .groupBy("subj", "obj")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_paths"),
+                 F.min("mid").alias("top_mid")))
+
+
+def functional_history(assertions: DataFrame,
+                       subj: str = "subj", pred: str = "pred",
+                       obj: str = "obj", ts: str = "ts") -> DataFrame:
+    """SCD2 validity intervals at triple grain — the TEMPORAL twin of
+    ``resolve_functional``: where fusion keeps only the current value
+    of a functional predicate, this keeps the full value HISTORY as
+    ``(subj, pred, obj, valid_from, valid_to, is_current)`` intervals
+    (``valid_to`` is null on the open current interval). The audit/
+    time-travel read a KG consumer runs to ask "what did we believe
+    about X at time T".
+
+    Change-point compression over one window: assertions are first
+    collapsed to DISTINCT (subj, pred, ts, obj) — re-assertions of the
+    same value at the same instant are redundant for interval
+    construction, and that distinct is the skew mitigation (a hot
+    entity asserted 10^6 times a day costs the window its distinct
+    (ts, obj) rows, not its raw mention count). Rows where the value
+    differs from the previous value open an interval; ``valid_to`` is
+    the next interval's start. Equal-ts conflicting values order by
+    (ts, obj) — a fixed, engine-stable tie-break (the earlier-sorted
+    value gets a zero-length interval), same determinism discipline as
+    the NE-tag rules above.
+
+    100 TB shape: both window passes (lag to find change points, lead
+    to close intervals) partition by (subj, pred) and sort by (ts, obj)
+    — Catalyst plans them over ONE exchange + sort
+    (test_plan_shape pins it). Per-key work is inherently sequential
+    (SCD2 needs the per-key total order), so the parallelism unit is
+    the (subj, pred) key — billions of keys spread over the cluster,
+    and the pre-distinct bounds any one key's row count by its distinct
+    (ts, value) change events.
+    """
+    from pyspark.sql.window import Window
+
+    d = (assertions.select(F.col(subj).alias("subj"),
+                           F.col(pred).alias("pred"),
+                           F.col(obj).alias("obj"),
+                           F.col(ts).alias("ts"))
+         .distinct())
+    w = Window.partitionBy("subj", "pred").orderBy("ts", "obj")
+    marked = d.withColumn("_prev", F.lag("obj").over(w))
+    starts = (marked
+              .filter(F.col("_prev").isNull()
+                      | (F.col("obj") != F.col("_prev")))
+              .select("subj", "pred", "obj",
+                      F.col("ts").alias("valid_from")))
+    w2 = Window.partitionBy("subj", "pred").orderBy("valid_from", "obj")
+    return (starts
+            .withColumn("valid_to", F.lead("valid_from").over(w2))
+            .withColumn("is_current", F.col("valid_to").isNull()))
+
+
 def materialize_graph(triples: DataFrame, out_dir: str,
                       n_parts: int = 16) -> dict:
     """Write nodes/ and edges/ parquet under ``out_dir``.

@@ -1,0 +1,195 @@
+"""KG query-layer operators (round 5 late additions): transitive
+closure, 2-hop relation composition, and SCD2 triple-grain history —
+each checked against a seeded plain-Python reference, plus the
+convergence-round bound the 100 TB story depends on (path doubling is
+O(log depth), not O(depth))."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- closure
+
+def _py_closure(edges):
+    """Brute-force min-hop reachability by BFS from every node."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    out = {}
+    for start in adj:
+        frontier, dist = {start}, 0
+        seen = {start}
+        while frontier:
+            dist += 1
+            nxt = set()
+            for v in frontier:
+                for w in adj.get(v, ()):
+                    if (start, w) not in out:
+                        out[(start, w)] = dist
+                        if w not in seen:
+                            seen.add(w)
+                            nxt.add(w)
+            frontier = nxt
+    return out
+
+
+def test_transitive_closure_matches_bfs_on_random_dag(spark):
+    from morra_spark.operators.components import transitive_closure
+
+    rng = random.Random(7)
+    # random DAG: edges only from lower to higher id → acyclic
+    edges = sorted({(f"n{a}", f"n{b}")
+                    for _ in range(120)
+                    for a in [rng.randrange(30)]
+                    for b in [rng.randrange(30)]
+                    if a < b})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.src, r.dst): r.dist
+           for r in transitive_closure(df).collect()}
+    assert got == _py_closure(edges)
+
+
+def test_transitive_closure_handles_cycles(spark):
+    from morra_spark.operators.components import transitive_closure
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {(r.src, r.dst): r.dist
+           for r in transitive_closure(df).collect()}
+    assert got == _py_closure(edges)
+    assert got[("a", "a")] == 3  # the cycle's self-reach row
+
+
+def test_transitive_closure_is_logarithmic_in_depth(spark):
+    """A depth-16 chain must close within ceil(log2(16)) + 1 = 5
+    doubling rounds — pass max_iter=5 and let the operator's own
+    non-convergence raise be the assertion. A naive frontier loop
+    would need 16."""
+    from morra_spark.operators.components import transitive_closure
+
+    chain = [(f"c{i}", f"c{i + 1}") for i in range(16)]
+    df = spark.createDataFrame(chain, ["src", "dst"])
+    out = transitive_closure(df, max_iter=5)
+    assert out.count() == 16 * 17 // 2  # all (i, j>i) pairs
+    top = out.filter((F.col("src") == "c0") & (F.col("dst") == "c16"))
+    assert top.first().dist == 16
+
+
+# ------------------------------------------------------------ composition
+
+def test_compose_relations_counts_and_caps_hubs(spark):
+    from morra_spark.operators.kg_graph import compose_relations
+
+    e1 = spark.createDataFrame(
+        [("a", "m1"), ("a", "m2"), ("b", "m1"), ("b", "hub"),
+         ("a", "m1")],  # duplicate assertion → distinct grain
+        ["subj", "obj"])
+    e2 = spark.createDataFrame(
+        [("m1", "x"), ("m1", "y"), ("m2", "x"),
+         ("hub", "h1"), ("hub", "h2"), ("hub", "h3")],
+        ["subj", "obj"])
+    got = {(r.subj, r.obj): (r.n_paths, r.top_mid)
+           for r in compose_relations(e1, e2, mid_cap=2).collect()}
+    # hub (fan-out 3 > cap 2) contributes nothing; m1+m2 both witness
+    # (a, x) → n_paths 2, lexicographically smallest witness m1
+    assert got == {("a", "x"): (2, "m1"), ("a", "y"): (1, "m1"),
+                   ("b", "x"): (1, "m1"), ("b", "y"): (1, "m1")}
+
+
+def test_compose_relations_plans_as_equijoin(spark):
+    """The mid join and the cap anti-pattern must stay hash/SMJ
+    equi-joins — no BroadcastNestedLoop/Cartesian anywhere (the
+    plan-shape discipline of test_plan_shape.py applied locally)."""
+    from morra_spark.operators.kg_graph import compose_relations
+
+    e = spark.range(100).select(
+        F.concat(F.lit("s"), (F.col("id") % 10).cast("string"))
+        .alias("subj"),
+        F.concat(F.lit("m"), (F.col("id") % 7).cast("string"))
+        .alias("obj"))
+    e2 = spark.range(100).select(
+        F.concat(F.lit("m"), (F.col("id") % 7).cast("string"))
+        .alias("subj"),
+        F.concat(F.lit("o"), (F.col("id") % 5).cast("string"))
+        .alias("obj"))
+    plan = compose_relations(e, e2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+# -------------------------------------------------------------- SCD2 / t
+
+def _hist(rows):
+    """Plain-python SCD2 reference over (subj, pred, obj, ts) tuples."""
+    from collections import defaultdict
+    per = defaultdict(set)
+    for s, p, o, t in rows:
+        per[(s, p)].add((t, o))
+    out = []
+    for (s, p), vals in per.items():
+        seq = sorted(vals)
+        starts = []
+        prev = None
+        for t, o in seq:
+            if prev is None or o != prev:
+                starts.append((t, o))
+            prev = o
+        for i, (t, o) in enumerate(starts):
+            vt = starts[i + 1][0] if i + 1 < len(starts) else None
+            out.append((s, p, o, t, vt, vt is None))
+    return sorted(out, key=lambda r: (r[0], r[1], r[3], r[2]))
+
+
+def test_functional_history_matches_python_reference(spark):
+    from morra_spark.operators.kg_graph import functional_history
+
+    rows = [
+        # plain A → B → A flip-flop: three intervals, last open
+        ("e1", "status", "A", 1), ("e1", "status", "B", 3),
+        ("e1", "status", "A", 5),
+        # duplicate re-assertions collapse (distinct grain)
+        ("e1", "status", "B", 3), ("e1", "status", "A", 2),
+        # equal-ts conflict: (ts=4, X) and (ts=4, Y) order by obj —
+        # X gets the zero-length interval, Y carries forward
+        ("e2", "status", "X", 4), ("e2", "status", "Y", 4),
+        # single assertion → one open interval
+        ("e3", "kind", "only", 9),
+    ]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj", "ts"])
+    got = sorted(
+        ((r.subj, r.pred, r.obj, r.valid_from, r.valid_to, r.is_current)
+         for r in functional_history(df).collect()),
+        key=lambda r: (r[0], r[1], r[3], r[2]))
+    assert got == _hist(rows)
+    # and the planted semantics explicitly:
+    by = {(g[0], g[2], g[3]): g for g in got}
+    assert by[("e2", "X", 4)][4] == 4          # zero-length interval
+    assert by[("e2", "Y", 4)][5] is True       # Y is current
+    assert by[("e1", "A", 5)][5] is True       # reopened value current
+
+
+def test_functional_history_single_exchange(spark):
+    """Both window passes share the (subj, pred) partitioning — the
+    whole operator must plan over exactly ONE shuffle (plus the
+    pre-distinct's, which reuses the same keys' hash layout only if
+    Catalyst chooses; the assertion pins 'no exchange explosion':
+    <= 2 hash exchanges total, none of them RoundRobin)."""
+    from morra_spark.operators.kg_graph import functional_history
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("s"), (F.col("id") % 50).cast("string"))
+        .alias("subj"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("v"), (F.col("id") % 3).cast("string"))
+        .alias("obj"),
+        (F.col("id") % 37).alias("ts"))
+    plan = functional_history(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    n_exch = plan.count("Exchange hashpartitioning")
+    assert n_exch <= 2, plan
+    assert "roundrobin" not in plan.lower()
