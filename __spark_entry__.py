@@ -2613,6 +2613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transitive_closure": q_kg_transitive_closure,
         "kg_relation_compose": q_kg_relation_compose,
         "kg_functional_history": q_kg_functional_history,
+        "kg_edge_diff": q_kg_edge_diff,
+        "kg_degree_distribution": q_kg_degree_distribution,
     }
 
 
@@ -2685,6 +2687,44 @@ def q_kg_functional_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.lit("open")).alias("valid_to"),
         "is_current")
         .orderBy("subj", "valid_from", "obj"))
+
+
+def q_kg_edge_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG build-over-build CDC (operators/kg_graph.edge_diff): v2 is a
+    deterministic evolution of the v1 edge aggregate — edges on
+    orderkey % 11 == 0 vanish, a planted predicate appears, and
+    re-aggregation shifts weights — so added/removed/changed/unchanged
+    labels are exact ground truth the oracle replays with one
+    full-outer join."""
+    from morra_spark.operators.kg_graph import edge_diff
+
+    from morra_spark.operators.curation import _portable_bucket
+
+    t = _tpch_ne_triples(spark, sf_dir).select("subj", "pred", "obj")
+    v1 = t.groupBy("subj", "pred", "obj") \
+        .agg(F.count(F.lit(1)).alias("weight"))
+    evolved = (t.filter(_portable_bucket(F.col("obj"), 11) != 0)
+               .unionByName(
+                   t.filter(_portable_bucket(F.col("subj"), 13) == 0)
+                   .select("subj", F.lit("flagged").alias("pred"),
+                           "obj")))
+    v2 = evolved.groupBy("subj", "pred", "obj") \
+        .agg(F.count(F.lit(1)).alias("weight"))
+    return (edge_diff(v1, v2)
+            .orderBy("subj", "pred", "obj"))
+
+
+def q_kg_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub/skew audit (operators/kg_graph.degree_distribution):
+    log2-bucketed in/out degree histogram over the aggregated edge
+    grain — fixed-size output regardless of graph size, max_degree
+    pins the worst hub per bucket."""
+    from morra_spark.operators.kg_graph import degree_distribution
+
+    e = (_tpch_ne_triples(spark, sf_dir)
+         .select("subj", "pred", "obj").distinct())
+    return (degree_distribution(e)
+            .orderBy("direction", "bucket"))
 
 
 def _lsh_bucket_oracle() -> str:
@@ -5081,5 +5121,70 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(STRFTIME(iv.valid_to, '%Y-%m-%d'), 'open')
                      AS valid_to
             FROM iv ORDER BY subj, valid_from, obj
+        """,
+        "kg_edge_diff": """
+            WITH tri AS (
+              SELECT 'c:' || CAST(o.o_custkey AS VARCHAR) AS subj,
+                     CASE WHEN l.l_returnflag = 'R' THEN 'returned'
+                          WHEN l.l_returnflag = 'A' THEN 'accepted'
+                          ELSE 'kept' END AS pred,
+                     'p:' || CAST(l.l_partkey AS VARCHAR) AS obj
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey % 97 = 0),
+            v1 AS (SELECT subj, pred, obj,
+                          CAST(COUNT(*) AS BIGINT) AS weight
+                   FROM tri GROUP BY subj, pred, obj),
+            ev AS (SELECT subj, pred, obj FROM tri
+                   WHERE CAST('0x' || SUBSTRING(MD5(obj), 1, 15)
+                              AS BIGINT) % 11 <> 0
+                   UNION ALL
+                   SELECT subj, 'flagged' AS pred, obj FROM tri
+                   WHERE CAST('0x' || SUBSTRING(MD5(subj), 1, 15)
+                              AS BIGINT) % 13 = 0),
+            v2 AS (SELECT subj, pred, obj,
+                          CAST(COUNT(*) AS BIGINT) AS weight
+                   FROM ev GROUP BY subj, pred, obj)
+            SELECT COALESCE(v1.subj, v2.subj) AS subj,
+                   COALESCE(v1.pred, v2.pred) AS pred,
+                   COALESCE(v1.obj, v2.obj) AS obj,
+                   CASE WHEN v1.weight IS NULL THEN 'added'
+                        WHEN v2.weight IS NULL THEN 'removed'
+                        WHEN v1.weight <> v2.weight THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   CAST(COALESCE(v1.weight, 0) AS BIGINT) AS w_old,
+                   CAST(COALESCE(v2.weight, 0) AS BIGINT) AS w_new,
+                   CAST(COALESCE(v2.weight, 0) - COALESCE(v1.weight, 0)
+                        AS BIGINT) AS delta
+            FROM v1 FULL OUTER JOIN v2
+              ON v1.subj = v2.subj AND v1.pred = v2.pred
+                 AND v1.obj = v2.obj
+            ORDER BY subj, pred, obj
+        """,
+        "kg_degree_distribution": """
+            WITH tri AS (
+              SELECT DISTINCT
+                     'c:' || CAST(o.o_custkey AS VARCHAR) AS subj,
+                     CASE WHEN l.l_returnflag = 'R' THEN 'returned'
+                          WHEN l.l_returnflag = 'A' THEN 'accepted'
+                          ELSE 'kept' END AS pred,
+                     'p:' || CAST(l.l_partkey AS VARCHAR) AS obj
+              FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey % 97 = 0),
+            outd AS (SELECT subj AS entity, COUNT(*) AS deg
+                     FROM tri GROUP BY subj),
+            ind AS (SELECT obj AS entity, COUNT(*) AS deg
+                    FROM tri GROUP BY obj),
+            b AS (SELECT 'out' AS direction,
+                         CAST(FLOOR(LOG2(deg)) AS BIGINT) AS bucket,
+                         deg FROM outd
+                  UNION ALL
+                  SELECT 'in' AS direction,
+                         CAST(FLOOR(LOG2(deg)) AS BIGINT) AS bucket,
+                         deg FROM ind)
+            SELECT direction, bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_entities,
+                   CAST(MAX(deg) AS BIGINT) AS max_degree
+            FROM b GROUP BY direction, bucket
+            ORDER BY direction, bucket
         """,
     }

@@ -492,6 +492,65 @@ def coparticipation_pairs(edges: DataFrame, min_shared: int = 2,
                       "n_a", "n_b", F.round(jac, round_to).alias("jaccard"))
 
 
+def edge_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """KG build-over-build CDC at the aggregated edge grain — the graph
+    twin of ``snapshot.snapshot_diff``: label every (subj, pred, obj)
+    edge ``added`` / ``removed`` / ``changed`` / ``unchanged`` between
+    two builds and carry both weights (+ delta) so a release gate can
+    alert on "10% of edges vanished" before a consumer does.
+
+    Inputs are edge tables with a ``weight`` column (``graph_edges``
+    output or any aggregate at that grain). ONE co-keyed full-outer
+    join on the edge key; weights ride along so the diff never re-reads
+    raw triples. 100 TB shape: the edge grain is already the reduced
+    grain (vocabulary-sized, not assertion-sized), the join is
+    hash-plannable, and the output is bounded by |old ∪ new|.
+    """
+    key = ["subj", "pred", "obj"]
+    o = old.select(*key, F.col("weight").alias("w_old"))
+    n = new.select(*key, F.col("weight").alias("w_new"))
+    j = o.join(n, key, "full_outer")
+    status = (F.when(F.col("w_old").isNull(), "added")
+              .when(F.col("w_new").isNull(), "removed")
+              .when(F.col("w_old") != F.col("w_new"), "changed")
+              .otherwise("unchanged"))
+    return j.select(
+        *key, status.alias("status"),
+        F.coalesce("w_old", F.lit(0)).cast("long").alias("w_old"),
+        F.coalesce("w_new", F.lit(0)).cast("long").alias("w_new"),
+        (F.coalesce("w_new", F.lit(0)) - F.coalesce("w_old", F.lit(0)))
+        .cast("long").alias("delta"))
+
+
+def degree_distribution(edges: DataFrame) -> DataFrame:
+    """Log2-bucketed degree histogram over the aggregated edge grain —
+    the hub/skew audit a 100 TB KG build publishes next to its node
+    table: how heavy is the tail, and did this build grow a new
+    super-hub (the entity that will skew every downstream join)?
+
+    Per direction (``out`` over subj, ``in`` over obj): degree per
+    entity, then ``bucket = floor(log2(degree))`` so the report is a
+    fixed ~40 rows regardless of graph size. Two partial-aggregating
+    groupBys per direction (entity grain, then bucket grain) — the
+    entity-grain aggregate is the only corpus-sized work and it
+    combines map-side; the histogram itself is driver-displayable.
+    Also carries ``max_degree`` per bucket so the single worst hub is
+    identifiable without a second scan.
+    """
+    def one(col: str, direction: str) -> DataFrame:
+        deg = (edges.groupBy(F.col(col).alias("entity"))
+               .agg(F.count(F.lit(1)).alias("deg")))
+        return (deg.select(
+            F.lit(direction).alias("direction"),
+            F.floor(F.log2("deg")).cast("long").alias("bucket"),
+            F.col("deg"))
+            .groupBy("direction", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_entities"),
+                 F.max("deg").cast("long").alias("max_degree")))
+
+    return one("subj", "out").unionByName(one("obj", "in"))
+
+
 def compose_relations(e1: DataFrame, e2: DataFrame,
                       mid_cap: int = 64) -> DataFrame:
     """2-hop relation composition — derive ``subj -[p1∘p2]-> obj`` from

@@ -173,6 +173,47 @@ def test_functional_history_matches_python_reference(spark):
     assert by[("e1", "A", 5)][5] is True       # reopened value current
 
 
+# ----------------------------------------------------------- graph audits
+
+def test_edge_diff_labels_every_transition(spark):
+    from morra_spark.operators.kg_graph import edge_diff
+
+    v1 = spark.createDataFrame(
+        [("a", "p", "x", 3), ("a", "p", "y", 2), ("b", "q", "z", 1)],
+        ["subj", "pred", "obj", "weight"])
+    v2 = spark.createDataFrame(
+        [("a", "p", "x", 3),            # unchanged
+         ("a", "p", "y", 5),            # changed (+3)
+         ("c", "r", "w", 4)],           # added
+        ["subj", "pred", "obj", "weight"])
+    got = {(r.subj, r.pred, r.obj): (r.status, r.w_old, r.w_new, r.delta)
+           for r in edge_diff(v1, v2).collect()}
+    assert got == {
+        ("a", "p", "x"): ("unchanged", 3, 3, 0),
+        ("a", "p", "y"): ("changed", 2, 5, 3),
+        ("b", "q", "z"): ("removed", 1, 0, -1),
+        ("c", "r", "w"): ("added", 0, 4, 4),
+    }
+
+
+def test_degree_distribution_buckets_and_hubs(spark):
+    from morra_spark.operators.kg_graph import degree_distribution
+
+    # hub 'h' has out-degree 5 (bucket 2); singles land in bucket 0
+    edges = ([("h", "p", f"o{i}") for i in range(5)]
+             + [("s1", "p", "o0"), ("s2", "p", "o0")])
+    df = spark.createDataFrame(edges, ["subj", "pred", "obj"])
+    got = {(r.direction, r.bucket): (r.n_entities, r.max_degree)
+           for r in degree_distribution(df).collect()}
+    # out: h deg 5 → bucket 2; s1, s2 deg 1 → bucket 0
+    assert got[("out", 2)] == (1, 5)
+    assert got[("out", 0)] == (2, 1)
+    # in: o0 deg 3 → bucket 1; o1..o4 deg 1 → bucket 0
+    assert got[("in", 1)] == (1, 3)
+    assert got[("in", 0)] == (4, 1)
+    assert set(got) == {("out", 2), ("out", 0), ("in", 1), ("in", 0)}
+
+
 def test_functional_history_single_exchange(spark):
     """Both window passes share the (subj, pred) partitioning — the
     whole operator must plan over exactly ONE shuffle (plus the
