@@ -2485,17 +2485,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_join_dim": q_broadcast_join_dim,
         "sortmerge_join": q_sortmerge_join,
         "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
         "range_join": q_range_join,
         "tool_alignment": q_tool_alignment,
         "asof_latest": q_asof_latest,
         "salted_skew_join": q_salted_skew_join,
-        "distinct_agg": q_distinct_agg,
-        "hot_keys_topk": q_hot_keys_topk,
         "window_lag_gap": q_window_lag_gap,
         "window_rank_argmax": q_window_rank_argmax,
-        "window_running_sum": q_window_running_sum,
-        "window_moving_avg": q_window_moving_avg,
         "sessionize": q_sessionize,
         "curation_funnel": q_curation_funnel,
         "span_dedup": q_span_dedup,
@@ -2514,7 +2509,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # family stays covered by grouping_sets_metrics, green r4)
         "entity_resolution": q_entity_resolution,
         "kg_fusion_resolve": q_kg_fusion_resolve,
+        # (h) KG query layer, added after the r5 rotation — in the
+        # window so they are not round-5's "never driver-checked" tail
+        # (the r4 criticism); they displace anti_join, distinct_agg,
+        # hot_keys_topk, window_running_sum, window_moving_avg — all
+        # r3-green, all trivial relative to these, records stand in
+        # the union
+        "kg_transitive_closure": q_kg_transitive_closure,
+        "kg_relation_compose": q_kg_relation_compose,
+        "kg_functional_history": q_kg_functional_history,
+        "kg_edge_diff": q_kg_edge_diff,
+        "kg_degree_distribution": q_kg_degree_distribution,
         # --- end of driver window ---------------------------------
+        "anti_join": q_anti_join,
+        "distinct_agg": q_distinct_agg,
+        "hot_keys_topk": q_hot_keys_topk,
+        "window_running_sum": q_window_running_sum,
+        "window_moving_avg": q_window_moving_avg,
         "rollup_metrics": q_rollup_metrics,
         "cube_metrics": q_cube_metrics,
         "entity_canonical_map": q_entity_canonical_map,
@@ -2610,11 +2621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_predicate_cardinality": q_kg_predicate_cardinality,
         "kg_type_conflicts": q_kg_type_conflicts,
         "kg_coparticipation": q_kg_coparticipation,
-        "kg_transitive_closure": q_kg_transitive_closure,
-        "kg_relation_compose": q_kg_relation_compose,
-        "kg_functional_history": q_kg_functional_history,
-        "kg_edge_diff": q_kg_edge_diff,
-        "kg_degree_distribution": q_kg_degree_distribution,
     }
 
 
