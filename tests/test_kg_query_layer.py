@@ -173,6 +173,30 @@ def test_functional_history_matches_python_reference(spark):
     assert by[("e1", "A", 5)][5] is True       # reopened value current
 
 
+def test_functional_history_randomized_against_reference(spark):
+    """Seeded stress input: 40 (subj, pred) keys × random value streams
+    with deliberate duplicates and equal-ts conflicts — one Spark job,
+    full-set equality with the python SCD2 reference (the pure-python
+    hypothesis suite can't touch Spark, so the randomized sweep lives
+    here with a fixed seed)."""
+    from morra_spark.operators.kg_graph import functional_history
+
+    rng = random.Random(11)
+    rows = []
+    for k in range(40):
+        subj, pred = f"s{k % 13}", f"p{k % 5}"
+        for _ in range(rng.randrange(1, 12)):
+            rows.append((subj, pred,
+                         rng.choice("ABC"), rng.randrange(8)))
+    rows += rng.choices(rows, k=20)  # planted exact duplicates
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj", "ts"])
+    got = sorted(
+        ((r.subj, r.pred, r.obj, r.valid_from, r.valid_to, r.is_current)
+         for r in functional_history(df).collect()),
+        key=lambda r: (r[0], r[1], r[3], r[2]))
+    assert got == _hist(rows)
+
+
 # ----------------------------------------------------------- graph audits
 
 def test_edge_diff_labels_every_transition(spark):
