@@ -220,6 +220,28 @@ def test_edge_diff_labels_every_transition(spark):
     }
 
 
+def test_edge_diff_plans_as_cokeyed_equijoin(spark):
+    """The CDC diff must plan its full-outer join as a hash/SMJ
+    equi-join on the edge key — no BroadcastNestedLoop/Cartesian — so
+    a 10^9-edge build-over-build diff stays one co-keyed shuffle."""
+    from morra_spark.operators.kg_graph import edge_diff
+
+    def edges(mod):
+        return spark.range(500).select(
+            F.concat(F.lit("s"), (F.col("id") % mod).cast("string"))
+            .alias("subj"),
+            F.lit("p").alias("pred"),
+            F.concat(F.lit("o"), (F.col("id") % 17).cast("string"))
+            .alias("obj"),
+            F.lit(1).alias("weight"))
+
+    plan = edge_diff(edges(11), edges(13))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+
+
 def test_degree_distribution_buckets_and_hubs(spark):
     from morra_spark.operators.kg_graph import degree_distribution
 
