@@ -622,10 +622,14 @@ def functional_history(assertions: DataFrame,
     """
     from pyspark.sql.window import Window
 
+    # null obj carries no assertable value and would conflate with
+    # lag()'s first-row null below (a change point would be silently
+    # dropped) — excluded explicitly, same posture as resolve_functional
     d = (assertions.select(F.col(subj).alias("subj"),
                            F.col(pred).alias("pred"),
                            F.col(obj).alias("obj"),
                            F.col(ts).alias("ts"))
+         .filter(F.col("obj").isNotNull())
          .distinct())
     w = Window.partitionBy("subj", "pred").orderBy("ts", "obj")
     marked = d.withColumn("_prev", F.lag("obj").over(w))

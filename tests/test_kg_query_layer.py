@@ -173,6 +173,22 @@ def test_functional_history_matches_python_reference(spark):
     assert by[("e1", "A", 5)][5] is True       # reopened value current
 
 
+def test_functional_history_excludes_null_values(spark):
+    """A null obj carries no assertable value; it must neither mint an
+    interval nor break an adjacent change point (it would conflate
+    with lag()'s first-row null marker otherwise)."""
+    from morra_spark.operators.kg_graph import functional_history
+
+    rows = [("e", "p", "A", 1), ("e", "p", None, 2), ("e", "p", "A", 3),
+            ("n", "p", None, 1)]
+    df = spark.createDataFrame(rows, ["subj", "pred", "obj", "ts"])
+    got = [(r.obj, r.valid_from, r.valid_to, r.is_current)
+           for r in functional_history(df).orderBy("subj").collect()]
+    # the null at ts=2 vanishes → A's single interval stays unbroken;
+    # subject n (only null assertions) produces no history at all
+    assert got == [("A", 1, None, True)]
+
+
 def test_functional_history_randomized_against_reference(spark):
     """Seeded stress input: 40 (subj, pred) keys × random value streams
     with deliberate duplicates and equal-ts conflicts — one Spark job,
