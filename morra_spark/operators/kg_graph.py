@@ -644,6 +644,30 @@ def functional_history(assertions: DataFrame,
             .withColumn("is_current", F.col("valid_to").isNull()))
 
 
+def as_of(history: DataFrame, ts) -> DataFrame:
+    """Point-in-time read over ``functional_history`` output — the
+    "what did we believe about X at time T" query the SCD2 intervals
+    exist for. Returns one (subj, pred, obj) row per key whose interval
+    covers ``ts``: ``valid_from <= ts < valid_to`` with an open
+    ``valid_to`` treated as infinity. Keys first asserted after ``ts``
+    are absent (nothing was believed yet).
+
+    Map-only — one filter over the interval table, no shuffle, no
+    window: the interval construction already paid the per-key
+    ordering, so every historical snapshot afterwards is scan-speed.
+    Half-open intervals make snapshots exact at change points: at the
+    instant a value changes, the NEW value holds (zero-length intervals
+    from equal-ts conflicts are skipped by the same rule).
+    """
+    t = F.lit(ts)
+    return (history
+            .filter((F.col("valid_from") <= t)
+                    & (F.col("valid_to").isNull()
+                       | (F.col("valid_to") > t)))
+            .select("subj", "pred", "obj",
+                    "valid_from", "valid_to"))
+
+
 def materialize_graph(triples: DataFrame, out_dir: str,
                       n_parts: int = 16) -> dict:
     """Write nodes/ and edges/ parquet under ``out_dir``.

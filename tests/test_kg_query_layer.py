@@ -213,6 +213,31 @@ def test_functional_history_randomized_against_reference(spark):
     assert got == _hist(rows)
 
 
+def test_as_of_snapshots_are_exact_at_change_points(spark):
+    """as_of(history, T) must return exactly the believed value for
+    every key at every probe T — including AT a change instant (new
+    value wins, half-open intervals) and before first assertion
+    (absent). Checked against the python reference at every ts in
+    range."""
+    from morra_spark.operators.kg_graph import as_of, functional_history
+
+    rows = [("e1", "p", "A", 1), ("e1", "p", "B", 3), ("e1", "p", "A", 6),
+            ("e2", "p", "X", 4), ("e2", "p", "Y", 4),  # equal-ts conflict
+            ("e3", "q", "only", 9)]
+    h = functional_history(
+        spark.createDataFrame(rows, ["subj", "pred", "obj", "ts"]))
+    h = h.persist()
+    try:
+        ref = _hist(rows)
+        for t in range(0, 11):
+            want = {(s, p): o for (s, p, o, vf, vt, _c) in ref
+                    if vf <= t and (vt is None or vt > t)}
+            got = {(r.subj, r.pred): r.obj for r in as_of(h, t).collect()}
+            assert got == want, f"ts={t}: {got} != {want}"
+    finally:
+        h.unpersist()
+
+
 # ----------------------------------------------------------- graph audits
 
 def test_edge_diff_labels_every_transition(spark):
