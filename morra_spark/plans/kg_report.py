@@ -18,6 +18,9 @@ Artifacts (each a parquet dir under ``--out``):
 * ``type_conflicts/`` — entities asserted under >1 NE tag (the
   exception list behind the nodes' deterministic type pick);
 * ``profiles/`` — per-entity top-k ego rows (the serving table);
+* ``degree_hist/`` — log2-bucketed in/out degree histogram with the
+  per-bucket worst hub (the release-gate skew audit: a new super-hub
+  shows up here at build time, not in a downstream join stall);
 * ``summary/`` — one row of headline counts.
 
 Plan economics: the triple scan feeds edges, nodes, signatures,
@@ -41,7 +44,8 @@ def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
                   triples_path: str | None = None, out_dir: str,
                   profile_k: int = 3, n_parts: int = 16) -> dict:
     """Materialize the full report; returns headline counts."""
-    from morra_spark.operators.kg_graph import (entity_profiles,
+    from morra_spark.operators.kg_graph import (degree_distribution,
+                                                entity_profiles,
                                                 materialize_graph,
                                                 node_type_conflicts,
                                                 predicate_cardinality,
@@ -75,6 +79,15 @@ def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
     edges = spark.read.parquet(g["edges_dir"])
     entity_profiles(edges, k=profile_k).write.mode("overwrite") \
         .parquet(f"{out_dir}/profiles")
+    # degree histogram also reads the just-written aggregated edges —
+    # vocabulary-grain input, fixed ~40-row output; max out-hub rides
+    # the write's observed metrics like the other audits
+    hub_obs = Observation("degree_hist")
+    (degree_distribution(edges)
+     .observe(hub_obs,
+              F.max(F.when(F.col("direction") == "out",
+                           F.col("max_degree"))).alias("max_out"))
+     .write.mode("overwrite").parquet(f"{out_dir}/degree_hist"))
 
     summary = {
         "n_triples": t.count(),  # checkpointed input: count is local
@@ -83,6 +96,7 @@ def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
         "n_predicates": card_obs.get["n"],
         "n_functional_predicates": int(card_obs.get["n_func"] or 0),
         "n_type_conflicted_entities": int(conf_obs.get["n_conf"] or 0),
+        "max_out_degree": int(hub_obs.get["max_out"] or 0),
     }
     spark.createDataFrame(
         [tuple(summary.values())],

@@ -343,6 +343,17 @@ def test_kg_report_runner_reconciles(spark, triples, tmp_path):
     summary = spark.read.parquet(f"{out}/summary").collect()
     assert len(summary) == 1
     assert summary[0]["n_nodes"] == s["n_nodes"]
+    # degree histogram reconciles with the edge table: entity totals
+    # per direction match distinct endpoints, and the summary's
+    # max_out_degree is the true hottest subject
+    edges = spark.read.parquet(f"{out}/edges")
+    hist = spark.read.parquet(f"{out}/degree_hist")
+    n_out = hist.filter("direction = 'out'") \
+        .agg(F.sum("n_entities")).first()[0]
+    assert n_out == edges.select("subj").distinct().count()
+    true_max = (edges.groupBy("subj").count()
+                .agg(F.max("count")).first()[0])
+    assert s["max_out_degree"] == true_max
 
 
 def test_coparticipation_hand_computed(spark):
