@@ -244,6 +244,36 @@ def transitive_closure(edges: DataFrame, src: str = "src",
         f"transitive_closure did not converge in {max_iter} rounds")
 
 
+def subgraph_export(edges: DataFrame, seeds: DataFrame, k: int = 2,
+                    src: str = "src", dst: str = "dst",
+                    seed_col: str = "node") -> DataFrame:
+    """Induced k-hop subgraph pull — the RAG/entity-card read that
+    completes ``khop_reach``: not just WHICH nodes are within k hops of
+    the seeds, but the edge set AMONG them (both endpoints inside the
+    neighborhood), with each endpoint's hop distance attached so a
+    consumer can rank context by proximity.
+
+    Composition: ``khop_reach`` labels the neighborhood, then the edge
+    table is reduced with two co-keyed inner joins against that
+    (small) node set — the joins ARE the induced-subgraph filter, and
+    they carry the hop columns along for free. No collect, no
+    broadcast assumption (Catalyst broadcasts the hop table itself
+    when it is small enough; for billion-node neighborhoods the joins
+    degrade gracefully to shuffles on the endpoint keys). Directed
+    edges are returned as stored; symmetrization is ``khop_reach``'s
+    internal concern only.
+    """
+    hops = khop_reach(edges, seeds, k=k, src=src, dst=dst,
+                      seed_col=seed_col)
+    h_src = hops.select(F.col("node").alias(src),
+                        F.col("hops").alias("src_hops"))
+    h_dst = hops.select(F.col("node").alias(dst),
+                        F.col("hops").alias("dst_hops"))
+    return (edges.select(src, dst).distinct()
+            .join(h_src, src).join(h_dst, dst)
+            .select(src, dst, "src_hops", "dst_hops"))
+
+
 def dedup_survivors(pairs: DataFrame, docs: DataFrame,
                     id_col: str = "doc_id", src: str = "src",
                     dst: str = "dst") -> DataFrame:

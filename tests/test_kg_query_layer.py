@@ -79,6 +79,25 @@ def test_transitive_closure_is_logarithmic_in_depth(spark):
     assert top.first().dist == 16
 
 
+def test_subgraph_export_induces_exactly_the_neighborhood(spark):
+    """Edges survive iff BOTH endpoints are within k hops; hop labels
+    match khop_reach; edges fully outside the neighborhood vanish."""
+    from morra_spark.operators.components import khop_reach, subgraph_export
+
+    edges = [("s", "a"), ("a", "b"), ("b", "c"),   # chain: s-a-b-c
+             ("x", "y")]                           # disconnected island
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([("s",)], ["node"])
+    got = {(r.src, r.dst): (r.src_hops, r.dst_hops)
+           for r in subgraph_export(e, seeds, k=2).collect()}
+    # c is 3 hops out -> (b, c) is NOT induced; the island vanishes
+    assert got == {("s", "a"): (0, 1), ("a", "b"): (1, 2)}
+    hops = {r.node: r.hops
+            for r in khop_reach(e, seeds, k=2).collect()}
+    for (u, v), (hu, hv) in got.items():
+        assert hops[u] == hu and hops[v] == hv
+
+
 # ------------------------------------------------------------ composition
 
 def test_compose_relations_counts_and_caps_hubs(spark):
