@@ -67,145 +67,74 @@ def edge_deltas(triples: DataFrame) -> DataFrame:
                  F.max("turn_idx").alias("last_turn")))
 
 
-def _merge(frames: list[DataFrame]) -> DataFrame:
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return (out.groupBy(*_EDGE_KEY)
+_MANIFEST = "_folded_batches.json"
+
+
+def _fs(spark: SparkSession, path: str):
+    from morra_spark.streaming.deltastore import fs_handles
+
+    return fs_handles(spark, path)
+
+
+def _read_manifest(spark: SparkSession, graph_dir: str) -> set[int]:
+    """Batch ids the current base already contains (delegates to the
+    shared delta store; kept for in-module callers and tests)."""
+    from morra_spark.streaming.deltastore import read_manifest
+
+    return read_manifest(spark, f"{graph_dir}/edges")
+
+
+def _list_delta_batches(spark: SparkSession, graph_dir: str) -> list[int]:
+    from morra_spark.streaming.deltastore import list_delta_batches
+
+    return list_delta_batches(spark, f"{graph_dir}/edge_deltas")
+
+
+def _pending_deltas(spark: SparkSession, graph_dir: str,
+                    batch_ids: list[int], folded: set[int]):
+    from morra_spark.streaming.deltastore import pending_deltas
+
+    return pending_deltas(spark, f"{graph_dir}/edge_deltas", batch_ids,
+                          folded)
+
+
+_EDGE_COLS = [*_EDGE_KEY, "weight", "first_turn", "last_turn"]
+
+
+def _fold_edges(df: DataFrame) -> DataFrame:
+    """The algebraic edge fold (SUM weight, MIN/MAX turns) — see the
+    module docstring for why ONLY mergeable aggregates live here."""
+    return (df.groupBy(*_EDGE_KEY)
             .agg(F.sum("weight").alias("weight"),
                  F.min("first_turn").alias("first_turn"),
                  F.max("last_turn").alias("last_turn")))
 
 
-_MANIFEST = "_folded_batches.json"
-
-
-def _fs(spark: SparkSession, path: str):
-    jvm = spark._jvm
-    jp = jvm.org.apache.hadoop.fs.Path(path)
-    return jvm, jp.getFileSystem(spark._jsc.hadoopConfiguration())
-
-
-def _read_manifest(spark: SparkSession, graph_dir: str) -> set[int]:
-    """Batch ids the current base already contains (empty set when the
-    base is absent or predates the manifest scheme)."""
-    import json
-
-    jvm, fs = _fs(spark, graph_dir)
-    p = jvm.org.apache.hadoop.fs.Path(f"{graph_dir}/edges/{_MANIFEST}")
-    if not fs.exists(p):
-        return set()
-    stream = fs.open(p)
-    out = jvm.java.io.ByteArrayOutputStream()
-    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, out, 4096, True)
-    return set(json.loads(bytes(out.toByteArray()).decode("utf-8")))
-
-
-def _list_delta_batches(spark: SparkSession, graph_dir: str) -> list[int]:
-    """Snapshot-list the delta batch directories present RIGHT NOW —
-    the compaction folds and deletes exactly this set, so a batch the
-    live stream writes after the listing is never touched."""
-    jvm, fs = _fs(spark, graph_dir)
-    root = jvm.org.apache.hadoop.fs.Path(f"{graph_dir}/edge_deltas")
-    if not fs.exists(root):
-        return []
-    ids = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if st.isDirectory() and name.startswith("batch_id="):
-            ids.append(int(name.split("=", 1)[1]))
-    return sorted(ids)
-
-
-def _pending_deltas(spark: SparkSession, graph_dir: str,
-                    batch_ids: list[int], folded: set[int]):
-    """Delta rows for the listed batches MINUS the already-folded ones
-    (static isin → partition-pruned scan). None when nothing pends."""
-    pending = [b for b in batch_ids if b not in folded]
-    if not pending:
-        return None, []
-    # explicit per-directory paths (not a root scan): a batch the
-    # stream is writing concurrently is never even listed, and the
-    # scan is pruned to exactly the pending partitions
-    root = f"{graph_dir}/edge_deltas"
-    paths = [f"{root}/batch_id={b}" for b in pending]
-    return (spark.read.option("basePath", root).parquet(*paths),
-            pending)
-
-
 def read_edge_rollup(spark: SparkSession, graph_dir: str) -> DataFrame:
     """Current edge table = compacted base ⊎ PENDING deltas, folded by
-    the algebraic merge. Either side may be absent (fresh stream / just
-    compacted). Deltas whose batch id the base manifest already claims
-    are excluded — in the crash window between a compaction's base swap
-    and its delta delete, counting them again would double every weight
-    they carry."""
-    from morra_spark.sources.tableio import read_existing_parquet
+    the algebraic merge (shared delta store — see
+    ``streaming/deltastore.py`` for the manifest/crash-window
+    semantics, originally built here and extracted for the SCD2
+    assertion log)."""
+    from morra_spark.streaming.deltastore import read_store
 
-    parts = []
-    base = read_existing_parquet(spark, f"{graph_dir}/edges")
-    if base is not None:
-        parts.append(base)
-    deltas, _ = _pending_deltas(spark, graph_dir,
-                                _list_delta_batches(spark, graph_dir),
-                                _read_manifest(spark, graph_dir))
-    if deltas is not None:
-        parts.append(deltas)
-    if not parts:
-        raise FileNotFoundError(f"no edge base or deltas under {graph_dir}")
-    return _merge([p.select(*_EDGE_KEY, "weight", "first_turn", "last_turn")
-                   for p in parts])
+    try:
+        return read_store(spark, f"{graph_dir}/edges",
+                          f"{graph_dir}/edge_deltas",
+                          _EDGE_COLS, _fold_edges)
+    except FileNotFoundError:
+        raise FileNotFoundError(
+            f"no edge base or deltas under {graph_dir}")
 
 
 def compact_edges(spark: SparkSession, graph_dir: str) -> int:
     """Fold pending deltas into the base and delete exactly those delta
-    directories; returns the number folded. Safe against a concurrent
-    stream (only the snapshot-listed batches are touched) and against a
-    crash at ANY point: the swapped base's manifest names every folded
-    batch, so a re-run after a crash between swap and delete sees those
-    batches as already-folded and only cleans them up — it never folds
-    a batch into a base that already contains it.
-    """
-    import json
+    directories; returns the number folded (shared delta store —
+    snapshot-listed batches only, manifest-guarded crash window)."""
+    from morra_spark.streaming.deltastore import compact
 
-    from morra_spark.sources.tableio import fs_swap, read_existing_parquet
-
-    batch_ids = _list_delta_batches(spark, graph_dir)
-    folded_before = _read_manifest(spark, graph_dir)
-    jvm, fs = _fs(spark, graph_dir)
-
-    deltas, pending = _pending_deltas(spark, graph_dir, batch_ids,
-                                      folded_before)
-    if deltas is not None:
-        base = read_existing_parquet(spark, f"{graph_dir}/edges")
-        frames = ([base.select(*_EDGE_KEY, "weight", "first_turn",
-                               "last_turn")] if base is not None else [])
-        frames.append(deltas.select(*_EDGE_KEY, "weight", "first_turn",
-                                    "last_turn"))
-        tmp = f"{graph_dir}/edges__compact_tmp"
-        _merge(frames).write.mode("overwrite").parquet(tmp)
-        # manifest rides INSIDE the new base dir (written before the
-        # swap, so base-with-manifest appears atomically with the data
-        # as far as any re-run is concerned). It keeps only ids that
-        # could still have a directory on disk: the just-folded set
-        # plus previously-folded ids whose delete never finished.
-        keep = sorted((folded_before & set(batch_ids)) | set(pending))
-        out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{tmp}/{_MANIFEST}"),
-                        True)
-        out.write(bytearray(json.dumps(keep).encode("utf-8")))
-        out.close()
-        fs_swap(spark, tmp, f"{graph_dir}/edges")
-
-    # cleanup: delete the folded directories — the pending ones just
-    # folded plus any leftovers from a prior crashed compaction
-    for b in sorted(set(pending) | (folded_before & set(batch_ids))):
-        p = jvm.org.apache.hadoop.fs.Path(
-            f"{graph_dir}/edge_deltas/batch_id={b}")
-        if fs.exists(p) and not fs.delete(p, True):
-            raise IOError(f"compact_edges: could not delete folded delta "
-                          f"{p} — reads stay correct (manifest excludes "
-                          f"it) but the directory needs manual cleanup")
-    return len(pending)
+    return compact(spark, f"{graph_dir}/edges",
+                   f"{graph_dir}/edge_deltas", _EDGE_COLS, _fold_edges)
 
 
 def start_streaming_edge_rollup(spark: SparkSession, *, triples_path: str,

@@ -943,3 +943,127 @@ def test_edge_compaction_leaves_unlisted_batches_alone(spark, tmp_path):
     got2 = {(r.subj, r.pred, r.obj): r.weight for r in
             read_edge_rollup(spark, gdir).collect()}
     assert got2 == {("a", "likes", "b"): 1, ("x", "p", "y"): 1}
+
+
+def _asserts_fixture(spark, path, rows):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, ts_s long") \
+        .select("subj", "pred", "obj",
+                F.timestamp_seconds(F.col("ts_s")).alias("ts"))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_history_matches_batch_scd2(spark, tmp_path):
+    """Delta-then-compact SCD2 maintenance: intervals derived from the
+    streamed change-event store must equal the batch operator over the
+    merged input — across micro-batch boundaries that SPLIT a key's
+    value flips — and compaction must not change the answer."""
+    from morra_spark.operators.kg_graph import functional_history
+    from morra_spark.streaming.history import (compact_assertions,
+                                               read_history,
+                                               start_streaming_history)
+
+    src = str(tmp_path / "asserts")
+    _asserts_fixture(spark, src, [
+        ("e1", "status", "A", 10), ("e1", "status", "B", 20),
+        ("e2", "status", "X", 10)])
+    _asserts_fixture(spark, src, [
+        ("e1", "status", "A", 30),           # reopens A after batch 1's B
+        ("e1", "status", "B", 20),           # cross-batch exact duplicate
+        ("e2", "status", "X", 40)])          # same value -> no new interval
+    hdir = str(tmp_path / "hist")
+    q = start_streaming_history(
+        spark, assertions_path=src, hist_dir=hdir,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_available_now=True)
+    q.awaitTermination(120)
+
+    def key(df):
+        return sorted((r.subj, r.pred, r.obj, r.valid_from, r.valid_to,
+                       r.is_current) for r in df.collect())
+
+    expect = key(functional_history(spark.read.parquet(src)))
+    assert key(read_history(spark, hdir)) == expect
+    # the split flip-flop really is three intervals with A current
+    e1 = sorted((r for r in expect if r[0] == "e1"),
+                key=lambda r: r[3])  # by valid_from
+    assert [(r[2], r[5]) for r in e1] == [("A", False), ("B", False),
+                                          ("A", True)]
+    assert compact_assertions(spark, hdir) >= 1
+    assert key(read_history(spark, hdir)) == expect
+    assert compact_assertions(spark, hdir) == 0  # nothing pending
+
+
+def test_streaming_history_late_data_corrects_intervals(spark, tmp_path):
+    """The design point: an assertion arriving LATE (earlier event time
+    than already-ingested data, after compaction) must retroactively
+    split the interval it lands inside — the next read derives the
+    corrected history, which no append-mode stateful SCD2 could emit."""
+    from morra_spark.operators.kg_graph import functional_history
+    from morra_spark.streaming.history import (compact_assertions,
+                                               read_history,
+                                               start_streaming_history)
+
+    src = str(tmp_path / "asserts")
+    _asserts_fixture(spark, src, [
+        ("e", "p", "A", 10), ("e", "p", "C", 40)])
+    hdir = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_streaming_history(spark, assertions_path=src, hist_dir=hdir,
+                                checkpoint_location=ckpt,
+                                trigger_available_now=True)
+    q.awaitTermination(120)
+    compact_assertions(spark, hdir)
+
+    _asserts_fixture(spark, src, [("e", "p", "B", 25)])  # late arrival
+    q2 = start_streaming_history(spark, assertions_path=src, hist_dir=hdir,
+                                 checkpoint_location=ckpt,
+                                 trigger_available_now=True)
+    q2.awaitTermination(120)
+
+    got = sorted((r.obj, r.valid_from.second + r.valid_from.minute * 60,
+                  r.is_current)
+                 for r in read_history(spark, hdir).collect())
+    assert got == [("A", 10, False), ("B", 25, False), ("C", 40, True)]
+    # and byte-parity with the batch operator over everything seen
+    assert sorted(map(tuple, read_history(spark, hdir).collect())) == \
+        sorted(map(tuple,
+                   functional_history(spark.read.parquet(src)).collect()))
+
+
+def test_history_compaction_crash_window_is_harmless(spark, tmp_path):
+    """Crash between base swap and delta delete: restored delta dirs
+    whose batch ids the manifest claims must be excluded by reader and
+    re-compaction (uniform store protocol; the distinct fold would even
+    forgive a double-fold, but the manifest path itself is what's
+    exercised here)."""
+    import shutil
+
+    from morra_spark.streaming.history import (compact_assertions,
+                                               read_history,
+                                               start_streaming_history)
+
+    src = str(tmp_path / "asserts")
+    _asserts_fixture(spark, src, [("e", "p", "A", 10), ("e", "p", "B", 20)])
+    hdir = str(tmp_path / "hist")
+    q = start_streaming_history(
+        spark, assertions_path=src, hist_dir=hdir,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_available_now=True)
+    q.awaitTermination(120)
+
+    shutil.copytree(f"{hdir}/assert_deltas", str(tmp_path / "stash"))
+    assert compact_assertions(spark, hdir) == 1
+    shutil.copytree(str(tmp_path / "stash"), f"{hdir}/assert_deltas",
+                    dirs_exist_ok=True)
+
+    want = [("A", False), ("B", True)]
+    got = sorted((r.obj, r.is_current)
+                 for r in read_history(spark, hdir).collect())
+    assert got == want
+    assert compact_assertions(spark, hdir) == 0  # manifest: already folded
+    got2 = sorted((r.obj, r.is_current)
+                  for r in read_history(spark, hdir).collect())
+    assert got2 == want
