@@ -188,7 +188,7 @@ def khop_reach(pairs: DataFrame, seeds: DataFrame, k: int = 2,
 
 
 def transitive_closure(edges: DataFrame, src: str = "src",
-                       dst: str = "dst", max_iter: int = 20) -> DataFrame:
+                       dst: str = "dst", max_iter: int = 25) -> DataFrame:
     """Directed reachability closure with exact minimum hop distance —
     ``(src, dst, dist)`` for every ordered pair connected by a directed
     path. The KG consumer's "is-a / part-of rollup": a hierarchy
@@ -201,8 +201,12 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     path set with itself (``p1.dst == p2.src``), unions the composed
     paths in, and keeps ``min(dist)`` per pair. Paths of length up to
     2^k exist after k rounds, so a depth-D hierarchy closes in
-    ⌈log2 D⌉ + 1 rounds — a 10^6-deep chain needs ~21, not 10^6 (the
-    naive frontier expansion). Convergence = an empty anti-join (no new
+    ⌈log2 D⌉ + 1 rounds (the +1 detects the empty anti-join) — a
+    10^6-deep chain needs ~21, not 10^6 (the naive frontier
+    expansion); the default ``max_iter`` of 25 covers depth ~2^24
+    detection round included (code-review r5: the old default of 20
+    was one round short of this docstring's own 10^6 example).
+    Convergence = an empty anti-join (no new
     pair, no improved distance): distances only decrease and pairs are
     finite, so the loop also terminates on cyclic inputs (a cycle just
     yields ``(v, v, dist>0)`` rows). Raises past ``max_iter``.

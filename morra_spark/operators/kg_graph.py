@@ -624,12 +624,17 @@ def functional_history(assertions: DataFrame,
 
     # null obj carries no assertable value and would conflate with
     # lag()'s first-row null below (a change point would be silently
-    # dropped) — excluded explicitly, same posture as resolve_functional
+    # dropped) — excluded explicitly, same posture as resolve_functional.
+    # null ts has no position in the per-key order: it would sort FIRST
+    # (ASC nulls-first), open an interval with valid_from=null that
+    # swallows a later real assertion's change point, and then vanish
+    # from every as_of snapshot (null <= t is null) — also excluded
+    # (code-review r5; keeps byte-parity with streaming/history.py)
     d = (assertions.select(F.col(subj).alias("subj"),
                            F.col(pred).alias("pred"),
                            F.col(obj).alias("obj"),
                            F.col(ts).alias("ts"))
-         .filter(F.col("obj").isNotNull())
+         .filter(F.col("obj").isNotNull() & F.col("ts").isNotNull())
          .distinct())
     w = Window.partitionBy("subj", "pred").orderBy("ts", "obj")
     marked = d.withColumn("_prev", F.lag("obj").over(w))

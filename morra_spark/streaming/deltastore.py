@@ -102,6 +102,11 @@ def read_store(spark: SparkSession, base_dir: str, delta_root: str,
     if not parts:
         raise FileNotFoundError(
             f"no base ({base_dir}) or deltas ({delta_root})")
+    if deltas is None and base is not None:
+        # nothing pending: the base is fold(merged) by construction
+        # (compact wrote it) — re-folding would re-shuffle the whole
+        # table on every read for zero benefit (code-review r5)
+        return parts[0]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -67,37 +67,6 @@ def edge_deltas(triples: DataFrame) -> DataFrame:
                  F.max("turn_idx").alias("last_turn")))
 
 
-_MANIFEST = "_folded_batches.json"
-
-
-def _fs(spark: SparkSession, path: str):
-    from morra_spark.streaming.deltastore import fs_handles
-
-    return fs_handles(spark, path)
-
-
-def _read_manifest(spark: SparkSession, graph_dir: str) -> set[int]:
-    """Batch ids the current base already contains (delegates to the
-    shared delta store; kept for in-module callers and tests)."""
-    from morra_spark.streaming.deltastore import read_manifest
-
-    return read_manifest(spark, f"{graph_dir}/edges")
-
-
-def _list_delta_batches(spark: SparkSession, graph_dir: str) -> list[int]:
-    from morra_spark.streaming.deltastore import list_delta_batches
-
-    return list_delta_batches(spark, f"{graph_dir}/edge_deltas")
-
-
-def _pending_deltas(spark: SparkSession, graph_dir: str,
-                    batch_ids: list[int], folded: set[int]):
-    from morra_spark.streaming.deltastore import pending_deltas
-
-    return pending_deltas(spark, f"{graph_dir}/edge_deltas", batch_ids,
-                          folded)
-
-
 _EDGE_COLS = [*_EDGE_KEY, "weight", "first_turn", "last_turn"]
 
 

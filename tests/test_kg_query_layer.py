@@ -208,6 +208,24 @@ def test_functional_history_excludes_null_values(spark):
     assert got == [("A", 1, None, True)]
 
 
+def test_functional_history_excludes_null_ts(spark):
+    """A null ts has no position in the per-key order: left in, it
+    would sort first, open a valid_from=null interval that swallows a
+    later real assertion's change point, and vanish from every as_of
+    snapshot (code-review r5). It must be dropped like null obj —
+    keeping byte-parity with streaming/history.assertion_deltas."""
+    from morra_spark.operators.kg_graph import as_of, functional_history
+
+    rows = [("e", "p", "A", None), ("e", "p", "A", 5)]
+    df = spark.createDataFrame(rows, "subj string, pred string,"
+                                     " obj string, ts int")
+    got = [(r.obj, r.valid_from, r.is_current)
+           for r in functional_history(df).collect()]
+    assert got == [("A", 5, True)]
+    assert [(r.subj, r.obj) for r in
+            as_of(functional_history(df), 6).collect()] == [("e", "A")]
+
+
 def test_functional_history_randomized_against_reference(spark):
     """Seeded stress input: 40 (subj, pred) keys × random value streams
     with deliberate duplicates and equal-ts conflicts — one Spark job,
