@@ -4038,11 +4038,12 @@ def oracle_sql() -> dict[str, str]:
             FROM w ORDER BY doc_id
         """,
         "quality_filter": """
-            WITH w AS (SELECT source, LENGTH(text) AS n_chars,
+            WITH w AS (SELECT source, text, LENGTH(text) AS n_chars,
                               STRING_SPLIT(TRIM(text), ' ') AS words
                        FROM documents),
             r AS (SELECT source, n_chars,
                          CASE
+                           WHEN text IS NULL THEN 'null_text'
                            WHEN LEN(words) < 8 THEN 'too_short'
                            WHEN LEN(words) > 2000 THEN 'too_long'
                            WHEN LEN(LIST_FILTER(words,
@@ -4081,7 +4082,8 @@ def oracle_sql() -> dict[str, str]:
                             / LEN(STRING_SPLIT(TRIM(text), ' ')) AS en
                    FROM u),
             lab AS (SELECT doc_id, text, n_tok,
-                           CASE WHEN n_tok < 8 THEN 'too_short'
+                           CASE WHEN text IS NULL THEN 'null_text'
+                                WHEN n_tok < 8 THEN 'too_short'
                                 WHEN n_tok > 2000 THEN 'too_long'
                                 WHEN en < 0.05 THEN 'low_en' END AS qreason
                     FROM st),

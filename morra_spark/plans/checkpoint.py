@@ -76,13 +76,17 @@ def read_done_parts(spark: SparkSession, ckpt_dir: str, run_id: str,
 def write_checkpoint(spark: SparkSession, ckpt_dir: str, run_id: str, stage: str,
                      stats: DataFrame) -> None:
     """stats: (part_key, n_in, n_out, input_fingerprint) → append rows."""
+    # timestamp_micros builds the timestamp from an epoch-micros long
+    # directly (code-review r5: the old long->timestamp cast interprets
+    # the value as SECONDS, saturates, and a cast-back/divide round
+    # trip froze every row at the same 1970 constant — breaking the
+    # as-of resume ordering and all lineage timestamps)
     (stats.select(
         F.lit(run_id).alias("run_id"), F.lit(stage).alias("stage"),
         "part_key", F.lit("done").alias("status"),
         "n_in", "n_out", "input_fingerprint",
-        F.lit(int(time.time() * 1_000_000)).cast("timestamp").alias("_us"))
-        .withColumn("ts", (F.col("_us").cast("long") / F.lit(1_000_000)).cast("timestamp"))
-        .drop("_us")
+        F.timestamp_micros(
+            F.lit(int(time.time() * 1_000_000))).alias("ts"))
         .write.mode("append").parquet(ckpt_dir))
 
 
@@ -128,9 +132,23 @@ def run_stage(spark: SparkSession, *, input_df: DataFrame, stage: str,
         (out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("part_key").parquet(out_dir))
-        written = spark.read.parquet(out_dir).filter(
-            F.col("part_key").isin(pending_keys))
-        n_out = written.groupBy("part_key").agg(F.count(F.lit(1)).alias("n_out"))
+        # a stage whose ENTIRE output is empty on a fresh run writes no
+        # parquet at all — a bare read.parquet would raise and wedge the
+        # stage forever (data written, checkpoint row never reached, so
+        # every resume re-crashes identically; code-review r5). An
+        # absent/schema-less out_dir is the legitimate all-empty case:
+        # n_out = 0 for every pending key, and the checkpoint row MUST
+        # still be written so the resume converges.
+        from morra_spark.sources.tableio import read_existing_parquet
+
+        written = read_existing_parquet(spark, out_dir)
+        if written is None:
+            n_out = spark.createDataFrame(
+                [(k, 0) for k in pending_keys], "part_key int, n_out long")
+        else:
+            n_out = (written.filter(F.col("part_key").isin(pending_keys))
+                     .groupBy("part_key")
+                     .agg(F.count(F.lit(1)).alias("n_out")))
         stats = fps.join(n_out, "part_key", "left").fillna(0, subset=["n_out"])
         write_checkpoint(spark, ckpt_dir, run_id, stage, stats)
     finally:

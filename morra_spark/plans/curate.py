@@ -119,8 +119,14 @@ def run_curation(spark: SparkSession, *, docs_path: str, out_dir: str,
         .localCheckpoint(eager=False)
     (labeled.filter(F.col("stage") == "kept").drop("stage")
      .write.mode("overwrite").parquet(f"{out_dir}/survivors"))
-    n_tok = F.size(F.split(F.trim(F.col("text")), " ")).cast("long")
-    report = (labeled.withColumn("n_tok", n_tok)
+    # the SHARED token definition (operators.curation.ws_token_count) —
+    # an inlined split(' ') counted empty text as 1 token and single-
+    # space-only splitting disagreed with packing/mixture/length-gate
+    # accounting over the same docs (code-review r5, exactly the drift
+    # the helper's docstring warns against)
+    from morra_spark.operators.curation import ws_token_count
+
+    report = (labeled.withColumn("n_tok", ws_token_count())
               .groupBy("stage")
               .agg(F.count(F.lit(1)).alias("n_docs"),
                    F.sum("n_tok").cast("long").alias("n_tokens"))

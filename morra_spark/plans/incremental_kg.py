@@ -38,8 +38,6 @@ format-agnostic parquet fallback.
 """
 from __future__ import annotations
 
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,14 +105,24 @@ def run_incremental(spark: SparkSession, *, old_transcripts_path: str,
     # not-yet-done stage's stale dirs (a changed conversation whose
     # tool turns all vanished writes nothing for its tool partition, so
     # dynamic overwrite alone would leave the old one standing)
+    # deletes go through the Hadoop FileSystem API, not shutil: on an
+    # s3a:/hdfs: out_dir (the documented production resume path) rmtree
+    # is a silent no-op and the stale partition would survive, breaking
+    # incremental ≡ full-rebuild (code-review r5, same FS-agnosticism
+    # rule as tableio/deltastore)
+    from morra_spark.streaming.deltastore import fs_handles
+
     for stage, src_dir in (("extract_triples", f"{triples_dir}/source=content"),
                            ("tool_triples", f"{triples_dir}/source=tool")):
         d = CK.read_done_parts(spark, f"{out_dir}/checkpoint", run_id, stage)
         done = {r.part_key for r in d.collect()}
+        jvm, fs = fs_handles(spark, src_dir)
         for pk in parts:
             if pk not in done:
-                shutil.rmtree(os.path.join(src_dir, f"part_key={pk}"),
-                              ignore_errors=True)
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{src_dir}/part_key={pk}")
+                if fs.exists(p):
+                    fs.delete(p, True)
 
     res = run_pipeline(spark, transcripts_path=new_transcripts_path,
                        out_dir=out_dir, model_path=model_path,

@@ -74,42 +74,59 @@ def _row_group_count(path: str, cap: int) -> int:
 
 
 def entity_candidates_df(spark: SparkSession, model: KGModel) -> DataFrame:
-    """Candidate dictionary (canonical, ne_type, freq) for linking —
-    tiny, always broadcast. Built via pandas so Catalyst plans a
-    LocalTableScan (an RDD-backed createDataFrame would spin up Python
-    workers on every reuse of the broadcast build side)."""
+    """Candidate dictionary (alias, canonical, ne_type, freq) for
+    linking — tiny, always broadcast. Built via pandas so Catalyst
+    plans a LocalTableScan (an RDD-backed createDataFrame would spin up
+    Python workers on every reuse of the broadcast build side).
+
+    The JOIN KEY is ``alias`` — ``model.entity_canon`` maps surface /
+    lemma-normalized variant spans to their canonical entity, so an
+    endpoint that escaped token-level lemmatization (OOV possessive,
+    raw variant) still links (code-review r5: joining on the canonical
+    surface itself made the whole stage an identity transformation).
+    Canonical spans map to themselves, so already-canonical endpoints
+    pass through unchanged. Models trained before the alias map carry
+    the identity entity_canon and degrade to the old behavior."""
     import pandas as pd
 
-    rows = sorted(model.entity_type.items())
-    pdf = pd.DataFrame({"canonical": [c for c, _ in rows],
-                        "ne_type": [t for _, t in rows],
-                        "freq": [10] * len(rows)})
+    rows = sorted(model.entity_canon.items())
+    pdf = pd.DataFrame({
+        "alias": [a for a, _ in rows],
+        "canonical": [c for _, c in rows],
+        "ne_type": [model.entity_type[c] for _, c in rows],
+        "freq": [10] * len(rows)})
     return spark.createDataFrame(pdf)
 
 
 def link_endpoints(triples: DataFrame, candidates: DataFrame) -> DataFrame:
     """Canonicalize subj/obj by candidate scoring: B-W2 ranking window
-    picks the argmax-freq candidate per (canonical, ne_type) key — run on
-    the TINY candidate side so the big triple stream stays map-only —
-    then B-J1 broadcast left joins per endpoint. Unlinked endpoints keep
-    their lemma-normalized surface (already canonical lemmata).
+    picks the argmax-freq candidate per (alias, ne_type) key — an alias
+    claimed by two canonical entities resolves by freq then
+    lexicographic canonical, deterministically — run on the TINY
+    candidate side so the big triple stream stays map-only — then B-J1
+    broadcast left joins per endpoint, REWRITING the matched endpoint
+    to its canonical form. Unlinked endpoints keep their
+    lemma-normalized surface (code-review r5: the join previously keyed
+    on the canonical surface itself, making the rewrite an identity).
 
     At 100 TB the triple stream must not shuffle here: a ranking window
     over the stream itself would add one exchange per endpoint; ranking
     the dictionary instead is equivalent (the join key is the window's
     partition key) and free."""
-    w = Window.partitionBy("canonical", "ne_type").orderBy(F.desc("freq"))
+    w = Window.partitionBy("alias", "ne_type") \
+        .orderBy(F.desc("freq"), "canonical")
     best = (candidates.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).drop("rn", "freq"))
     for side in ("subj", "obj"):
         c = F.broadcast(best.select(
+            F.col("alias").alias(f"{side}_alias"),
             F.col("canonical").alias(f"{side}_cand"),
             F.col("ne_type").alias(f"{side}_cand_ne")))
         triples = (triples.join(
-            c, (F.col(side) == F.col(f"{side}_cand"))
+            c, (F.col(side) == F.col(f"{side}_alias"))
             & (F.col(f"{side}_ne") == F.col(f"{side}_cand_ne")), "left")
             .withColumn(side, F.coalesce(F.col(f"{side}_cand"), F.col(side)))
-            .drop(f"{side}_cand", f"{side}_cand_ne"))
+            .drop(f"{side}_alias", f"{side}_cand", f"{side}_cand_ne"))
     return triples
 
 

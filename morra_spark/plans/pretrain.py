@@ -47,15 +47,26 @@ def build_pretrain_layout(spark: SparkSession, *, docs_path: str,
     from morra_spark.plans.curate import label_documents
 
     docs = spark.read.parquet(docs_path)
+    # checkpoint the LABELED frame, not the joined one: both join
+    # branches below (survivors and splits) derive from it, so without
+    # this cut the whole curation cascade runs once per branch in a
+    # single job — run_curation checkpoints at the same spot for the
+    # same reason (code-review r5)
     labeled = label_documents(docs, entropy_min=entropy_min,
-                              adaptive_length=adaptive_length)
+                              adaptive_length=adaptive_length) \
+        .localCheckpoint(eager=False)
     survivors = labeled.filter(F.col("stage") == "kept").drop("stage")
 
+    # lang is optional here: the hash split needs only doc_id, lang
+    # just rides along — a docs table without the column gets 'und'
+    # instead of an UNRESOLVED_COLUMN crash (code-review r5; curate.py
+    # guards its lang-dependent path the same way)
+    lang_col = (F.coalesce(F.col("lang"), F.lit("und"))
+                if "lang" in docs.columns else F.lit("und"))
     splits = split_assign(survivors.select(
-        "doc_id", F.coalesce(F.col("lang"), F.lit("und")).alias("lang"))) \
+        "doc_id", lang_col.alias("lang"))) \
         .select("doc_id", "split")
-    tagged = survivors.join(splits, "doc_id") \
-        .localCheckpoint(eager=False)
+    tagged = survivors.join(splits, "doc_id")
 
     packed_parts = []
     for split in ("train", "val", "test"):

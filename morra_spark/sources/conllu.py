@@ -131,7 +131,16 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
 
 def write_conllu(df: DataFrame, out_path: str) -> None:
     """Sentence rows → CoNLL-U text files (ordered within each file by
-    (doc_path, sent_idx); one output file per input partition)."""
+    (doc_path, sent_idx); one output file per input partition).
+
+    The ordering contract is enforced with ``sortWithinPartitions``
+    BEFORE the Arrow boundary: mapInPandas sees one pandas batch per
+    ``arrow.maxRecordsPerBatch`` rows (16k in this session), so a
+    per-batch sort alone would emit independently-sorted runs and
+    interleave documents across batch boundaries in any partition
+    larger than one batch (code-review r5). With the partition-level
+    sort the batches arrive as contiguous ordered slices and the
+    per-batch sort is a stable no-op kept as a safety net."""
 
     def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -142,6 +151,7 @@ def write_conllu(df: DataFrame, out_path: str) -> None:
                 else pd.DataFrame({"value": pd.Series([], dtype=str)})
 
     df.select("doc_path", "sent_idx", "meta", "tokens") \
+      .sortWithinPartitions("doc_path", "sent_idx") \
       .mapInPandas(render, schema="value string") \
       .write.mode("overwrite").text(out_path)
 

@@ -48,11 +48,15 @@ def read_jsonl(spark: SparkSession, path: str,
 
     ``good`` carries the declared columns for lines that parse as JSON
     objects; ``bad`` carries ``(raw,)`` — the original line of every
-    record that failed to parse — for replay once the producer is
-    fixed. Both frames derive lazily from one text scan; valid-JSON
-    lines with missing/mistyped fields surface as NULL fields in
-    ``good`` (per-field permissiveness), while unparseable lines are
-    quarantined whole.
+    record that failed — for replay once the producer is fixed. Both
+    frames derive lazily from one text scan. Field semantics
+    (code-review r5 — verified, the docstring previously over-promised):
+    a MISSING field surfaces as a typed NULL in ``good``, but a
+    MISTYPED field (e.g. a stringified number where the schema says
+    int) trips ``from_json``'s corrupt-record marker and quarantines
+    the WHOLE line to ``bad`` — per-field permissiveness does not
+    extend to type mismatches, so alert on bad-ratio covers schema
+    drift as well as broken JSON.
     """
     with_corrupt = T.StructType(
         list(schema.fields)

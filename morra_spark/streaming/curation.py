@@ -48,12 +48,19 @@ def read_document_stream(spark: SparkSession, path: str,
 
 def quality_reason(text_col: str = "text"):
     """The batch funnel's quality CASE chain (q_curation_funnel /
-    q_quality_filter): NULL = keep, else the first failing rule."""
+    q_quality_filter): NULL = keep, else the first failing rule.
+    A NULL text fails FIRST ('null_text'): without the explicit rule
+    every comparison below evaluates to NULL and the doc sails through
+    the gate as kept, then seeds NULL placement rows in packing
+    (code-review r5 — read_jsonl legitimately emits NULL-text rows for
+    valid JSON lines missing the field). Mirrored in the DuckDB oracle
+    SQL of both gate queries."""
     words = F.split(F.trim(F.col(text_col)), " ")
     n = F.size(words)
     en = F.size(F.filter(words,
                          lambda x: x.isin("the", "a", "of", "and"))) / n
-    return (F.when(n < 8, "too_short")
+    return (F.when(F.col(text_col).isNull(), "null_text")
+            .when(n < 8, "too_short")
             .when(n > 2000, "too_long")
             .when(en < 0.05, "low_en"))
 

@@ -51,7 +51,24 @@ def build_dicts(lex: Lexicon):
                     gazetteer.setdefault(t[:-2], ne)
                 else:
                     gazetteer.setdefault(t + "'s", ne)
+    # alias -> canonical map for the linker (code-review r5: the old
+    # identity map made link_endpoints provably a no-op). Three key
+    # classes per entity: the canonical span itself (identity — an
+    # already-canonical endpoint links to itself), every variant's
+    # lemma-normalized span (what extraction emits when the token
+    # dictionary covered it — usually identity on this grammar), and
+    # every RAW lowercased variant span (what extraction emits when
+    # token-level lemmatization MISSED, e.g. an OOV possessive the
+    # suffix rules didn't strip) — the non-identity entries that give
+    # the dictionary join real work on imperfect input.
     entity_canon = {c: c for c in lex.entity_type}
+    for canon, variants in sorted(lex.entities.items()):
+        for var in variants:
+            raw = " ".join(t.lower() for t in var)
+            lemmed = " ".join(lex.token_lemma.get(t, (t.lower(),))[0]
+                              for t in var)
+            entity_canon.setdefault(raw, canon)
+            entity_canon.setdefault(lemmed, canon)
     return dict_tag, form_upos_lemma, form_lemma, gazetteer, entity_canon
 
 

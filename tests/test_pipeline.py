@@ -257,3 +257,85 @@ def test_chunked_reassembly_concatenates_to_exact_order(spark, fixture_dir):
     j = glued.withColumnRenamed("turns", "turns_c").join(full, "conv_id")
     assert j.filter(F.col("turns_c") != F.col("turns")).count() == 0
     assert j.count() == full.count()
+
+
+def test_link_endpoints_rewrites_alias_surfaces(spark, model):
+    """The linker must REWRITE an endpoint whose surface is a known
+    alias (raw possessive variant that escaped lemmatization) to its
+    canonical entity, and pass canonical/unknown endpoints through
+    unchanged (code-review r5: the old canonical-keyed join was a
+    provable identity — this pins the stage doing real work)."""
+    from pyspark.sql import functions as F
+
+    from morra_spark.plans.pipeline import (entity_candidates_df,
+                                            link_endpoints)
+
+    cand = entity_candidates_df(spark, model)
+    aliases = {r.alias: (r.canonical, r.ne_type)
+               for r in cand.collect() if r.alias != r.canonical}
+    assert aliases, "model carries no real alias entries"
+    alias, (canon, ne) = sorted(aliases.items())[0]
+
+    t = spark.createDataFrame(
+        [("c1", 1, alias, "met", canon, ne, ne),
+         ("c1", 2, canon, "met", "unknown entity", ne, ne)],
+        "conv_id string, turn_idx int, subj string, pred string,"
+        " obj string, subj_ne string, obj_ne string")
+    got = {r.turn_idx: (r.subj, r.obj)
+           for r in link_endpoints(t, cand).collect()}
+    assert got[1] == (canon, canon)            # alias subj rewritten
+    assert got[2] == (canon, "unknown entity")  # unknown passes through
+    # NE mismatch must NOT link: same alias under a different NE tag
+    other = link_endpoints(
+        t.withColumn("subj_ne", F.lit("WrongNE")), cand).collect()
+    assert {r.subj for r in other if r.turn_idx == 1} == {alias}
+
+
+def test_checkpoint_ts_is_real_wallclock(spark, tmp_path):
+    """write_checkpoint timestamps must be real wall-clock values, not
+    the 1970 constant the old seconds-interpreting cast froze every row
+    at (code-review r5) — the as-of resume ordering and the lineage
+    report's first_ts/last_ts depend on them."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from morra_spark.plans import checkpoint as CK
+
+    ckpt = str(tmp_path / "ckpt")
+    stats = spark.createDataFrame(
+        [(0, 5, 5, "fp")], "part_key int, n_in long, n_out long,"
+                           " input_fingerprint string")
+    CK.write_checkpoint(spark, ckpt, "r1", "s1", stats)
+    ts = spark.read.parquet(ckpt).select("ts").first().ts
+    now = datetime.datetime.now()
+    assert abs((now - ts).total_seconds()) < 600, ts
+
+
+def test_run_stage_with_empty_output_converges(spark, tmp_path):
+    """A stage whose entire output is empty on a fresh run must still
+    checkpoint (n_out=0) and resume as a no-op — the old bare
+    read.parquet raised on the absent output dir AFTER the data write,
+    wedging the stage so every resume re-crashed (code-review r5)."""
+    from pyspark.sql import functions as F
+
+    from morra_spark.plans import checkpoint as CK
+
+    inp = CK.add_part_key(
+        spark.range(20).select(F.concat(F.lit("c"), F.col("id"))
+                               .alias("conv_id")), 4)
+    calls = []
+
+    def transform(df, pending_keys):
+        calls.append(sorted(pending_keys))
+        return df.filter(F.lit(False))  # everything filtered out
+
+    kw = dict(spark=spark, input_df=inp, stage="s", run_id="r",
+              out_dir=str(tmp_path / "out"),
+              ckpt_dir=str(tmp_path / "ck"), transform=transform)
+    CK.run_stage(**kw)
+    ck = spark.read.parquet(str(tmp_path / "ck"))
+    assert ck.filter("status = 'done'").count() == 4
+    assert ck.agg(F.sum("n_out")).first()[0] == 0
+    CK.run_stage(**kw)   # resume: everything done -> transform not called
+    assert len(calls) == 1
