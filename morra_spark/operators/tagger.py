@@ -57,7 +57,11 @@ def _annotate_pdf(pdf: pd.DataFrame, model, triples_only: bool = False) -> pd.Da
     broadcast model) — unit-testable without Spark. Uses the Arrow-kernel
     feature path (features_fast, bit-identical ids by parity test) and
     falls back to the pandas reference path without pyarrow."""
-    texts = pdf["text"].astype(str).tolist()
+    # null text is EMPTY, not the string 'None': a bare astype(str)
+    # stringifies None/NaN into a capitalized pseudo-token the NER can
+    # tag, minting phantom mentions/triples — and diverging from the
+    # mapInArrow sink, which already maps null -> '' (code-review r5)
+    texts = [t if isinstance(t, str) else "" for t in pdf["text"]]
     tok_lists = [tokenize_one(t) for t in texts]
 
     counts = np.fromiter((len(t) for t in tok_lists), np.int64, len(tok_lists))

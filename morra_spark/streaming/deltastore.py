@@ -49,9 +49,17 @@ def read_manifest(spark: SparkSession, base_dir: str) -> set[int]:
 
 
 def list_delta_batches(spark: SparkSession, delta_root: str) -> list[int]:
-    """Snapshot-list the delta batch directories present RIGHT NOW —
-    compaction folds and deletes exactly this set, so a batch a live
-    stream writes after the listing is never touched."""
+    """Snapshot-list the COMMITTED delta batch directories present
+    RIGHT NOW — compaction folds and deletes exactly this set, so a
+    batch a live stream writes after the listing is never touched.
+
+    Committed = the directory carries the ``_SUCCESS`` marker Spark's
+    file committer writes on job commit. A directory without it is
+    either mid-write by the live stream or the debris of a crashed
+    write (which the streaming retry will overwrite under the same
+    batch_id) — folding it would bake a HALF-written batch into the
+    base and then delete the rest of its rows forever (code-review r5);
+    skipping it simply defers the batch to the next listing."""
     jvm, fs = fs_handles(spark, delta_root)
     root = jvm.org.apache.hadoop.fs.Path(delta_root)
     if not fs.exists(root):
@@ -60,7 +68,10 @@ def list_delta_batches(spark: SparkSession, delta_root: str) -> list[int]:
     for st in fs.listStatus(root):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("batch_id="):
-            ids.append(int(name.split("=", 1)[1]))
+            marker = jvm.org.apache.hadoop.fs.Path(
+                f"{delta_root}/{name}/_SUCCESS")
+            if fs.exists(marker):
+                ids.append(int(name.split("=", 1)[1]))
     return sorted(ids)
 
 

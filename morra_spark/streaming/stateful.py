@@ -54,12 +54,31 @@ TOOL_TRIPLE_SCHEMA = ("conv_id string, turn_idx int, subj string, "
 STATE_SCHEMA = "last_idx int, subj string, subj_ne string"
 
 
+def _canon_subj(model, subj: str, subj_ne: str) -> str:
+    """The Python twin of ``pipeline.link_endpoints`` for one endpoint:
+    rewrite a known alias to its canonical entity when the NE tag
+    matches the canonical's type (the same (alias, ne_type) join
+    condition), else pass through. Used so STREAMED tool-triple
+    subjects match the batch aligner's post-linking subjects
+    byte-for-byte (code-review r5: the stream previously aligned on
+    raw pre-link subjects, fragmenting graph edges whenever linking
+    rewrites an alias)."""
+    c = model.entity_canon.get(subj)
+    if c is not None and model.entity_type.get(c) == subj_ne:
+        return c
+    return subj
+
+
 def turns_with_align_subject(stream: DataFrame, model_bc) -> DataFrame:
     """Annotate → one narrow row per turn: its alignment subject.
 
     Content turns: subj/subj_ne = the lexicographically smallest
-    (subj, subj_ne) among the turn's triples (null if none — a blocker).
-    Tool turns: subj null, tool name kept. Map-only, one Python stage.
+    (subj, subj_ne) among the turn's CANONICALIZED triples — each
+    subject runs through the alias dictionary (``_canon_subj``) BEFORE
+    the min, exactly mirroring the batch path's link-then-min order
+    (min over raw values could pick a different element whenever
+    linking reorders them). Null if none — a blocker. Tool turns: subj
+    null, tool name kept. Map-only, one Python stage.
     """
     from morra_spark.operators.tagger import _annotate_pdf
 
@@ -76,7 +95,9 @@ def turns_with_align_subject(stream: DataFrame, model_bc) -> DataFrame:
                 ann = _annotate_pdf(pdf[is_content], model, triples_only=True)
                 for pos, tris in zip(ann.index, ann["triples"]):
                     if tris:
-                        s = min((t["subj"], t["subj_ne"]) for t in tris)
+                        s = min((_canon_subj(model, t["subj"],
+                                             t["subj_ne"]), t["subj_ne"])
+                                for t in tris)
                         subj[pdf.index.get_loc(pos)] = s[0]
                         subj_ne[pdf.index.get_loc(pos)] = s[1]
             out["subj"] = subj
@@ -118,8 +139,16 @@ def _align_fn(state_ttl_ms: int):
         pdf = (pd.concat(chunks, ignore_index=True) if chunks
                else pd.DataFrame(columns=["turn_idx", "role", "tool",
                                           "subj", "subj_ne"]))
+        # drop_duplicates closes the same-batch replay hole: a replay
+        # file re-delivering a turn in the SAME trigger passes the
+        # last_idx guard twice and would double-emit its tool triple
+        # (code-review r5 — the stateless runner gets this from
+        # dropDuplicatesWithinWatermark, which cannot be chained before
+        # applyInPandasWithState). Cross-batch replays are already
+        # blocked by the last_idx guard.
         pdf = pdf[pdf["turn_idx"] > last_idx] \
-            .sort_values("turn_idx", kind="stable")
+            .sort_values("turn_idx", kind="stable") \
+            .drop_duplicates(subset=["turn_idx"], keep="first")
         out = pd.DataFrame(columns=cols)
         if len(pdf):
             # vectorized per-group scan (VERDICT r2 #5): content rows
@@ -159,12 +188,30 @@ def _align_fn(state_ttl_ms: int):
             if cpos.size:
                 subj, subj_ne = subjs[cpos[-1]], subj_nes[cpos[-1]]
         state.update((last_idx, subj, subj_ne))
-        wm = state.getCurrentWatermarkMs()
-        if wm > 0:
-            state.setTimeoutTimestamp(wm + state_ttl_ms)
+        _set_event_time_ttl(state, pdf, state_ttl_ms)
         yield out
 
     return align
+
+
+def _set_event_time_ttl(state: GroupState, pdf: pd.DataFrame,
+                        ttl_ms: int) -> None:
+    """Register the state TTL against max(watermark, batch max event
+    time). In the FIRST micro-batch the watermark is still 0, and the
+    old ``wm > 0`` guard skipped registration entirely — a conversation
+    only ever seen in batch 0 then held state for the lifetime of the
+    query, the exact leak the TTL bounds (code-review r5). The batch's
+    own max event time is a valid base: it is > 0 whenever any row
+    carries a timestamp, and EventTimeTimeout only requires the timeout
+    to exceed the current watermark."""
+    wm = state.getCurrentWatermarkMs()
+    base = wm
+    if "ts" in pdf.columns and len(pdf):
+        mx = pd.to_datetime(pdf["ts"]).max()
+        if pd.notna(mx):
+            base = max(base, int(mx.value // 1_000_000))
+    if base > 0:
+        state.setTimeoutTimestamp(base + ttl_ms)
 
 
 def aligned_tool_triples(stream: DataFrame, model_bc,
@@ -191,11 +238,16 @@ _DURATION_UNITS = {"second": 1000, "seconds": 1000, "minute": 60_000,
 
 
 def _duration_ms(s: str) -> int:
+    # strictly positive: a zero/negative TTL passes configuration but
+    # produces a timeout at-or-below the watermark, killing the query
+    # mid-run with an IllegalArgumentException instead of failing here
+    # (code-review r5)
     parts = s.split()
-    if len(parts) != 2 or not parts[0].lstrip("-").isdigit() \
+    if len(parts) != 2 or not parts[0].isdigit() or int(parts[0]) <= 0 \
             or parts[1] not in _DURATION_UNITS:
         raise ValueError(
-            f"invalid duration {s!r}: expected '<N> <unit>' with unit one of "
+            f"invalid duration {s!r}: expected '<N> <unit>' with N a "
+            f"positive integer and unit one of "
             f"{sorted(set(_DURATION_UNITS))} (e.g. '10 minutes')")
     return int(parts[0]) * _DURATION_UNITS[parts[1]]
 
@@ -224,17 +276,30 @@ def backfill_tool_triples(spark: SparkSession, *, transcripts_path: str,
     2. recompute tool triples through the batch path
        (``extract_triples_with_tools`` — the same alignment rule the
        stateful operator implements incrementally);
-    3. anti-join what streaming ALREADY emitted on the tool-turn
-       identity (conv_id, turn_idx, pred, obj) — the checkpoint-dedup
-       step: triples the stream got right are never duplicated;
-    4. append ONLY the missing triples under a dedicated
+    3. anti-join what streaming ALREADY emitted on the FULL row
+       identity (all seven triple columns): rows the stream got right
+       are never duplicated, while a streamed row with a stale/wrong
+       SUBJECT (the straggler scenario: its true invoking turn arrived
+       late and was dropped) no longer masks the batch-corrected row —
+       the correction is appended and supersedes at read time
+       (code-review r5: the old (conv, turn, pred, obj) key made the
+       wrong row permanent);
+    4. append the missing + corrected triples under a dedicated
        ``batch_id=BACKFILL_BATCH_BASE+k`` partition (ids far above any
        streaming micro-batch id; k increments per backfill so repeated
        backfills never clobber each other).
 
-    Invariant (test-asserted): streamed ∪ backfill is byte-identical to
-    what an in-order run would have produced. Returns
-    ``{"n_backfilled": int, "batch_id": int}``.
+    Read with ``read_tool_triples`` — per tool-turn identity the row
+    with the HIGHEST batch_id wins, so backfill corrections (ids ≥
+    BACKFILL_BATCH_BASE) supersede streamed rows without rewriting the
+    append-only sink. Invariant (test-asserted):
+    ``read_tool_triples(streamed ∪ backfill)`` is byte-identical to
+    what an in-order run would have produced, for every tool turn the
+    batch path emits. Known limitation: a SPURIOUS streamed row whose
+    tool-turn identity the batch path emits nothing for (stream aligned
+    past a dropped blocker turn) would need a tombstone to retract;
+    appends cannot express it. Returns ``{"n_backfilled": int,
+    "batch_id": int}``.
     """
     from morra_spark.model_artifact import KGModel
     from morra_spark.plans import checkpoint as CK
@@ -272,9 +337,10 @@ def backfill_tool_triples(spark: SparkSession, *, transcripts_path: str,
         # only, FS-agnostic (works on object stores, unlike a listdir)
         row = prev.agg(F.max("batch_id")).first()
         max_prev = max(max_prev, int(row[0]) if row[0] is not None else 0)
-        have = prev.select("conv_id", "turn_idx", "pred", "obj")
-        missing = want.join(have, ["conv_id", "turn_idx", "pred", "obj"],
-                            "left_anti")
+        key = ["conv_id", "turn_idx", "subj", "pred", "obj",
+               "subj_ne", "obj_ne"]
+        have = prev.select(*key)
+        missing = want.join(have, key, "left_anti")
     else:  # no prior output: everything is missing
         missing = want
     next_id = max_prev + 1
@@ -287,6 +353,45 @@ def backfill_tool_triples(spark: SparkSession, *, transcripts_path: str,
     finally:
         missing.unpersist()
     return {"n_backfilled": n, "batch_id": next_id}
+
+
+def _require_source_columns(spark: SparkSession, path: str,
+                            cols: list[str]) -> None:
+    """Verify the source files ACTUALLY carry ``cols`` before starting
+    a streaming query over them: a pinned readStream schema silently
+    NULL-fills columns the parquet footers lack, and for an event-time
+    column that means a watermark pinned at 0 and state that never
+    expires (code-review r5). One footer-schema read; an empty/absent
+    source dir is allowed (nothing to contradict the pin yet)."""
+    from morra_spark.sources.tableio import read_existing_parquet
+
+    existing = read_existing_parquet(spark, path)
+    if existing is None:
+        return
+    missing = [c for c in cols if c not in existing.columns]
+    if missing:
+        raise ValueError(
+            f"streaming source {path} lacks column(s) {missing}: the "
+            f"pinned schema would silently NULL-fill them (for 'ts' "
+            f"that freezes the watermark at 0 and state never expires)")
+
+
+def read_tool_triples(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Conflict-resolving reader over the tool-triple sink: one row per
+    tool-turn identity (conv_id, turn_idx, pred, obj), the row from the
+    HIGHEST batch_id winning — backfill corrections (batch ids ≥
+    BACKFILL_BATCH_BASE) supersede streamed rows, equal-batch ties
+    break deterministically on (subj, subj_ne). The read-side half of
+    the append-only supersede protocol ``backfill_tool_triples``
+    documents. One window over the sink at tool-triple grain."""
+    from pyspark.sql.window import Window
+
+    df = spark.read.parquet(f"{out_dir}/tool_triples")
+    w = Window.partitionBy("conv_id", "turn_idx", "pred", "obj") \
+        .orderBy(F.col("batch_id").desc(), "subj", "subj_ne")
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "batch_id"))
 
 
 def start_stateful_tool_alignment(spark: SparkSession, *,
@@ -302,6 +407,9 @@ def start_stateful_tool_alignment(spark: SparkSession, *,
 
     model = KGModel.load(model_path)
     model_bc = spark.sparkContext.broadcast(model)
+    _require_source_columns(
+        spark, transcripts_path,
+        ["conv_id", "turn_idx", "role", "text", "tool", "ts"])
     stream = read_transcript_stream(spark, transcripts_path,
                                     max_files_per_trigger)
     triples = aligned_tool_triples(stream, model_bc)
@@ -425,9 +533,9 @@ def _pronoun_fn(pronouns: tuple, max_gap: int | None, state_ttl_ms: int):
         state.update((last_idx, ante_at, _s(ante), _s(ante_ne),
                       _s(ante_pred), _s(ante_obj),
                       prev_at, _s(prev_ante), _s(prev_ne)))
-        wm = state.getCurrentWatermarkMs()
-        if wm > 0:
-            state.setTimeoutTimestamp(wm + state_ttl_ms)
+        # same first-batch TTL registration as the tool aligner
+        # (code-review r5): wm==0 in batch 0 must not skip the timeout
+        _set_event_time_ttl(state, pdf, state_ttl_ms)
         yield (pd.concat(outs, ignore_index=True)[cols] if outs
                else pd.DataFrame(columns=cols))
 
@@ -487,10 +595,17 @@ def start_streaming_pronoun_resolution(spark: SparkSession, *,
     idempotent per-batch_id parquet sink (the same retry-safe layout as
     every other streaming sink here). Returns the StreamingQuery.
 
-    Input files must carry the triple columns + ``ts``; schema is
-    pinned here so a drifted producer fails loudly at start, not with
-    silent nulls mid-stream.
+    Input files must carry the triple columns + ``ts``. A pinned
+    readStream schema alone does NOT fail on a drifted producer —
+    Spark fills a missing parquet column with silent NULLs, and a
+    NULL ``ts`` pins the watermark at 0 so state never expires
+    (code-review r5) — so the columns are verified against the actual
+    file footers at start and missing ones raise immediately.
     """
+    _require_source_columns(
+        spark, triples_path,
+        ["conv_id", "turn_idx", "subj", "pred", "obj",
+         "subj_ne", "obj_ne", "ts"])
     stream = (spark.readStream
               .schema(TOOL_TRIPLE_SCHEMA + ", ts timestamp")
               .option("maxFilesPerTrigger", str(max_files_per_trigger))

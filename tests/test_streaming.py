@@ -1067,3 +1067,149 @@ def test_history_compaction_crash_window_is_harmless(spark, tmp_path):
     got2 = sorted((r.obj, r.is_current)
                   for r in read_history(spark, hdir).collect())
     assert got2 == want
+
+
+def test_backfill_supersedes_wrong_subject_rows(spark, fixture_dir,
+                                                model_path, tmp_path):
+    """A streamed tool triple with a stale/wrong SUBJECT (its true
+    invoking turn was dropped as a straggler) must not mask the
+    batch-corrected row: backfill appends the correction and
+    read_tool_triples resolves to it (code-review r5 — the old
+    (conv, turn, pred, obj) anti-join made the wrong row permanent)."""
+    from morra_spark.streaming.stateful import (backfill_tool_triples,
+                                                read_tool_triples)
+
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj",
+            "subj_ne", "obj_ne"]
+    # ground truth: what the batch path emits for this corpus
+    probe = str(tmp_path / "probe_out")
+    backfill_tool_triples(spark, transcripts_path=f"{fixture_dir}/transcripts",
+                          out_dir=probe, model_path=model_path)
+    want = spark.read.parquet(f"{probe}/tool_triples").select(cols)
+    one = want.orderBy("conv_id", "turn_idx").first()
+    assert one is not None
+
+    # sink state: streaming emitted that tool turn with a WRONG subject
+    out = str(tmp_path / "sink_out")
+    corrupted = spark.createDataFrame(
+        [(one.conv_id, one.turn_idx, "totally wrong entity", one.pred,
+          one.obj, one.subj_ne, one.obj_ne)],
+        "conv_id string, turn_idx int, subj string, pred string,"
+        " obj string, subj_ne string, obj_ne string")
+    corrupted.write.mode("overwrite") \
+        .parquet(f"{out}/tool_triples/batch_id=0")
+
+    res = backfill_tool_triples(spark,
+                                transcripts_path=f"{fixture_dir}/transcripts",
+                                out_dir=out, model_path=model_path)
+    assert res["n_backfilled"] == want.count()  # correction included
+    resolved = read_tool_triples(spark, out).select(cols)
+    assert resolved.exceptAll(want).count() == 0
+    assert want.exceptAll(resolved).count() == 0
+    # the raw union still holds both rows (append-only) — the reader
+    # is what supersedes
+    raw = spark.read.parquet(f"{out}/tool_triples")
+    assert raw.filter(F.col("subj") == "totally wrong entity").count() == 1
+
+
+def test_duration_rejects_nonpositive():
+    import pytest as _pytest
+
+    from morra_spark.streaming.stateful import _duration_ms
+
+    assert _duration_ms("10 minutes") == 600_000
+    for bad in ("-5 minutes", "0 seconds", "1.5 hours", "minutes 5"):
+        with _pytest.raises(ValueError):
+            _duration_ms(bad)
+
+
+def test_first_batch_registers_event_time_ttl():
+    """Batch 0 has watermark 0; the TTL must still be registered from
+    the batch's own max event time (code-review r5: the old wm>0 guard
+    leaked state for conversations only ever seen in batch 0)."""
+    import pandas as pd
+
+    from morra_spark.streaming.stateful import _set_event_time_ttl
+
+    class FakeState:
+        def __init__(self, wm):
+            self.wm, self.calls = wm, []
+
+        def getCurrentWatermarkMs(self):
+            return self.wm
+
+        def setTimeoutTimestamp(self, ts):
+            self.calls.append(ts)
+
+    pdf = pd.DataFrame({"ts": pd.to_datetime(
+        ["2026-01-01 00:00:05", "2026-01-01 00:00:09"])})
+    st = FakeState(wm=0)
+    _set_event_time_ttl(st, pdf, 60_000)
+    evt_ms = int(pd.Timestamp("2026-01-01 00:00:09").value // 1_000_000)
+    assert st.calls == [evt_ms + 60_000]
+    # with a live watermark above the events, the watermark wins
+    st2 = FakeState(wm=evt_ms + 5_000)
+    _set_event_time_ttl(st2, pdf, 60_000)
+    assert st2.calls == [evt_ms + 5_000 + 60_000]
+    # no ts at all and wm 0: nothing registered (nothing to anchor on)
+    st3 = FakeState(wm=0)
+    _set_event_time_ttl(st3, pd.DataFrame({"x": [1]}), 60_000)
+    assert st3.calls == []
+
+
+def test_compaction_skips_uncommitted_delta_dirs(spark, tmp_path):
+    """A delta directory without the _SUCCESS commit marker is either
+    mid-write by the live stream or crashed-write debris — compaction
+    and reads must skip it (folding a half-written batch then deleting
+    the dir would lose the rest of its rows forever, code-review r5)."""
+    import os
+
+    from morra_spark.streaming.history import (compact_assertions,
+                                               read_assertions,
+                                               start_streaming_history)
+
+    src = str(tmp_path / "asserts")
+    _asserts_fixture(spark, src, [("e", "p", "A", 10)])
+    hdir = str(tmp_path / "hist")
+    q = start_streaming_history(
+        spark, assertions_path=src, hist_dir=hdir,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_available_now=True)
+    q.awaitTermination(120)
+
+    # plant an UNCOMMITTED batch dir (parquet data, no _SUCCESS)
+    half = f"{hdir}/assert_deltas/batch_id=999"
+    spark.createDataFrame(
+        [("zz", "p", "HALF", None)],
+        "subj string, pred string, obj string, ts timestamp") \
+        .coalesce(1).write.mode("overwrite").parquet(half)
+    os.remove(f"{half}/_SUCCESS")
+
+    assert compact_assertions(spark, hdir) == 1     # only batch 0 folds
+    assert os.path.isdir(half)                      # untouched
+    got = {r.subj for r in read_assertions(spark, hdir).collect()}
+    assert got == {"e"}                             # half-batch invisible
+    # once the retry commits it (marker restored), it folds normally
+    open(f"{half}/_SUCCESS", "w").close()
+    assert compact_assertions(spark, hdir) == 1
+
+
+def test_null_text_turn_emits_no_tokens_or_triples(model):
+    """A NULL text turn must annotate to zero tokens/triples — not the
+    stringified 'None' pseudo-token the old astype(str) minted
+    (code-review r5; also keeps the pandas and Arrow sinks
+    bit-identical on null input)."""
+    import pandas as pd
+
+    from morra_spark.operators.tagger import _annotate_pdf
+
+    pdf = pd.DataFrame({
+        "conv_id": ["c", "c"], "turn_idx": [1, 2],
+        "role": ["user", "user"],
+        "text": [None, "Ada Lovelace founded Acme Corp ."],
+        "tool": [None, None],
+        "ts": pd.to_datetime(["2026-01-01", "2026-01-01"])})
+    ann = _annotate_pdf(pdf, model, triples_only=True)
+    by_turn = dict(zip(pdf["turn_idx"], ann["triples"]))
+    assert list(by_turn[1]) == []      # null text: nothing minted
+    assert len(by_turn[2]) > 0         # real text still annotates
