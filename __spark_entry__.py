@@ -3807,9 +3807,12 @@ def oracle_sql() -> dict[str, str]:
                           JOIN uni ub ON ub.w = pr.wb
                           CROSS JOIN nu CROSS JOIN nb)
             SELECT wa || ' ' || wb AS pair, CAST(cab AS BIGINT) AS n,
-                   ROUND(LN((cab * 1.0 / nb)
-                            / ((ca * 1.0 / nw) * (cb * 1.0 / nw)))
-                         / -LN(cab * 1.0 / nb), 4) AS npmi
+                   -- p_ab = 1 pins NPMI to 1.0 (divisor -LN(1) = 0),
+                   -- mirroring the Spark operator's guard
+                   CASE WHEN cab >= nb THEN 1.0
+                        ELSE ROUND(LN((cab * 1.0 / nb)
+                                 / ((ca * 1.0 / nw) * (cb * 1.0 / nw)))
+                              / -LN(cab * 1.0 / nb), 4) END AS npmi
             FROM j ORDER BY npmi DESC, pair ASC LIMIT 20
         """,
         "ab_metric_test": """

@@ -129,7 +129,12 @@ def timed_clean(spark, fn, label: str, max_retries: int = 2):
     Returns (seconds, result_of_fn, clean: bool).
     """
     sc = spark.sparkContext
-    log_off = _jvm_log_errors_since(0)[1]  # skip pre-existing log content
+    # O(1) baseline offset: getsize, NOT a full read of the accumulated
+    # log just to learn its length (code-review r5 — ~50 timed windows
+    # per bench each re-read the whole file)
+    log_off = (os.path.getsize(_JVM_LOG["path"])
+               if _JVM_LOG["path"] and os.path.exists(_JVM_LOG["path"])
+               else 0)
     for attempt in range(max_retries + 1):
         _TIMED_SEQ[0] += 1
         group = f"bench_timed_{_TIMED_SEQ[0]}"
@@ -403,13 +408,10 @@ def main() -> None:
         return
 
     if args.scaling:
-        # scaling needs a steady-state-sized input: a 100 TB cluster job
-        # amortizes startup over hours; locally we amortize over ~1.6M
-        # turns so the map-stage compute, not driver overhead, is measured
-        # steady-state-sized: ~5.9M turns. A 100 TB cluster job amortizes
-        # startup over hours; the ~3s/run fixed driver+stage latency must
-        # be noise against the map-stage compute or the ratio measures
-        # overhead, not scaling.
+        # scaling needs a steady-state-sized input (~5.9M turns): a
+        # 100 TB cluster job amortizes startup over hours, so the
+        # ~3s/run fixed driver+stage latency must be noise against the
+        # map-stage compute or the ratio measures overhead, not scaling.
         scaling_convs = max(args.convs, int(os.environ.get(
             "SPARK_GRAFT_SCALING_CONVS", "400000")))
         # "executor" := a separate 2-core-pinned JVM (the layout sweep

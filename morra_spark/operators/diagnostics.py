@@ -207,9 +207,15 @@ def ab_metric_test(events: DataFrame, assign_col: str = "user_id",
         F.col("v").alias("vb"))
     j = a.join(b, "grp")
     sa, sb = F.col("va") / F.col("na"), F.col("vb") / F.col("nb")
-    t = (F.col("ma") - F.col("mb")) / F.sqrt(sa + sb)
-    dof = (sa + sb) * (sa + sb) / (
-        sa * sa / (F.col("na") - 1) + sb * sb / (F.col("nb") - 1))
+    # nullif guards the zero-variance metric (both arms constant →
+    # sa+sb = 0): under ANSI Spark 4 the bare division aborts the whole
+    # guardrail report with DIVIDE_BY_ZERO; null t_stat/dof (undefined
+    # test) is the correct report row instead — same discipline as
+    # metric_correlations' try_divide (code-review r5)
+    t = (F.col("ma") - F.col("mb")) / F.sqrt(F.nullif(sa + sb, F.lit(0.0)))
+    dof = (sa + sb) * (sa + sb) / F.nullif(
+        sa * sa / (F.col("na") - 1) + sb * sb / (F.col("nb") - 1),
+        F.lit(0.0))
     return (j.select("grp", "na", "nb",
                      F.round("ma", 4).alias("mean_a"),
                      F.round("mb", 4).alias("mean_b"),

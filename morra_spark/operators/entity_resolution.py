@@ -236,11 +236,21 @@ def admit_surface_forms(existing_map: DataFrame, new_names: DataFrame,
                  .alias("canon")))
 
     # (3) cluster the leftovers among themselves; (4) singletons map to
-    # themselves via the coalesce in _form_clusters
+    # themselves via the coalesce in _form_clusters. The canon of a NEW
+    # cluster is an ORIGINAL spelling (the smallest raw name whose norm
+    # is the cluster label), NOT the normalized form — the same
+    # original-spelling contract as surface_form_map ('Acme Corp.'
+    # maps to ITSELF, case and punctuation intact); emitting the
+    # lowercased/punct-stripped norm here mixed canon domains in the
+    # unioned vocabulary and destroyed spellings for every
+    # incrementally-admitted entity (code-review r5)
     leftover = rest.join(cand, "norm", "left_anti")
-    clustered = _form_clusters(leftover, max_dist, block_cap,
-                               prefix_len) \
-        .withColumnRenamed("cluster", "canon")
+    clustered = _form_clusters(leftover, max_dist, block_cap, prefix_len)
+    rep_name = new.groupBy("norm").agg(F.min("name").alias("canon"))
+    clustered = (clustered
+                 .join(rep_name.withColumnRenamed("norm", "cluster"),
+                       "cluster")
+                 .select("norm", "canon"))
 
     norm_map = exact.select("norm", "canon") \
         .unionByName(cand).unionByName(clustered).distinct()

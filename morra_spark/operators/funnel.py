@@ -83,8 +83,12 @@ def funnel_counts(events: DataFrame, steps: list[str],
                                  type_col, within_hours)
     row = per_user.agg(*[F.count(f"t{i}").cast("long").alias(f"n{i}")
                          for i in range(1, k + 1)])
+    # step names are interpolated into SQL string literals — escape
+    # embedded quotes ("int'l checkout") or the stack() expression
+    # fails to parse (code-review r5)
     stack_args = ", ".join(
-        f"{i}, '{s}', n{i}" for i, s in enumerate(steps, start=1))
+        "{}, '{}', n{}".format(i, s.replace("'", "\\'"), i)
+        for i, s in enumerate(steps, start=1))
     from pyspark.sql.window import Window
     whole = Window.orderBy(F.lit(1)) \
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)

@@ -72,7 +72,8 @@ def graph_edges(triples: DataFrame) -> DataFrame:
         "weight", "n_convs", "first_turn", "last_turn")
 
 
-def graph_nodes(triples: DataFrame) -> DataFrame:
+def graph_nodes(triples: DataFrame,
+                edges: DataFrame | None = None) -> DataFrame:
     """Aggregate triple endpoints to the entity grain.
 
     Degrees are counted over DISTINCT edges (the aggregated graph, not
@@ -80,8 +81,15 @@ def graph_nodes(triples: DataFrame) -> DataFrame:
     frequent NE tag for the entity with a lexicographic tie-break
     (max_by over a (count, reversed-tag) pair would need a custom
     ordering, so the rank is made explicit and deterministic).
+
+    Pass ``edges`` (a ``graph_edges`` result, e.g. the just-written
+    table) to skip recomputing the edge aggregation — without it the
+    two corpus-sized edge-grain groupBys run a second time inside this
+    call (code-review r5; ``materialize_graph`` reuses its written
+    edges this way).
     """
-    edges = graph_edges(triples)
+    if edges is None:
+        edges = graph_edges(triples)
     out_deg = edges.groupBy(F.col("subj").alias("_out_e")) \
         .agg(F.count(F.lit(1)).alias("out_degree"))
     in_deg = edges.groupBy(F.col("obj").alias("_in_e")) \
@@ -690,7 +698,14 @@ def materialize_graph(triples: DataFrame, out_dir: str,
     (graph_edges(triples).observe(e_obs, F.count(F.lit(1)).alias("n"))
      .repartition(n_parts, "subj")
      .write.mode("overwrite").parquet(f"{out_dir}/edges"))
-    (graph_nodes(triples).observe(n_obs, F.count(F.lit(1)).alias("n"))
+    # nodes reuse the JUST-WRITTEN edges (already materialized, orders
+    # smaller than triples) instead of re-running the edge aggregation
+    # inside graph_nodes — the old call re-paid both corpus-sized
+    # edge-grain groupBys per materialize (code-review r5)
+    spark = triples.sparkSession
+    written_edges = spark.read.parquet(f"{out_dir}/edges")
+    (graph_nodes(triples, edges=written_edges)
+     .observe(n_obs, F.count(F.lit(1)).alias("n"))
      .repartition(n_parts)
      .write.mode("overwrite").parquet(f"{out_dir}/nodes"))
     return {"n_edges": e_obs.get["n"], "n_nodes": n_obs.get["n"],

@@ -20,19 +20,21 @@ from __future__ import annotations
 import numpy as np
 
 
-def binary_margins(models: dict, feat_ids_per_model: dict,
-                   starts: np.ndarray, n: int) -> tuple[list[str], np.ndarray]:
-    """(type order, (n_tokens, n_types) margin matrix). Greedy decode per
-    binary model supplies its own prev-label dynamics, mirroring the
-    joint pass."""
+def binary_margins(models: dict,
+                   feat_ids_per_model: dict,
+                   n: int) -> tuple[list[str], np.ndarray]:
+    """(type order, (n_tokens, n_types) margin matrix) from the STATIC
+    scores only: for a 2-class (type vs O) model the static margin is
+    the dominant evidence term, and no sequence decode runs here —
+    prev-tag dynamics come from the joint pass these margins are
+    combined with (code-review r5: the docstring used to promise a
+    greedy decode this function never performed, and an unused
+    ``starts`` parameter implied one)."""
     types = sorted(models)
     M = np.zeros((n, len(types)), np.float32)
     for j, t in enumerate(types):
         m = models[t]
         static = m.static_scores(feat_ids_per_model[t], n)
-        # decode to realize prev-tag dynamics, then recompute margins from
-        # the static scores + decoded prev contributions: for binary
-        # models the static margin is the dominant term; use it directly
         o_idx = m.classes.index("O")
         t_idx = m.classes.index(t)
         M[:, j] = static[:, t_idx] - static[:, o_idx]

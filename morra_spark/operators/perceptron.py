@@ -54,7 +54,11 @@ class PerceptronModel:
     families: dict[str, Family]
     bias: np.ndarray  # (n_classes,)
     bias_totals: np.ndarray | None = None
-    bias_tstamp: float = 0.0
+    # per-CLASS bias timestamps (code-review r5: a single scalar here
+    # skipped interval credit for every class not touched by an update,
+    # skewing the averaged bias toward recently-updated classes; the
+    # family weights always used per-(fid, class) tstamps)
+    bias_tstamps: np.ndarray | None = None
     n_updates: int = 0
     meta: dict = field(default_factory=dict)
 
@@ -71,7 +75,8 @@ class PerceptronModel:
             for name, v in family_vocabs.items()
         }
         return cls(classes=classes, families=fams, bias=np.zeros(c, np.float32),
-                   bias_totals=np.zeros(c, np.float64))
+                   bias_totals=np.zeros(c, np.float64),
+                   bias_tstamps=np.zeros(c, np.float64))
 
     def _score_one(self, feat_ids: dict[str, int]) -> np.ndarray:
         s = self.bias.astype(np.float64).copy()
@@ -90,9 +95,10 @@ class PerceptronModel:
                 fam.tstamps[fid, cls_i] = t
                 fam.w[fid, cls_i] += delta
         for cls_i, delta in ((truth, 1.0), (guess, -1.0)):
-            self.bias_totals[cls_i] += (t - self.bias_tstamp) * self.bias[cls_i]
+            self.bias_totals[cls_i] += \
+                (t - self.bias_tstamps[cls_i]) * self.bias[cls_i]
+            self.bias_tstamps[cls_i] = t
             self.bias[cls_i] += delta
-        self.bias_tstamp = t
 
     def train(self, sentences: list[list[dict[str, str]]], gold: list[list[str]],
               dynamic: tuple[str, ...] = ("prev", "prev2"),
@@ -139,9 +145,9 @@ class PerceptronModel:
             fam.totals += (t - fam.tstamps) * fam.w
             fam.w = (fam.totals / t).astype(np.float32)
             fam.totals = fam.tstamps = None
-        self.bias_totals += (t - self.bias_tstamp) * self.bias
+        self.bias_totals += (t - self.bias_tstamps) * self.bias
         self.bias = (self.bias_totals / t).astype(np.float32)
-        self.bias_totals = None
+        self.bias_totals = self.bias_tstamps = None
 
     # ------------------------------------------------------------------
     # inference (executor-side, vectorized)

@@ -85,7 +85,11 @@ def pmi_collocations(docs: DataFrame, min_count: int = 5,
     p_ab = F.col("cab") / F.col("nb")
     p_a = F.col("ca") / F.col("nw")
     p_b = F.col("cb") / F.col("nw")
-    npmi = F.log(p_ab / (p_a * p_b)) / -F.log(p_ab)
+    # p_ab == 1 (every bigram slot is this pair — single-pair boiler-
+    # plate corpus) makes the -log(p_ab) divisor 0; NPMI is defined as
+    # 1.0 there, same pin as kg_graph.comention_edges (code-review r5)
+    npmi = F.when(p_ab >= 1.0, F.lit(1.0)) \
+        .otherwise(F.log(p_ab / (p_a * p_b)) / -F.log(p_ab))
     return (j.select(
         F.concat_ws(" ", F.col("wa"), F.col("wb")).alias("pair"),
         F.col("cab").cast("long").alias("n"),

@@ -20,20 +20,30 @@ def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> np.ndarray:
     return np.random.RandomState(seed).randn(n_planes, dim)
 
 
-def lsh_bucket_ids(emb: DataFrame, n_planes: int = 8, dim: int = 64,
-                   vec_col: str = "embedding") -> DataFrame:
-    """Add ``bucket`` = sign-pattern of dot products with n random
-    hyperplanes (0..2^n_planes-1)."""
-    planes = _hyperplanes(n_planes, dim)
+def _bucket_expr(planes, vec_col: str) -> F.Column:
+    """Sign-pattern bucket id (0..2^n_planes-1) of dot products with
+    the given hyperplanes — THE single definition of hyperplane
+    bucketing, shared by ``lsh_bucket_ids`` and the OR-construction
+    tables of ``embedding_near_dup`` (code-review r5: the expression
+    used to exist twice, so a bucketing fix applied to one copy would
+    silently diverge the two paths)."""
     bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
+    for p in range(len(planes)):
         lit_plane = F.array(*[F.lit(float(v)) for v in planes[p]])
         dot = F.aggregate(
             F.zip_with(F.col(vec_col), lit_plane,
                        lambda x, y: x.cast("double") * y),
             F.lit(0.0), lambda acc, x: acc + x)
         bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return emb.withColumn("bucket", bucket)
+    return bucket
+
+
+def lsh_bucket_ids(emb: DataFrame, n_planes: int = 8, dim: int = 64,
+                   vec_col: str = "embedding") -> DataFrame:
+    """Add ``bucket`` = sign-pattern of dot products with n random
+    hyperplanes (0..2^n_planes-1)."""
+    return emb.withColumn(
+        "bucket", _bucket_expr(_hyperplanes(n_planes, dim), vec_col))
 
 
 def _probe_dim(emb: DataFrame, vec_col: str) -> int:
@@ -90,16 +100,11 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95,
     vecs = emb.select("vec_id", "embedding")
 
     def bucket_expr(table: int):
-        planes = _hyperplanes(n_planes, dim, seed=7 + 101 * table)
-        bucket = F.lit(0).cast("long")
-        for p in range(n_planes):
-            lit_plane = F.array(*[F.lit(float(v)) for v in planes[p]])
-            dot = F.aggregate(
-                F.zip_with(F.col("embedding"), lit_plane,
-                           lambda x, y: x.cast("double") * y),
-                F.lit(0.0), lambda acc, x: acc + x)
-            bucket = bucket + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
-        return bucket
+        # per-table seed, same shared bucketing expression as
+        # lsh_bucket_ids (_bucket_expr — one definition, two callers)
+        return _bucket_expr(
+            _hyperplanes(n_planes, dim, seed=7 + 101 * table),
+            "embedding")
 
     banded = vecs.select(
         "vec_id",

@@ -240,7 +240,7 @@ def _run_cascade(model, forms_list: list, seq_ids: np.ndarray,
 
         ids_per = {t: FT.features_to_ids(m, ner_feats)
                    for t, m in ner_sep.items()}
-        types, margins = binary_margins(ner_sep, ids_per, starts, n)
+        types, margins = binary_margins(ner_sep, ids_per, n)
         ne = combine_joint_separate(ne, None, types, margins)
     feats_sep = getattr(model, "feats_sep", None)
     if feats_sep and not triples_only:

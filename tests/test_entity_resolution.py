@@ -263,3 +263,18 @@ def test_fusion_one_row_per_subject_and_support_bounds(spark):
     assert all(0.0 < r.support <= 1.0 for r in rows_out)
     # winner's decayed score share must be the max share → >= 1/k
     assert all(r.support >= 1.0 / r.n_candidates for r in rows_out)
+
+def test_admit_new_cluster_preserves_original_spelling(spark):
+    """A brand-new admitted entity must keep an ORIGINAL spelling as
+    its canon — the surface_form_map contract — not the lowercased,
+    punctuation-stripped normalization (code-review r5: the old path
+    emitted the norm, mixing canon domains in the unioned vocabulary
+    and destroying case for every incrementally-admitted entity)."""
+    existing = _map(spark, [("zebra sys", "zebra sys")])
+    out = {r.name: r.canon for r in admit_surface_forms(
+        existing, _names(spark, ["Nova Labs Inc.", "Nova Labs Inc"]))
+        .collect()}
+    # both variants normalize to 'nova labs inc', cluster together, and
+    # the canon is the smallest RAW spelling — never 'nova labs inc'
+    assert set(out.values()) == {"Nova Labs Inc"}
+    assert out["Nova Labs Inc."] == "Nova Labs Inc"

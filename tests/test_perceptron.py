@@ -123,3 +123,33 @@ def test_reverse_decode_uses_right_context():
     assert fwd.tolist() == [0, 0, 1]
     # backward: starts at the B end; prev=B (+5) pulls the rest to B
     assert bwd.tolist() == [1, 1, 1]
+
+
+def test_bias_averaging_matches_trajectory_mean():
+    """The averaged bias must equal the mean of the bias trajectory
+    over update steps FOR EVERY class — including classes untouched
+    for long stretches (code-review r5: a single shared bias timestamp
+    skipped their interval credit; family weights always had per-cell
+    timestamps)."""
+    import numpy as np
+
+    from morra_spark.operators.perceptron import PerceptronModel
+
+    m = PerceptronModel.init(["a", "b", "c"], {"f": {"x": 0}})
+    fid = {"f": 0}
+    # class 2 ('c') is touched once early, then never again — exactly
+    # the pattern the scalar timestamp got wrong
+    script = [(2, 0), (0, 1), (1, 0), (0, 1), (1, 0), (0, 1), (1, 0)]
+    traj = []
+    for truth, guess in script:
+        # the averaging convention is over the PRE-update weights (the
+        # predictor actually used at each step), so record before
+        traj.append(m.bias.astype(np.float64).copy())
+        m.n_updates += 1
+        m._update(fid, truth, guess)
+    m.average()
+    want = np.mean(traj, axis=0)
+    assert np.allclose(m.bias, want, atol=1e-6), (m.bias, want)
+    # the class untouched after its early update must carry its weight
+    # for the WHOLE remaining run (the scalar-timestamp bug zeroed it)
+    assert m.bias[2] > 0.5
