@@ -98,6 +98,81 @@ def test_subgraph_export_induces_exactly_the_neighborhood(spark):
         assert hops[u] == hu and hops[v] == hv
 
 
+# ---------------------------------------------------- incremental closure
+
+def test_extend_closure_matches_full_rebuild(spark):
+    """Insert-only maintenance: extending yesterday's closure with a
+    random edge delta must equal the from-scratch closure of the merged
+    graph — same pairs, same exact min-hop distances (cycles included:
+    the delta deliberately closes some)."""
+    from morra_spark.operators.components import (extend_closure,
+                                                  transitive_closure)
+
+    rng = random.Random(11)
+    base = sorted({(f"n{rng.randrange(20)}", f"n{rng.randrange(20)}")
+                   for _ in range(40)})
+    delta = sorted({(f"n{rng.randrange(20)}", f"n{rng.randrange(20)}")
+                    for _ in range(8)})
+    base = [(a, b) for a, b in base if a != b]
+    delta = [(a, b) for a, b in delta if a != b]
+    old = transitive_closure(spark.createDataFrame(base, ["src", "dst"]))
+    got = {(r.src, r.dst): r.dist
+           for r in extend_closure(
+               old, spark.createDataFrame(delta, ["src", "dst"])).collect()}
+    assert got == _py_closure(sorted(set(base) | set(delta)))
+
+
+def test_extend_closure_rounds_scale_with_delta_not_depth(spark):
+    """THE incremental win: bridging two depth-16 chains with ONE new
+    edge must converge in ceil(log2(2*1+1)) + 1 = 3 doubling rounds —
+    pass max_iter=3 and let the operator's non-convergence raise be the
+    assertion — while a full rebuild of the resulting depth-33 chain
+    needs ceil(log2(33)) + 1 = 7."""
+    from morra_spark.operators.components import (extend_closure,
+                                                  transitive_closure)
+
+    chains = ([(f"a{i}", f"a{i + 1}") for i in range(16)]
+              + [(f"b{i}", f"b{i + 1}") for i in range(16)])
+    old = transitive_closure(spark.createDataFrame(chains, ["src", "dst"]))
+    bridge = spark.createDataFrame([("a16", "b0")], ["src", "dst"])
+    out = extend_closure(old, bridge, max_iter=3)
+    # 17*16/2 pairs per chain + the bridge's 17*17 cross pairs + 16+16+1
+    # ... simpler: exact end-to-end distance pins correctness
+    row = (out.filter((F.col("src") == "a0") & (F.col("dst") == "b16"))
+           .first())
+    assert row.dist == 33
+    assert out.count() == 2 * (17 * 16 // 2) + 17 * 17
+
+
+def test_extend_closure_shortens_existing_distances(spark):
+    """A delta edge that adds a shortcut must SHORTEN already-known
+    pair distances, not just add pairs (min-fold semantics)."""
+    from morra_spark.operators.components import (extend_closure,
+                                                  transitive_closure)
+
+    chain = [(f"c{i}", f"c{i + 1}") for i in range(6)]
+    old = transitive_closure(spark.createDataFrame(chain, ["src", "dst"]))
+    shortcut = spark.createDataFrame([("c0", "c5")], ["src", "dst"])
+    got = {(r.src, r.dst): r.dist
+           for r in extend_closure(old, shortcut).collect()}
+    assert got[("c0", "c5")] == 1
+    assert got[("c0", "c6")] == 2  # via the shortcut, was 6
+    assert got[("c1", "c6")] == 5  # untouched path keeps its distance
+
+
+def test_extend_closure_empty_delta_is_identity(spark):
+    from morra_spark.operators.components import (extend_closure,
+                                                  transitive_closure)
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    old = transitive_closure(spark.createDataFrame(edges, ["src", "dst"]))
+    empty = spark.createDataFrame([], "src string, dst string")
+    got = {(r.src, r.dst): r.dist for r in extend_closure(old, empty,
+                                                          max_iter=1)
+           .collect()}
+    assert got == {(r.src, r.dst): r.dist for r in old.collect()}
+
+
 # ------------------------------------------------------------ composition
 
 def test_compose_relations_counts_and_caps_hubs(spark):
