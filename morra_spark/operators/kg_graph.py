@@ -354,6 +354,92 @@ def node_type_conflicts(triples: DataFrame, min_share: float = 0.8,
                     "dominant_share", "conflicted"))
 
 
+def infer_node_types(nodes: DataFrame, edges: DataFrame, *,
+                     iters: int = 3, subj: str = "subj", obj: str = "obj",
+                     weight_col: str | None = "weight") -> DataFrame:
+    """Semi-supervised NE-type completion by label propagation — fill
+    the NULL ``ne_type`` of untyped entities from their graph
+    neighborhood (the classic clamped-seed LP: Zhu & Ghahramani-style
+    majority vote, here in its hard-label weighted form).
+
+    Why: ``graph_nodes`` types an entity only from its OWN mention
+    tags; entities that only ever appear untyped (pronoun-resolved
+    subjects, tool-emitted ids, fused canonical forms whose variants
+    carried no tag) stay NULL and fall out of every type-filtered
+    query.
+
+    INPUT GRAPH CHOICE IS THE MODEL — LP assumes homophily (neighbors
+    share types), and the DIRECT KG edge set violates it: subjects
+    link to objects of OTHER types, so propagating over
+    ``graph_edges`` output anti-predicts (measured on the fixture KG:
+    0/41 masked types recovered). Feed a SAME-ROLE graph instead —
+    ``coparticipation_pairs`` (subjects sharing objects under one
+    predicate: selectional-preference homophily; 32/33 masked types
+    recovered on the same fixture, the pinned
+    ``test_infer_types_recovers_masked_fixture_types``) or any
+    near-dup/similarity pair set.
+
+    Semantics (deterministic, engine-stable):
+    * Seeds (non-null input types) are CLAMPED — never overwritten,
+      ``inferred=false, conf=1.0``.
+    * Per iteration, every still-untyped node takes the
+      edge-weight-majority type among its TYPED neighbors (symmetrized
+      edge set, multi-edge weights folded by sum); ties resolve to the
+      lexicographically largest tag — the exact ``graph_nodes`` rule,
+      so both typers agree on ambiguity. ``conf`` is the winning share
+      of that node's typed-neighbor weight in its assignment round.
+    * Nodes labeled in round r vote from round r+1 on, so types flow
+      ``iters`` hops into untyped regions; nodes with no typed
+      neighbor within reach stay NULL (never guessed).
+
+    100 TB shape: the symmetrized weighted edge list is aggregated once
+    and checkpointed (the ``pagerank_fixed`` loop-invariant
+    discipline); each fixed iteration is ONE equi-join of edges against
+    the typed label set plus two partial-aggregating groupBys
+    ((node, type) weight fold, then a max_by argmax at node grain) —
+    no window, no driver state, no Python. Hub entities cost one hot
+    reduce key of counts; integer weights keep the vote fold exact
+    (no float-summation order sensitivity).
+    """
+    w = (F.col(weight_col).cast("long")
+         if weight_col is not None and weight_col in edges.columns
+         else F.lit(1).cast("long"))
+    e = edges.select(F.col(subj).alias("u"), F.col(obj).alias("v"),
+                     w.alias("w"))
+    sym = (e.unionByName(e.select(F.col("v").alias("u"),
+                                  F.col("u").alias("v"), "w"))
+           .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+           .groupBy("u", "v").agg(F.sum("w").alias("w"))
+           .localCheckpoint(eager=True))
+    labels = nodes.select(
+        "entity", "ne_type",
+        F.lit(False).alias("inferred"),
+        F.when(F.col("ne_type").isNotNull(), F.lit(1.0)).alias("conf"))
+    for _ in range(iters):
+        votes = (sym
+                 .join(labels.filter(F.col("ne_type").isNotNull())
+                       .select(F.col("entity").alias("v"),
+                               F.col("ne_type").alias("_nbr_t")), "v")
+                 .groupBy(F.col("u"), "_nbr_t")
+                 .agg(F.sum("w").alias("_tw"))
+                 .groupBy("u")
+                 .agg(F.expr("max_by(_nbr_t, struct(_tw, _nbr_t))")
+                      .alias("_cand"),
+                      F.max("_tw").alias("_wmax"),
+                      F.sum("_tw").alias("_wtot")))
+        fresh = F.col("ne_type").isNull() & F.col("_cand").isNotNull()
+        labels = (labels.join(votes, labels["entity"] == votes["u"],
+                              "left")
+                  .select("entity",
+                          F.coalesce("ne_type", "_cand").alias("ne_type"),
+                          F.when(fresh, F.lit(True))
+                          .otherwise(F.col("inferred")).alias("inferred"),
+                          F.when(fresh,
+                                 F.col("_wmax") / F.col("_wtot"))
+                          .otherwise(F.col("conf")).alias("conf")))
+    return labels
+
+
 def entity_profiles(edges: DataFrame, k: int = 3) -> DataFrame:
     """Per-entity ego summary — the serving-layer row a KG consumer
     (RAG context assembly, entity cards, disambiguation UIs) reads
