@@ -31,6 +31,50 @@ def triple_pr(pred: DataFrame, gold: DataFrame) -> dict:
             "precision": precision, "recall": recall, "f1": f1}
 
 
+def ranking_metrics(scored: DataFrame, *,
+                    query_cols: tuple[str, ...] = ("subj", "pred"),
+                    cand_col: str = "obj", score_col: str = "score",
+                    label_col: str = "is_pos",
+                    ks: tuple[int, ...] = (1, 3, 10)) -> DataFrame:
+    """Link-prediction ranking evaluation — MRR and Hits@k over a
+    scored candidate table, the standard read-out for any KG-embedding
+    model trained on this repo's exports (``walks.random_walks``
+    corpus, ``kg_graph.negative_samples`` negatives).
+
+    Input grain: one row per (query, candidate) with a model score and
+    a positive/negative label — i.e. the scored union of true triples
+    and their corruptions, already "filtered" by the caller (negatives
+    colliding with real positives removed, which ``negative_samples``
+    guarantees by construction). Each positive's rank is its 1-based
+    position among ALL of its query's candidates ordered by
+    (score desc, candidate asc) — the tie-break is deterministic by
+    candidate id rather than random-permutation-averaged, so the metric
+    is bit-reproducible across runs/engines (the repo-wide determinism
+    rule; a model scoring ties hurts itself under this protocol, which
+    is the conservative direction).
+
+    Returns ONE row: n_queries, n_pos, mrr, hits_<k> for each k.
+
+    100 TB shape: ONE hash exchange on the query key for the rank
+    window (candidate lists per query are scorer-bounded, typically
+    ≤ a few thousand — no skew hazard), then a single partial
+    aggregate; no driver state beyond the final 1-row collect a caller
+    may do."""
+    qs = [F.col(c) for c in query_cols]
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(*qs).orderBy(F.col(score_col).desc(),
+                                        F.col(cand_col).asc())
+    ranked = scored.withColumn("_rank", F.row_number().over(w))
+    pos = ranked.filter(F.col(label_col))
+    aggs = [F.count(F.lit(1)).alias("n_pos"),
+            F.countDistinct(*qs).alias("n_queries"),
+            F.avg(F.lit(1.0) / F.col("_rank")).alias("mrr")]
+    aggs += [F.avg((F.col("_rank") <= k).cast("double")).alias(f"hits_{k}")
+             for k in ks]
+    return pos.agg(*aggs).select(
+        "n_queries", "n_pos", "mrr", *[f"hits_{k}" for k in ks])
+
+
 def token_accuracy(pred_tokens: DataFrame, gold_tokens: DataFrame,
                    field: str) -> float:
     """Token-level accuracy for upos/lemma/ne (morra's evaluate_pos/

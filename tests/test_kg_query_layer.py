@@ -433,3 +433,108 @@ def test_functional_history_single_exchange(spark):
     n_exch = plan.count("Exchange hashpartitioning")
     assert n_exch <= 2, plan
     assert "roundrobin" not in plan.lower()
+
+
+# ------------------------------------------------ personalized pagerank
+
+def _py_ppr(edges, seeds, iters=5, damping=0.85):
+    es = set()
+    for a, b in edges:
+        es.add((a, b))
+        es.add((b, a))
+    adj = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    deg = {a: len(bs) for a, bs in adj.items()}
+    r = {s: 1.0 / len(seeds) for s in seeds}
+    for _ in range(iters):
+        nxt = {s: (1.0 - damping) / len(seeds) for s in seeds}
+        for a, mass in r.items():
+            for b in adj.get(a, ()):
+                nxt[b] = nxt.get(b, 0.0) + damping * mass / deg[a]
+        r = nxt
+    return r
+
+
+def test_ppr_matches_python_reference_and_conserves_mass(spark):
+    from morra_spark.operators.components import personalized_pagerank
+
+    rng = random.Random(23)
+    edges = sorted({(f"v{rng.randrange(10)}", f"v{rng.randrange(10)}")
+                    for _ in range(18)})
+    edges = [(a, b) for a, b in edges if a != b]
+    seeds = ["v0", "v3"]
+    got = {r.node: r.ppr
+           for r in personalized_pagerank(
+               spark.createDataFrame(edges, ["src", "dst"]),
+               spark.createDataFrame([(s,) for s in seeds], ["node"]),
+               round_to=12).collect()}
+    want = _py_ppr(edges, seeds)
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ppr_locality_and_unreached_nodes_absent(spark):
+    from morra_spark.operators.components import personalized_pagerank
+
+    chain = [(f"c{i}", f"c{i+1}") for i in range(8)]
+    island = [("x", "y")]
+    df = spark.createDataFrame(chain + island, ["src", "dst"])
+    seeds = spark.createDataFrame([("c0",)], ["node"])
+    got = {r.node: r.ppr
+           for r in personalized_pagerank(df, seeds, iters=4).collect()}
+    assert got["c1"] > got["c3"] > 0  # relatedness decays with distance
+    assert "c5" not in got            # beyond iters hops: no row
+    assert "x" not in got and "y" not in got  # disconnected island
+
+
+def test_ppr_empty_seeds_raise(spark):
+    from morra_spark.operators.components import personalized_pagerank
+
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="empty seed"):
+        personalized_pagerank(
+            df, spark.createDataFrame([], "node string"))
+
+
+# ---------------------------------------------- link-prediction metrics
+
+def test_ranking_metrics_hand_computed_with_ties(spark):
+    from morra_spark.plans.evaluate import ranking_metrics
+
+    rows = [
+        # q1: positive at rank 1 and rank 3
+        ("s1", "p", "a", 0.9, True),
+        ("s1", "p", "b", 0.8, False),
+        ("s1", "p", "c", 0.7, True),
+        # q2: tied scores -> candidate-id tie-break puts d before e,
+        # so the positive e lands at rank 2 (the conservative direction)
+        ("s2", "p", "d", 0.5, False),
+        ("s2", "p", "e", 0.5, True),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string,"
+              " score double, is_pos boolean")
+    [m] = ranking_metrics(df, ks=(1, 3)).collect()
+    assert (m.n_queries, m.n_pos) == (2, 3)
+    assert m.mrr == pytest.approx((1 + 1 / 3 + 1 / 2) / 3)
+    assert m.hits_1 == pytest.approx(1 / 3)
+    assert m.hits_3 == pytest.approx(1.0)
+    # bit-reproducible on any partitioning (the tie is deterministic)
+    [m2] = ranking_metrics(df.repartition(7), ks=(1, 3)).collect()
+    assert (m2.mrr, m2.hits_1, m2.hits_3) == (m.mrr, m.hits_1, m.hits_3)
+
+
+def test_ranking_metrics_perfect_model_is_all_ones(spark):
+    from morra_spark.plans.evaluate import ranking_metrics
+
+    rows = [(f"s{q}", "p", f"o{i}", 1.0 - i * 0.1, i == 0)
+            for q in range(4) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string,"
+              " score double, is_pos boolean")
+    [m] = ranking_metrics(df).collect()
+    assert m.mrr == pytest.approx(1.0)
+    assert m.hits_1 == pytest.approx(1.0) and m.hits_10 == pytest.approx(1.0)
