@@ -249,6 +249,55 @@ def khop_reach(pairs: DataFrame, seeds: DataFrame, k: int = 2,
     return visited.select("node", F.col("hops").cast("int").alias("hops"))
 
 
+def shortest_paths(pairs: DataFrame, seeds: DataFrame, k: int = 3,
+                   src: str = "src", dst: str = "dst",
+                   seed_col: str = "node") -> DataFrame:
+    """Shortest paths with the PATH MATERIALIZED — ``(node, hops,
+    path)`` for every node within ``k`` hops of a seed, where ``path``
+    is an actual node sequence from a seed to the node. The
+    explanation query behind "how are X and Y connected": ``khop_reach``
+    returns the distance, this returns the witness an entity card / RAG
+    answer can display.
+
+    Deterministic path choice (engine/partitioning-invariant, the rule
+    every tie in this repo follows): among all shortest paths to a
+    node, the LEXICOGRAPHICALLY SMALLEST node sequence. That global
+    minimum is computable level-locally — every shortest path to ``v``
+    is (shortest path to an eligible predecessor) + [v], all the same
+    length, so the lex-min over full sequences is the lex-min over
+    predecessors' best paths — which is why one ``min`` aggregate per
+    level suffices (arrays are orderable in Spark) and the result
+    never depends on which equal-length path a partition saw first.
+
+    100 TB shape: the ``khop_reach`` frontier loop (per level ONE
+    equi-join + one min-groupBy + one anti-join, all hash-keyed on node
+    id) with a path array ≤ k+1 ids riding along — state per node is
+    bounded by the fixed small k, the same reason khop keeps lineage
+    shallow without checkpoints. Not a general APSP: seeds-out only,
+    by design (the closure materializes pair distances; this
+    materializes a witness per reached node).
+    """
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    edges = e.unionByName(e.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b"))).distinct()
+    visited = (seeds.select(F.col(seed_col).alias("node")).distinct()
+               .withColumn("hops", F.lit(0))
+               .withColumn("path", F.array(F.col("node"))))
+    frontier = visited.select("node", "path")
+    for level in range(1, k + 1):
+        nxt = (frontier.join(edges, frontier["node"] == edges["a"])
+               .select(F.col("b").alias("node"),
+                       F.concat("path", F.array(F.col("b"))).alias("path"))
+               .groupBy("node")
+               .agg(F.min("path").alias("path"))
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(level)))
+        visited = visited.unionByName(nxt.select("node", "hops", "path"))
+        frontier = nxt.select("node", "path")
+    return visited.select("node", F.col("hops").cast("int").alias("hops"),
+                          "path")
+
+
 def transitive_closure(edges: DataFrame, src: str = "src",
                        dst: str = "dst", max_iter: int = 25) -> DataFrame:
     """Directed reachability closure with exact minimum hop distance —

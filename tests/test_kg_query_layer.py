@@ -538,3 +538,85 @@ def test_ranking_metrics_perfect_model_is_all_ones(spark):
     [m] = ranking_metrics(df).collect()
     assert m.mrr == pytest.approx(1.0)
     assert m.hits_1 == pytest.approx(1.0) and m.hits_10 == pytest.approx(1.0)
+
+
+# ------------------------------------------------------- shortest paths
+
+def _py_shortest_paths(edges, seeds, k):
+    """Level DP: best (lex-min) shortest path per node, BFS frontier."""
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    best = {s: (0, [s]) for s in seeds}
+    frontier = {s: [s] for s in seeds}
+    for level in range(1, k + 1):
+        nxt = {}
+        for u, p in frontier.items():
+            for v in adj.get(u, ()):
+                if v in best:
+                    continue
+                cand = p + [v]
+                if v not in nxt or cand < nxt[v]:
+                    nxt[v] = cand
+        for v, p in nxt.items():
+            best[v] = (level, p)
+        frontier = nxt
+    return best
+
+
+def test_shortest_paths_lexmin_witness(spark):
+    from morra_spark.operators.components import shortest_paths
+
+    # two equal-length routes s->m1->t and s->m2->t: the witness must
+    # be the lexicographically smaller sequence via m1
+    edges = [("s", "m2"), ("s", "m1"), ("m2", "t"), ("m1", "t")]
+    out = {r.node: (r.hops, list(r.path))
+           for r in shortest_paths(
+               spark.createDataFrame(edges, ["src", "dst"]),
+               spark.createDataFrame([("s",)], ["node"]), k=2).collect()}
+    assert out["t"] == (2, ["s", "m1", "t"])
+    assert out["s"] == (0, ["s"])
+
+
+def test_shortest_paths_match_python_reference(spark):
+    from morra_spark.operators.components import shortest_paths
+
+    rng = random.Random(31)
+    edges = sorted({(f"v{rng.randrange(14)}", f"v{rng.randrange(14)}")
+                    for _ in range(25)})
+    edges = [(a, b) for a, b in edges if a != b]
+    seeds = ["v0", "v7"]
+    got = {r.node: (r.hops, list(r.path))
+           for r in shortest_paths(
+               spark.createDataFrame(edges, ["src", "dst"]),
+               spark.createDataFrame([(s,) for s in seeds], ["node"]),
+               k=4).collect()}
+    want = {n: (h, p) for n, (h, p) in
+            _py_shortest_paths(edges, seeds, 4).items()}
+    assert got == want
+    # and the same on any partitioning
+    rep = {r.node: (r.hops, list(r.path))
+           for r in shortest_paths(
+               spark.createDataFrame(edges, ["src", "dst"]).repartition(9),
+               spark.createDataFrame([(s,) for s in seeds], ["node"]),
+               k=4).collect()}
+    assert rep == got
+
+
+def test_shortest_paths_every_witness_is_a_real_path(spark):
+    from morra_spark.operators.components import shortest_paths
+
+    rng = random.Random(37)
+    edges = sorted({(f"v{rng.randrange(12)}", f"v{rng.randrange(12)}")
+                    for _ in range(20)})
+    edges = [(a, b) for a, b in edges if a != b]
+    sym = set(edges) | {(b, a) for a, b in edges}
+    out = shortest_paths(
+        spark.createDataFrame(edges, ["src", "dst"]),
+        spark.createDataFrame([("v1",)], ["node"]), k=3).collect()
+    for r in out:
+        assert len(r.path) == r.hops + 1
+        assert r.path[0] == "v1" and r.path[-1] == r.node
+        for u, v in zip(r.path, r.path[1:]):
+            assert (u, v) in sym
