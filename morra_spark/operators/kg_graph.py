@@ -768,12 +768,24 @@ def as_of(history: DataFrame, ts) -> DataFrame:
 
 
 def materialize_graph(triples: DataFrame, out_dir: str,
-                      n_parts: int = 16) -> dict:
+                      n_parts: int = 16,
+                      type_completion: bool = False) -> dict:
     """Write nodes/ and edges/ parquet under ``out_dir``.
 
     Edges are laid out by hash(subj) so a per-entity neighborhood read
     prunes to one partition family; nodes are small enough to write as
     ``n_parts`` plain files (they broadcast downstream anyway).
+
+    ``type_completion`` (opt-in, like the pipeline's fuzzy/pronoun
+    stages): nodes whose mentions carried NO NE tag anywhere (NULL
+    ``ne_type`` after the own-mention vote) are filled by
+    ``infer_node_types`` label propagation over the same-role
+    co-participation projection (the homophilous input — see that
+    docstring's measurements), and the node table gains
+    ``ne_inferred`` / ``ne_conf`` columns. Costs one extra pass over
+    the triples (the co-participation self-join at the distinct-
+    membership grain); with the default off, output is bit-identical
+    to previous builds.
     """
     from pyspark.sql import Observation
 
@@ -790,7 +802,23 @@ def materialize_graph(triples: DataFrame, out_dir: str,
     # edge-grain groupBys per materialize (code-review r5)
     spark = triples.sparkSession
     written_edges = spark.read.parquet(f"{out_dir}/edges")
-    (graph_nodes(triples, edges=written_edges)
+    nodes = graph_nodes(triples, edges=written_edges)
+    if type_completion:
+        cop = coparticipation_pairs(triples, min_shared=1).select(
+            F.col("subj_a").alias("subj"), F.col("subj_b").alias("obj"),
+            F.col("n_shared").alias("weight"))
+        inferred = infer_node_types(
+            nodes.select("entity", "ne_type"), cop).select(
+            F.col("entity").alias("_e"), "ne_type",
+            F.col("inferred").alias("ne_inferred"),
+            F.col("conf").alias("ne_conf"))
+        # null-safe: the null-entity node (unresolved pronouns) must
+        # keep its row columns — a null-rejecting join would blank them
+        nodes = (nodes.drop("ne_type")
+                 .join(inferred, nodes["entity"].eqNullSafe(F.col("_e")),
+                       "left")
+                 .drop("_e"))
+    (nodes
      .observe(n_obs, F.count(F.lit(1)).alias("n"))
      .repartition(n_parts)
      .write.mode("overwrite").parquet(f"{out_dir}/nodes"))

@@ -499,3 +499,35 @@ def test_infer_types_recovers_masked_fixture_types(spark, triples):
     ok = j.filter("ne_type = true_t").count()
     assert tot > 10  # the mask actually bit, and LP actually reached
     assert ok / tot >= 0.9
+
+
+def test_materialize_type_completion_fills_untagged(spark, tmp_path):
+    """Opt-in flag: an entity whose mentions never carried a tag gets
+    one from its same-role co-participants; default stays bit-identical
+    (no new columns, NULL kept)."""
+    from morra_spark.operators.kg_graph import materialize_graph
+
+    t = spark.createDataFrame(
+        [("c1", 1, "alice", "likes", "x", "PER", "MISC"),
+         ("c1", 2, "bob", "likes", "x", "PER", "MISC"),
+         ("c1", 3, "mystery", "likes", "x", None, "MISC")],
+        "conv_id string, turn_idx int, subj string, pred string,"
+        " obj string, subj_ne string, obj_ne string")
+    off = str(tmp_path / "off")
+    materialize_graph(t, off)
+    n_off = {r.entity: r for r in
+             spark.read.parquet(f"{off}/nodes").collect()}
+    assert n_off["mystery"].ne_type is None
+    assert "ne_inferred" not in spark.read.parquet(f"{off}/nodes").columns
+
+    on = str(tmp_path / "on")
+    materialize_graph(t, on, type_completion=True)
+    n_on = {r.entity: r for r in
+            spark.read.parquet(f"{on}/nodes").collect()}
+    assert (n_on["mystery"].ne_type, n_on["mystery"].ne_inferred) \
+        == ("PER", True)
+    assert n_on["alice"].ne_type == "PER" and not n_on["alice"].ne_inferred
+    assert n_on["x"].ne_type == "MISC" and not n_on["x"].ne_inferred
+    # node universe and every other column unchanged by the flag
+    assert set(n_on) == set(n_off)
+    assert all(n_on[e].n_mentions == n_off[e].n_mentions for e in n_off)
