@@ -1213,3 +1213,78 @@ def test_null_text_turn_emits_no_tokens_or_triples(model):
     by_turn = dict(zip(pdf["turn_idx"], ann["triples"]))
     assert list(by_turn[1]) == []      # null text: nothing minted
     assert len(by_turn[2]) > 0         # real text still annotates
+
+
+def _edges_fixture(spark, path, rows):
+    spark.createDataFrame(rows, "src string, dst string") \
+        .coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_closure_matches_batch_rebuild(spark, tmp_path):
+    """Delta-then-compact closure maintenance: the closure read from
+    the streamed edge store must equal transitive_closure over every
+    edge ever streamed — across micro-batch boundaries that SPLIT a
+    path (the batches below only connect end-to-end), and compaction
+    must not change the answer."""
+    from morra_spark.operators.components import transitive_closure
+    from morra_spark.streaming.closure import (compact_closure,
+                                               read_closure,
+                                               start_streaming_closure)
+
+    src = str(tmp_path / "edges")
+    # batch 1: two disconnected chains; batch 2: the bridge + a shortcut
+    _edges_fixture(spark, src, [("a", "b"), ("b", "c"), ("x", "y")])
+    _edges_fixture(spark, src, [("c", "x"), ("a", "c"),
+                                ("a", "b")])  # cross-batch duplicate
+    cdir = str(tmp_path / "clo")
+    q = start_streaming_closure(
+        spark, edges_path=src, clo_dir=cdir,
+        checkpoint_location=str(tmp_path / "ckpt"),
+        trigger_available_now=True)
+    q.awaitTermination(120)
+
+    def key(df):
+        return sorted((r.src, r.dst, r.dist) for r in df.collect())
+
+    expect = key(transitive_closure(spark.read.parquet(src)))
+    assert key(read_closure(spark, cdir)) == expect
+    # the bridge really connected the chains with the shortcut applied
+    got = {(s, d): t for s, d, t in expect}
+    assert got[("a", "y")] == 3  # a->c (shortcut) ->x->y, not 4 via b
+    assert compact_closure(spark, cdir) >= 1
+    assert key(read_closure(spark, cdir)) == expect
+    assert compact_closure(spark, cdir) == 0  # nothing pending
+
+
+def test_streaming_closure_late_edge_corrects_distances(spark, tmp_path):
+    """An edge arriving after compaction must both ADD pairs and
+    SHORTEN already-materialized distances at the next read — the
+    min-fold algebra extend_closure proves, exercised through the
+    store."""
+    from morra_spark.streaming.closure import (compact_closure,
+                                               read_closure,
+                                               start_streaming_closure)
+
+    src = str(tmp_path / "edges")
+    _edges_fixture(spark, src, [(f"c{i}", f"c{i + 1}") for i in range(5)])
+    cdir = str(tmp_path / "clo")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_streaming_closure(spark, edges_path=src, clo_dir=cdir,
+                                checkpoint_location=ckpt,
+                                trigger_available_now=True)
+    q.awaitTermination(120)
+    compact_closure(spark, cdir)
+    before = {(r.src, r.dst): r.dist
+              for r in read_closure(spark, cdir).collect()}
+    assert before[("c0", "c5")] == 5
+
+    _edges_fixture(spark, src, [("c0", "c4")])  # late shortcut
+    q2 = start_streaming_closure(spark, edges_path=src, clo_dir=cdir,
+                                 checkpoint_location=ckpt,
+                                 trigger_available_now=True)
+    q2.awaitTermination(120)
+    after = {(r.src, r.dst): r.dist
+             for r in read_closure(spark, cdir).collect()}
+    assert after[("c0", "c4")] == 1   # added pair
+    assert after[("c0", "c5")] == 2   # SHORTENED existing distance
+    assert after[("c1", "c5")] == 4   # untouched path unchanged
