@@ -436,7 +436,11 @@ def infer_node_types(nodes: DataFrame, edges: DataFrame, *,
                           .otherwise(F.col("inferred")).alias("inferred"),
                           F.when(fresh,
                                  F.col("_wmax") / F.col("_wtot"))
-                          .otherwise(F.col("conf")).alias("conf")))
+                          .otherwise(F.col("conf")).alias("conf"))
+                  # labels feeds BOTH the vote join and the outer join,
+                  # so without a per-round lineage cut the plan doubles
+                  # per iteration (the connected_components discipline)
+                  .localCheckpoint(eager=True))
     return labels
 
 
