@@ -531,3 +531,105 @@ def test_materialize_type_completion_fills_untagged(spark, tmp_path):
     # node universe and every other column unchanged by the flag
     assert set(n_on) == set(n_off)
     assert all(n_on[e].n_mentions == n_off[e].n_mentions for e in n_off)
+
+
+def test_mine_horn_rules_hand_computed(spark):
+    """Transitivity fixture: a→b→c with the derived a→c present and
+    d→b→c with d→c missing ⇒ the L∧L⇒L rule scores support 1 over
+    body 2, head 4."""
+    from morra_spark.operators.kg_graph import mine_horn_rules
+
+    t = spark.createDataFrame(
+        [("a", "L", "b"), ("b", "L", "c"), ("d", "L", "b"),
+         ("a", "L", "c"),
+         # duplicate assertion must NOT inflate any count
+         ("a", "L", "b")],
+        "subj string, pred string, obj string")
+    rules = {(r.p1, r.p2, r.p3): r for r in
+             mine_horn_rules(t, min_support=1).collect()}
+    r = rules[("L", "L", "L")]
+    assert (r.support, r.body_size, r.head_size) == (1, 2, 4)
+    assert r.confidence == pytest.approx(0.5)
+    assert r.head_coverage == pytest.approx(0.25)
+    # min_support=2 gates it out
+    assert mine_horn_rules(t, min_support=2) \
+        .filter("p1='L' and p2='L' and p3='L'").count() == 0
+    # min_confidence above 0.5 gates it out
+    assert mine_horn_rules(t, min_support=1, min_confidence=0.6) \
+        .filter("p1='L' and p2='L' and p3='L'").count() == 0
+
+
+def test_mine_horn_rules_mid_cap_drops_hub(spark):
+    """A mid node with fan-out beyond the cap contributes no body
+    instantiations (the documented recall bound), so the rule it alone
+    witnesses disappears."""
+    from morra_spark.operators.kg_graph import mine_horn_rules
+
+    rows = [("x", "p1", "hub")]
+    rows += [("hub", "p2", f"y{i}") for i in range(10)]
+    rows += [("x", "p3", "y0")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    assert mine_horn_rules(t, min_support=1, mid_cap=64) \
+        .filter("p1='p1' and p2='p2'").count() > 0
+    assert mine_horn_rules(t, min_support=1, mid_cap=5) \
+        .filter("p1='p1' and p2='p2'").count() == 0
+
+
+def test_apply_horn_rules_emits_only_missing_with_best_witness(spark):
+    """Completion emits exactly the body-derivable pairs whose head
+    edge is absent; a candidate derivable by two rules keeps the
+    higher-confidence witness and counts both."""
+    from morra_spark.operators.kg_graph import (apply_horn_rules,
+                                                mine_horn_rules)
+
+    t = spark.createDataFrame(
+        [("a", "L", "b"), ("b", "L", "c"), ("d", "L", "b"),
+         ("a", "L", "c"),
+         # second rule family M∧L⇒L: e's derived edge exists (support),
+         # d's and f's don't → conf 1/3, below L∧L's 1/2
+         ("d", "M", "b"), ("e", "M", "b"), ("f", "M", "b"),
+         ("e", "L", "c")],
+        "subj string, pred string, obj string")
+    rules = mine_horn_rules(t, min_support=1, min_confidence=0.0)
+    out = {(r.subj, r.pred, r.obj): r
+           for r in apply_horn_rules(t, rules).collect()}
+    # known edges (a, L, c) / (e, L, c) are NOT re-emitted
+    assert ("a", "L", "c") not in out and ("e", "L", "c") not in out
+    cand = out[("d", "L", "c")]
+    # witnessed by L∧L⇒L (body {(a,c),(d,c)}, support {(a,c)} →
+    # conf 1/2) and M∧L⇒L (conf 1/3) → best confidence wins
+    assert cand.n_rules == 2
+    assert cand.confidence == pytest.approx(0.5)
+    assert (cand.rule_p1, cand.rule_p2) == ("L", "L")
+    # f's pair only derivable via the weaker rule
+    f_cand = out[("f", "L", "c")]
+    assert f_cand.n_rules == 1
+    assert f_cand.confidence == pytest.approx(1 / 3)
+    assert (f_cand.rule_p1, f_cand.rule_p2) == ("M", "L")
+
+
+def test_mine_horn_rules_fixture_kg_deterministic(spark, triples):
+    """On the real fixture KG: mining is repartition-invariant, scores
+    are internally consistent, and completion never re-emits a known
+    edge."""
+    from morra_spark.operators.kg_graph import (apply_horn_rules,
+                                                mine_horn_rules)
+
+    r1 = mine_horn_rules(triples, min_support=2).persist()
+    try:
+        assert r1.count() > 0
+        assert r1.filter((F.col("confidence") > 1.0)
+                         | (F.col("head_coverage") > 1.0)
+                         | (F.col("support") > F.col("body_size"))
+                         | (F.col("support") > F.col("head_size"))
+                         ).count() == 0
+        r2 = mine_horn_rules(triples.repartition(7), min_support=2)
+        assert r1.exceptAll(r2).count() == 0
+        assert r2.exceptAll(r1).count() == 0
+        top = r1.orderBy(F.desc("confidence"), "p1", "p2", "p3").limit(5)
+        cands = apply_horn_rules(triples, top)
+        known = triples.select("subj", "pred", "obj").distinct()
+        assert cands.join(known, ["subj", "pred", "obj"], "inner") \
+            .count() == 0
+    finally:
+        r1.unpersist()
