@@ -138,3 +138,95 @@ def walk_skipgram_pairs(walks: DataFrame, *, window: int = 2,
                    F.col("center").alias("context")))
     return (both.groupBy("center", "context")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def ppmi_scores(pairs: DataFrame, *, shift: float = 0.0,
+                round_to: int = 6) -> DataFrame:
+    """Skip-gram pair counts → shifted PPMI association scores:
+    ``max(0, ln(n·N / (n_center·n_context)) − shift)`` — the classic
+    count-based reweighting (Levy & Goldberg: SGNS implicitly
+    factorizes this matrix), turning raw co-occurrence into the signal
+    an embedding projection should preserve. Rows whose shifted PMI is
+    ≤ 0 are DROPPED (that's the "P" in PPMI) — the output is the
+    sparse positive association matrix at (center, context) grain.
+
+    100 TB shape: two partial-aggregating marginal groupBys over the
+    already-aggregated pair grain plus one 1-row total that BROADCASTS
+    back (the repo's scalar crossJoin rule); the marginal joins are
+    co-keyed equi-joins. Nothing touches walk-corpus grain. ``ln`` is
+    deterministic per-value; ``round_to`` pins the emitted score so
+    downstream folds see engine-stable inputs.
+    """
+    cm = pairs.groupBy("center").agg(F.sum("n").alias("_nc"))
+    xm = (pairs.groupBy(F.col("context").alias("_ctx"))
+          .agg(F.sum("n").alias("_nx")))
+    total = pairs.agg(F.sum("n").alias("_nt"))
+    pmi = (F.log(F.col("n").cast("double") * F.col("_nt")
+                 / (F.col("_nc") * F.col("_nx")))
+           - F.lit(float(shift)))
+    return (pairs
+            .join(cm, "center")
+            .join(xm, pairs["context"] == F.col("_ctx"))
+            .crossJoin(F.broadcast(total))
+            .select("center", "context", "n",
+                    F.round(pmi, round_to).alias("ppmi"))
+            .filter(F.col("ppmi") > 0))
+
+
+def embed_nodes(scored: DataFrame, *, dim: int = 64, n_hashes: int = 4,
+                seed: int = 7, score_col: str = "ppmi") -> DataFrame:
+    """Sparse association rows → dense L2-normalized ``array<float>``
+    node embeddings by deterministic feature-hashed projection (the
+    hashing-trick random projection: each context feature lands in
+    ``n_hashes`` signed buckets of a ``dim``-wide vector). Training-free
+    and closed-form — the count-based endpoint of the walk corpus →
+    skip-gram → PPMI lifecycle — and the output column is exactly the
+    ``array<float>`` the similarity/ANN operators consume
+    (``embedding_near_dup``, ``ann_*``: rename ``node`` → ``vec_id``).
+
+    Determinism is bit-exact, not approximate: bucket index and sign
+    are portable-md5 of ``seed|g|context`` (Python-replayable, same
+    scheme as ``random_walks._pick``), and contributions are quantized
+    to 1e-6 grain LONGS before the fold so the sum is exact integer
+    arithmetic — no float-summation order sensitivity on any
+    partitioning or retry (the ``infer_node_types`` integer-fold rule).
+
+    100 TB shape: map-only fan-out of exactly ``n_hashes`` per scored
+    row (small constant), ONE partial-aggregating groupBy to
+    (node, bucket) grain, one groupBy to node grain assembling the
+    dense array via map lookup over ``sequence(0, dim-1)`` — no
+    window, no Python, no driver state; hub nodes fold map-side.
+    """
+    gs = F.array(*[F.struct(F.lit(g).alias("_g")) for g in range(n_hashes)])
+    h = F.md5(F.concat_ws("|", F.lit(str(seed)), F.col("_e._g"),
+                          F.col("context")))
+    idx = (F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+           % F.lit(dim)).cast("int")
+    sign = F.when(F.conv(F.substring(h, 16, 1), 16, 10)
+                  .cast("int") % 2 == 0, 1).otherwise(-1)
+    contrib = (F.round(F.col(score_col) * sign * 1e6)
+               .cast("long").alias("_q"))
+    cells = (scored
+             .select(F.col("center").alias("node"), score_col, "context",
+                     F.explode(gs).alias("_e"))
+             .select("node", idx.alias("_i"), contrib)
+             .groupBy("node", "_i").agg(F.sum("_q").alias("_v")))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("_m", i), F.lit(0)).cast("double")
+        / 1e6)
+    norm = F.sqrt(F.aggregate(
+        "_vec", F.lit(0.0), lambda a, x: a + x * x))
+    return (cells
+            .groupBy("node")
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("_i", "_v"))).alias("_m"))
+            .select("node", vec.alias("_vec"))
+            .select("node", "_vec", norm.alias("_n"))
+            # a node whose quantized contributions cancel to the zero
+            # vector has no direction to embed — dropped, not NaN-filled
+            .filter(F.col("_n") > 0)
+            .select("node",
+                    F.transform(
+                        "_vec", lambda x: (x / F.col("_n"))
+                        .cast("float")).alias("embedding")))

@@ -8,6 +8,8 @@ from __future__ import annotations
 import hashlib
 import random
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -152,3 +154,97 @@ def test_skipgram_plan_is_maponly_plus_one_aggregate(spark):
             .executedPlan().toString())
     assert plan.count("Join") == 0
     assert plan.count("Exchange") == 1
+
+
+def test_ppmi_hand_computed_and_positivity(spark):
+    """n=10 corpus: PMI(a,x)=ln(1.6), PMI(a,y)=ln(2), PMI(b,x)=ln(0.4)
+    is negative and must be dropped; the shift lowers scores and drops
+    newly non-positive rows."""
+    import math
+
+    from morra_spark.operators.walks import ppmi_scores
+
+    pairs = spark.createDataFrame(
+        [("a", "x", 4), ("a", "y", 1), ("b", "x", 1), ("b", "z", 4)],
+        "center string, context string, n long")
+    got = {(r.center, r.context): r.ppmi
+           for r in ppmi_scores(pairs).collect()}
+    assert ("b", "x") not in got
+    assert got[("a", "x")] == round(math.log(1.6), 6)
+    assert got[("a", "y")] == round(math.log(2.0), 6)
+    assert got[("b", "z")] == round(math.log(2.0), 6)
+    shifted = {(r.center, r.context): r.ppmi
+               for r in ppmi_scores(pairs, shift=0.5).collect()}
+    assert set(shifted) == {("a", "y"), ("b", "z")}
+    assert shifted[("a", "y")] == round(math.log(2.0) - 0.5, 6)
+
+
+def test_embed_nodes_python_replay_and_bit_invariance(spark):
+    """Bucket index + sign replay from plain-Python md5 (the _pick
+    contract applied to feature hashing), exact integer-quantized fold,
+    unit norm, and BIT-exact equality under repartitioning."""
+    from morra_spark.operators.walks import embed_nodes
+
+    dim, n_hashes, seed = 8, 3, 7
+    scored = spark.createDataFrame(
+        [("a", "x", 0.5), ("a", "y", 1.25), ("b", "x", 2.0)],
+        "center string, context string, ppmi double")
+    got = {r.node: list(r.embedding)
+           for r in embed_nodes(scored, dim=dim, n_hashes=n_hashes,
+                                seed=seed).collect()}
+
+    def py_embed(feats):
+        vec = [0] * dim
+        for ctx, score in feats:
+            for g in range(n_hashes):
+                h = hashlib.md5(f"{seed}|{g}|{ctx}".encode()).hexdigest()
+                i = int(h[:15], 16) % dim
+                sign = 1 if int(h[15], 16) % 2 == 0 else -1
+                vec[i] += round(score * sign * 1e6)
+        dbl = [v / 1e6 for v in vec]
+        norm = sum(x * x for x in dbl) ** 0.5
+        return [x / norm for x in dbl]
+
+    for node, feats in {"a": [("x", 0.5), ("y", 1.25)],
+                        "b": [("x", 2.0)]}.items():
+        want = py_embed(feats)
+        assert got[node] == pytest.approx(want, abs=1e-6)
+        assert sum(x * x for x in got[node]) == pytest.approx(1.0, 1e-5)
+    again = {r.node: list(r.embedding)
+             for r in embed_nodes(scored.repartition(5), dim=dim,
+                                  n_hashes=n_hashes, seed=seed).collect()}
+    assert got == again  # bit-exact, not approx: integer fold
+
+
+def test_walk_to_embedding_lifecycle_separates_communities(spark):
+    """End-to-end count-based embedding sanity on two 5-cliques joined
+    by one bridge: walks → skip-gram → PPMI → hashed projection must
+    place intra-clique pairs closer (mean cosine) than cross-clique
+    pairs — the homophily signal the lifecycle exists to extract."""
+    from morra_spark.operators.walks import (embed_nodes, ppmi_scores,
+                                             random_walks,
+                                             walk_skipgram_pairs)
+
+    rows = []
+    for tag in ("l", "r"):
+        nodes = [f"{tag}{i}" for i in range(5)]
+        rows += [(a, b) for a in nodes for b in nodes if a < b]
+    rows.append(("l0", "r0"))
+    edges = spark.createDataFrame(rows, "src string, dst string")
+    walks = random_walks(edges, walk_length=8, walks_per_node=8, seed=11)
+    emb = {r.node: r.embedding for r in
+           embed_nodes(ppmi_scores(walk_skipgram_pairs(walks, window=2)),
+                       dim=32, n_hashes=4).collect()}
+    assert len(emb) == 10
+
+    def cos(u, v):
+        return sum(a * b for a, b in zip(emb[u], emb[v]))
+
+    def mean(vals):
+        vals = list(vals)
+        return sum(vals) / len(vals)
+
+    intra = mean(cos(a, b) for a in emb for b in emb
+                 if a < b and a[0] == b[0])
+    inter = mean(cos(a, b) for a in emb for b in emb if a[0] < b[0])
+    assert intra > inter + 0.1
