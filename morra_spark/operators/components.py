@@ -522,3 +522,69 @@ def triangle_count(edges: DataFrame, src: str = "src",
     return (deg.select("node").join(per_node, "node", "left")
             .select("node", F.coalesce(F.col("n_triangles"), F.lit(0))
                     .cast("long").alias("n_triangles")))
+
+
+def kcore(pairs: DataFrame, k: int, src: str = "src", dst: str = "dst",
+          max_iter: int = 100) -> DataFrame:
+    """The k-core of an undirected graph — the maximal subgraph where
+    every node keeps degree ≥ k — by synchronous iterative peeling:
+    each round simultaneously deletes EVERY node currently below k and
+    re-derives degrees, until a fixpoint. The trust/quality audit a KG
+    release runs next to ``degree_distribution``: 2-core strips pendant
+    extraction debris (one-shot assertions hanging off the graph),
+    higher cores isolate the densely-corroborated backbone; on a
+    near-dup candidate graph the k-core is the template/boilerplate
+    family detector (cliques survive, drifting chains dissolve).
+
+    Returns ``(node, deg)`` for surviving nodes — ``deg`` is the
+    node's degree INSIDE the core (≥ k by construction). Empty result
+    when no k-core exists. Deterministic: peeling has a unique
+    fixpoint (the k-core is well-defined), so partitioning/order never
+    matter. Edges may carry duplicates/self-loops/either direction —
+    canonicalized once up front.
+
+    Round bound is the graph's PEELING DEPTH (how many synchronous
+    sub-k strips it takes — bounded by the degeneracy ordering's layer
+    count), not O(log n): a worst-case k=2 path peels two endpoints
+    per round. Real KG/near-dup graphs peel shallow (hubs hold cores
+    together); ``max_iter`` raises rather than silently truncating,
+    the ``connected_components`` discipline. Core NUMBERS (per-node
+    max k) are documented out of scope: they need either |degeneracy|
+    sequential peels or an h-index fixpoint — cost without a consumer.
+
+    100 TB shape: per round ONE partial-aggregating degree groupBy +
+    two LEFT SEMI equi-joins filtering the edge list; the edge table
+    stays distributed, the convergence check is a scalar count, and
+    each round ends with an eager localCheckpoint (edges feed both
+    semi-joins AND next round's degrees — without the cut the plan
+    doubles per round, the module-docstring discipline).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    a, b = F.col(src), F.col(dst)
+    canon = (pairs.filter(a.isNotNull() & b.isNotNull() & (a != b))
+             .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+             .distinct().localCheckpoint(eager=True))
+    n_edges = canon.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (canon.select(F.col("x").alias("node"))
+               .unionAll(canon.select(F.col("y").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (canon
+               .join(keep.withColumnRenamed("node", "x"), "x", "left_semi")
+               .join(keep.withColumnRenamed("node", "y"), "y", "left_semi")
+               .localCheckpoint(eager=True))
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
+            break
+        canon, n_edges = nxt, n_nxt
+    else:
+        raise RuntimeError(f"kcore(k={k}) did not converge in "
+                           f"{max_iter} rounds")
+    return (canon.select(F.col("x").alias("node"))
+            .unionAll(canon.select(F.col("y").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("deg")))

@@ -281,3 +281,45 @@ def embedding_centroids(vecs: DataFrame, group_col: str = "label",
                            F.round(F.col("ex2")
                                    - F.col("centroid") * F.col("centroid"), 6))
             .select("grp", "dim", "n_vecs", "centroid", "variance"))
+
+
+def embedding_drift(old: DataFrame, new: DataFrame, *,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    round_to: int = 6) -> DataFrame:
+    """Build-over-build embedding CDC — the vector twin of
+    ``kg_graph.edge_diff``: label every id ``added`` / ``removed`` /
+    ``kept`` between two embedding builds and, for kept ids, the cosine
+    between the two versions. The release gate a pipeline re-deriving
+    embeddings (new walk corpus, retrained projection, upstream KG
+    change) runs before swapping the serving table: "how many vectors
+    moved, and how far" — a mass low-cosine band means every downstream
+    ANN index and cached neighborhood is stale.
+
+    Output: ``(vec_id, status, cosine)`` — cosine NULL for added /
+    removed rows and for kept rows where either side is a zero vector
+    (no direction to compare — flagged, not silently 0). Rounded to
+    ``round_to`` so downstream folds see engine-stable values.
+
+    100 TB shape: ONE co-keyed full-outer equi-join on the id; the
+    cosine is a JVM fold over the two array columns riding the join row
+    (no explode — a drift scan is one pass, unlike ``embedding_centroids``
+    whose long form exists for groupBy mergeability); the wide arrays
+    are dropped before any downstream shuffle. Histogram/thresholding
+    is the caller's one extra aggregate over (status, cosine).
+    """
+    o = old.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("_ea"))
+    n = new.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("_eb"))
+    j = o.join(n, "vec_id", "full_outer")
+    status = (F.when(F.col("_ea").isNull(), "added")
+              .when(F.col("_eb").isNull(), "removed")
+              .otherwise("kept"))
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    cos = F.round(_cosine("_ea", "_eb"), round_to)
+    safe = F.when((F.col("_ea").isNotNull() & F.col("_eb").isNotNull()
+                   & (sq("_ea") > 0) & (sq("_eb") > 0)), cos)
+    return j.select("vec_id", status.alias("status"),
+                    safe.alias("cosine"))

@@ -499,3 +499,123 @@ def test_dedup_survivorship_sparse_priorities(spark):
     out = dedup_survivorship(docs, {"canonical": 0, "mirror": 10}).collect()
     assert [r.doc_id for r in out] == [1]
     assert out[0].source == "mirror"
+
+
+def test_kcore_hand_computed_and_properties(spark):
+    """K4 clique + a pendant chain: 2-core strips the chain, 3-core is
+    the clique, 4-core is empty; surviving in-core degrees >= k; dup/
+    self-loop/direction noise canonicalized away."""
+    from morra_spark.operators.components import kcore
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    chain = [("d", "e"), ("e", "f")]
+    noise = [("b", "a"), ("a", "a"), ("a", "b")]
+    df = spark.createDataFrame(clique + chain + noise,
+                               "src string, dst string")
+    core2 = {r.node: r.deg for r in kcore(df, 2).collect()}
+    assert set(core2) == set("abcd")
+    assert all(d >= 2 for d in core2.values())
+    core3 = {r.node: r.deg for r in kcore(df, 3).collect()}
+    assert set(core3) == set("abcd") and all(d == 3 for d in core3.values())
+    assert kcore(df, 4).count() == 0
+    # 1-core = every non-isolated node, stable in one round
+    assert {r.node for r in kcore(df, 1).collect()} == set("abcdef")
+
+
+def test_kcore_matches_python_reference_on_random_graphs(spark):
+    """Peeling fixpoint vs a plain-Python reference on random graphs,
+    and repartition invariance."""
+    import random as rnd
+
+    from morra_spark.operators.components import kcore
+
+    def py_kcore(edges, k):
+        adj = {}
+        for a, b in edges:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        return {n: len(nb) for n, nb in adj.items() if nb}
+
+    rnd.seed(20)
+    for trial in range(3):
+        edges = list({(f"n{rnd.randrange(14)}", f"n{rnd.randrange(14)}")
+                      for _ in range(26)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        for k in (2, 3):
+            want = py_kcore(edges, k)
+            got = {r.node: r.deg for r in kcore(df, k).collect()}
+            assert got == want, (trial, k)
+        got7 = {r.node: r.deg
+                for r in kcore(df.repartition(7), 2).collect()}
+        assert got7 == py_kcore(edges, 2)
+
+
+def test_embedding_drift_statuses_and_cosine(spark):
+    """Full-outer CDC semantics: added/removed carry NULL cosine, kept
+    rows carry the exact cosine, zero vectors are flagged NULL rather
+    than divided by zero."""
+    from morra_spark.operators.similarity import embedding_drift
+
+    old = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.0]), ("gone", [0.5, 0.5]),
+         ("z", [0.0, 0.0])],
+        "vec_id string, embedding array<float>")
+    new = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("fresh", [0.1, 0.2]),
+         ("z", [1.0, 0.0])],
+        "vec_id string, embedding array<float>")
+    got = {r.vec_id: r for r in embedding_drift(old, new).collect()}
+    assert got["a"].status == "kept" and got["a"].cosine == 1.0
+    assert got["b"].status == "kept" and got["b"].cosine == 0.0
+    assert got["gone"].status == "removed" and got["gone"].cosine is None
+    assert got["fresh"].status == "added" and got["fresh"].cosine is None
+    # zero vector on one side: kept but direction-less -> NULL cosine
+    assert got["z"].status == "kept" and got["z"].cosine is None
+    assert set(got) == {"a", "b", "gone", "fresh", "z"}
+
+
+def test_embedding_drift_on_rebuilt_walk_embeddings(spark):
+    """Drive the gate on the real lifecycle: embeddings rebuilt from a
+    perturbed graph (one community rewired) drift WHERE the
+    perturbation happened. The untouched community still moves a hair
+    — PPMI is a global reweighting (total pair count N shifts every
+    score) — but stays near 1.0, while every rewired node drifts
+    strictly further (measured: left ≥ 0.997, right ≤ 0.93)."""
+    from morra_spark.operators.similarity import embedding_drift
+    from morra_spark.operators.walks import (embed_nodes, ppmi_scores,
+                                             random_walks,
+                                             walk_skipgram_pairs)
+
+    def build(extra):
+        rows = [(f"l{a}", f"l{b}") for a in range(4) for b in range(4)
+                if a < b]
+        rows += [(f"r{a}", f"r{b}") for a in range(4) for b in range(4)
+                 if a < b]
+        rows += extra
+        e = spark.createDataFrame(rows, "src string, dst string")
+        return embed_nodes(
+            ppmi_scores(walk_skipgram_pairs(
+                random_walks(e, walk_length=6, walks_per_node=6,
+                             seed=5))),
+            dim=16, n_hashes=4).withColumnRenamed("node", "vec_id")
+
+    base = build([])
+    rewired = build([("r0", "r9"), ("r1", "r9")])
+    drift = {r.vec_id: r
+             for r in embedding_drift(base, rewired).collect()}
+    assert drift["r9"].status == "added"
+    l_cos = [drift[f"l{i}"].cosine for i in range(4)]
+    r_cos = [drift[f"r{i}"].cosine for i in range(4)]
+    # untouched community: only the global-N PPMI shift, near-1
+    assert min(l_cos) > 0.99
+    # rewired community: every vector moved strictly further
+    assert max(r_cos) < min(l_cos)
+    assert min(r_cos) < 0.95
