@@ -588,3 +588,81 @@ def kcore(pairs: DataFrame, k: int, src: str = "src", dst: str = "dst",
             .unionAll(canon.select(F.col("y").alias("node")))
             .groupBy("node").agg(F.count(F.lit(1)).cast("long")
                                  .alias("deg")))
+
+
+def link_scores(pairs: DataFrame, src: str = "src", dst: str = "dst",
+                hub_cap: int = 256, round_to: int = 6) -> DataFrame:
+    """Topological link-prediction scoring — for every NON-edge pair at
+    distance 2 in the undirected graph, the three classic neighborhood
+    scores (Liben-Nowell & Kleinberg's link-prediction baselines):
+
+    * ``cn``          — common-neighbor count
+    * ``adamic_adar`` — Σ over common neighbors z of 1 / ln(deg(z))
+    * ``jaccard``     — cn / (deg(a) + deg(b) − cn)
+
+    This is the native candidate GENERATOR + SCORER that closes the
+    repo's link-prediction lifecycle: ``kg_graph.negative_samples``
+    makes training corruptions, ``plans/evaluate.ranking_metrics``
+    evaluates any scored candidate table — this produces one without an
+    external model (and is the standard baseline an embedding model
+    must beat). Output grain: one row per unordered candidate pair
+    ``(a, b)`` with ``a < b``, existing edges anti-joined away; pairs
+    at distance > 2 (all three scores zero by definition) are never
+    materialized.
+
+    Determinism: cn is an exact count; the Adamic–Adar fold quantizes
+    each 1/ln(deg(z)) weight to a 1e-9-grain LONG before summing (the
+    ``walks.embed_nodes`` discipline), so the aggregate is exact
+    integer arithmetic — bit-identical on any partitioning/retry —
+    then rescaled and rounded to ``round_to``. Degree-1 centers are
+    pruned before the weight is computed (they have no neighbor pair
+    to witness), so ln(deg) is always > 0.
+
+    100 TB shape: degrees = one partial-aggregating groupBy; wedge
+    enumeration = ONE self-equi-join of the directed adjacency on the
+    center node + one partial-aggregating (a, b) groupBy; then one
+    LEFT ANTI against the edge set and two co-keyed degree joins for
+    the jaccard denominator. The scale hazard is the hub center (a
+    "USA" entity adjacent to everything contributes deg² wedge rows):
+    ``hub_cap`` applies the df-cap discipline from
+    ``kg_graph.compose_relations`` — nodes whose degree exceeds the cap
+    are dropped from the CENTER role before the self-join (documented
+    recall/score bound, not silent truncation; a hub's per-wedge
+    Adamic–Adar weight 1/ln(deg) is the least informative anyway —
+    that is the very intuition the measure encodes). True degrees (not
+    capped ones) feed the weights and denominators.
+    """
+    a, b = F.col(src), F.col(dst)
+    canon = (pairs.filter(a.isNotNull() & b.isNotNull() & (a != b))
+             .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+             .distinct())
+    adj = (canon.select(F.col("x").alias("z"), F.col("y").alias("n"))
+           .unionAll(canon.select(F.col("y").alias("z"),
+                                  F.col("x").alias("n"))))
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # center stream: ride the TRUE degree along, cap the center role;
+    # deg >= 2 prunes pair-less centers AND keeps ln(deg) > 0 under ANSI
+    ctr = (adj.join(deg.filter((F.col("deg") >= 2)
+                               & (F.col("deg") <= hub_cap)), "z")
+           .withColumn("w_q", F.round(F.lit(1e9)
+                                      / F.log(F.col("deg").cast("double")))
+           .cast("long")))
+    left = ctr.select("z", F.col("n").alias("a"), "w_q")
+    right = ctr.select("z", F.col("n").alias("b"))
+    scored = (left.join(right, "z")
+              .filter(F.col("a") < F.col("b"))
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).cast("long").alias("cn"),
+                   F.sum("w_q").alias("aa_q")))
+    nonedge = scored.join(
+        canon.select(F.col("x").alias("a"), F.col("y").alias("b")),
+        ["a", "b"], "left_anti")
+    da = deg.select(F.col("z").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("z").alias("b"), F.col("deg").alias("_db"))
+    return (nonedge.join(da, "a").join(db, "b")
+            .select("a", "b", "cn",
+                    F.round(F.col("aa_q") / 1e9, round_to)
+                    .alias("adamic_adar"),
+                    F.round(F.col("cn") / (F.col("_da") + F.col("_db")
+                                           - F.col("cn")), round_to)
+                    .alias("jaccard")))

@@ -619,3 +619,113 @@ def test_embedding_drift_on_rebuilt_walk_embeddings(spark):
     # rewired community: every vector moved strictly further
     assert max(r_cos) < min(l_cos)
     assert min(r_cos) < 0.95
+
+
+def test_link_scores_hand_computed(spark):
+    """Path and square hand cases: exact cn, Adamic-Adar = sum of
+    1/ln(deg(center)), jaccard over TRUE degrees; existing edges and
+    distance->2 pairs never emitted; direction/dup noise canonicalized."""
+    import math
+
+    from morra_spark.operators.components import link_scores
+
+    # path a-b-c  +  square p-q-r-s-p, with noise
+    rows = [("a", "b"), ("b", "c"), ("b", "a"),
+            ("p", "q"), ("q", "r"), ("r", "s"), ("s", "p")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    got = {(r.a, r.b): r for r in link_scores(df).collect()}
+    assert set(got) == {("a", "c"), ("p", "r"), ("q", "s")}
+    ac = got[("a", "c")]
+    assert ac.cn == 1 and ac.jaccard == 1.0
+    assert ac.adamic_adar == round(1 / math.log(2), 6)
+    pr = got[("p", "r")]
+    assert pr.cn == 2 and pr.jaccard == 1.0
+    assert pr.adamic_adar == round(2 / math.log(2), 6)
+
+
+def test_link_scores_matches_python_reference(spark):
+    """Plain-Python reference parity on random graphs (uncapped), plus
+    repartition invariance — the quantized AA fold must be bit-stable."""
+    import math
+    import random as rnd
+
+    from morra_spark.operators.components import link_scores
+
+    def py_scores(edges):
+        adj = {}
+        for a, b in edges:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        out = {}
+        nodes = sorted(adj)
+        for i, u in enumerate(nodes):
+            for v in nodes[i + 1:]:
+                if v in adj[u]:
+                    continue
+                common = adj[u] & adj[v]
+                if not common:
+                    continue
+                aa_q = sum(round(1e9 / math.log(len(adj[z])))
+                           for z in common)
+                out[(u, v)] = (len(common), round(aa_q / 1e9, 6),
+                               round(len(common)
+                                     / (len(adj[u]) + len(adj[v])
+                                        - len(common)), 6))
+        return out
+
+    rnd.seed(31)
+    for trial in range(3):
+        edges = list({(f"n{rnd.randrange(12)}", f"n{rnd.randrange(12)}")
+                      for _ in range(22)})
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        want = py_scores(edges)
+        got = {(r.a, r.b): (r.cn, r.adamic_adar, r.jaccard)
+               for r in link_scores(df).collect()}
+        assert got == want, trial
+        got7 = {(r.a, r.b): (r.cn, r.adamic_adar, r.jaccard)
+                for r in link_scores(df.repartition(7)).collect()}
+        assert got7 == want, trial
+
+
+def test_link_scores_hub_cap_and_true_degrees(spark):
+    """The df-cap drops hub CENTERS (documented recall bound) while
+    jaccard denominators keep the TRUE degrees of the endpoints."""
+    from morra_spark.operators.components import link_scores
+
+    rows = [("h", f"n{i}") for i in range(5)]
+    rows += [("n0", "x"), ("n1", "x")]
+    df = spark.createDataFrame(rows, "src string, dst string")
+    # uncapped: h (deg 5) is a center -> all 10 leaf pairs appear
+    assert link_scores(df).count() == 10 + 1  # +1: (h, x) via n0/n1
+    capped = {(r.a, r.b): r for r in link_scores(df, hub_cap=4).collect()}
+    # h dropped as center: only wedges through x (deg 2) and the leaves
+    assert ("n2", "n3") not in capped
+    p = capped[("n0", "n1")]
+    # cn sees only the uncapped witness x; degrees stay TRUE (h counts)
+    assert p.cn == 1
+    assert p.jaccard == round(1 / (2 + 2 - 1), 6)
+
+
+def test_link_scores_feeds_ranking_metrics(spark):
+    """Close the lifecycle: score a graph with one held-out intra-clique
+    edge, evaluate with ranking_metrics — the held-out pair must rank
+    first for its query (MRR = hits_1 = 1.0)."""
+    from morra_spark.operators.components import link_scores
+    from morra_spark.plans.evaluate import ranking_metrics
+
+    rows = [(f"l{a}", f"l{b}") for a in range(4) for b in range(4)
+            if a < b and (a, b) != (1, 2)]          # hold out l1-l2
+    rows += [(f"r{a}", f"r{b}") for a in range(4) for b in range(4)
+             if a < b]
+    rows += [("l0", "r0")]                           # bridge
+    df = spark.createDataFrame(rows, "src string, dst string")
+    scored = (link_scores(df)
+              .filter(F.col("a") == "l1")
+              .withColumn("is_pos", (F.col("b") == F.lit("l2"))))
+    assert scored.filter("is_pos").count() == 1
+    m = ranking_metrics(scored, query_cols=("a",), cand_col="b",
+                        score_col="adamic_adar",
+                        label_col="is_pos").collect()[0]
+    assert m.mrr == 1.0 and m.hits_1 == 1.0
