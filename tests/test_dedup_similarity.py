@@ -729,3 +729,47 @@ def test_link_scores_feeds_ranking_metrics(spark):
                         score_col="adamic_adar",
                         label_col="is_pos").collect()[0]
     assert m.mrr == 1.0 and m.hits_1 == 1.0
+
+
+def test_clustering_coefficient_hand_and_reference(spark):
+    """Triangle = 1.0 everywhere; path interior = 0.0; kite hand case;
+    Python reference parity + repartition invariance on a random graph;
+    degree-1 nodes get a defined 0.0."""
+    import itertools
+    import random as rnd
+
+    from morra_spark.operators.components import clustering_coefficient
+
+    tri = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a"),
+                                 ("c", "d")], "src string, dst string")
+    got = {r.node: r for r in clustering_coefficient(tri).collect()}
+    assert got["a"].coeff == 1.0 and got["b"].coeff == 1.0
+    assert got["c"].deg == 3 and got["c"].n_triangles == 1
+    assert got["c"].coeff == round(2 * 1 / (3 * 2), 6)
+    assert got["d"].deg == 1 and got["d"].coeff == 0.0
+
+    def py_cc(edges):
+        adj = {}
+        for a, b in edges:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        out = {}
+        for n, nb in adj.items():
+            t = sum(1 for u, v in itertools.combinations(sorted(nb), 2)
+                    if v in adj[u])
+            c = round(2 * t / (len(nb) * (len(nb) - 1)), 6) \
+                if len(nb) >= 2 else 0.0
+            out[n] = (len(nb), t, c)
+        return out
+
+    rnd.seed(7)
+    edges = list({(f"n{rnd.randrange(10)}", f"n{rnd.randrange(10)}")
+                  for _ in range(24)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    want = py_cc(edges)
+    for d in (df, df.repartition(5)):
+        res = {r.node: (r.deg, r.n_triangles, r.coeff)
+               for r in clustering_coefficient(d).collect()}
+        assert res == want
