@@ -21,7 +21,12 @@ Artifacts (each a parquet dir under ``--out``):
 * ``degree_hist/`` — log2-bucketed in/out degree histogram with the
   per-bucket worst hub (the release-gate skew audit: a new super-hub
   shows up here at build time, not in a downstream join stall);
-* ``summary/`` — one row of headline counts.
+* ``summary/`` — one row of headline counts;
+* (``--structure``, opt-in) ``kcore2/`` — the 2-core membership
+  (nodes whose assertions are corroborated by surrounding structure,
+  vs pendant one-shot extractions) and ``clustering/`` — per-node
+  local clustering coefficient; both run on the AGGREGATED edge
+  grain, so the flag never rescans triples.
 
 Plan economics: the triple scan feeds edges, nodes, signatures,
 cardinality, and type_conflicts — five independent reduced-grain
@@ -42,7 +47,8 @@ from pyspark.sql import functions as F
 
 def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
                   triples_path: str | None = None, out_dir: str,
-                  profile_k: int = 3, n_parts: int = 16) -> dict:
+                  profile_k: int = 3, n_parts: int = 16,
+                  structure: bool = False) -> dict:
     """Materialize the full report; returns headline counts."""
     from morra_spark.operators.kg_graph import (degree_distribution,
                                                 entity_profiles,
@@ -98,6 +104,27 @@ def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
         "n_type_conflicted_entities": int(conf_obs.get["n_conf"] or 0),
         "max_out_degree": int(hub_obs.get["max_out"] or 0),
     }
+
+    if structure:
+        # opt-in structural audits (the materialize_graph flag pattern):
+        # both run on the aggregated edge grain, orders smaller than the
+        # triple scan, so the flag costs nothing on the default path
+        from morra_spark.operators.components import (
+            clustering_coefficient, kcore)
+
+        und = edges.select(F.col("subj").alias("src"),
+                           F.col("obj").alias("dst"))
+        core_obs = Observation("kcore2")
+        (kcore(und, k=2)
+         .observe(core_obs, F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite").parquet(f"{out_dir}/kcore2"))
+        cc_obs = Observation("clustering")
+        (clustering_coefficient(und)
+         .observe(cc_obs, F.sum((F.col("coeff") > 0).cast("long"))
+                  .alias("n_pos"))
+         .write.mode("overwrite").parquet(f"{out_dir}/clustering"))
+        summary["n_core2_nodes"] = int(core_obs.get["n"] or 0)
+        summary["n_clustered_nodes"] = int(cc_obs.get["n_pos"] or 0)
     spark.createDataFrame(
         [tuple(summary.values())],
         ", ".join(f"{k} long" for k in summary)) \
@@ -114,10 +141,13 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--profile-k", type=int, default=3)
     ap.add_argument("--n-parts", type=int, default=16)
+    ap.add_argument("--structure", action="store_true",
+                    help="also write the kcore2/ and clustering/ audits")
     args = ap.parse_args()
     spark = get_spark("kg_report")
     s = run_kg_report(spark, triples_path=args.triples, out_dir=args.out,
-                      profile_k=args.profile_k, n_parts=args.n_parts)
+                      profile_k=args.profile_k, n_parts=args.n_parts,
+                      structure=args.structure)
     for k, v in s.items():
         print(f"{k:>28}: {v}")
 

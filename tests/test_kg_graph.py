@@ -633,3 +633,35 @@ def test_mine_horn_rules_fixture_kg_deterministic(spark, triples):
             .count() == 0
     finally:
         r1.unpersist()
+
+
+def test_kg_report_structure_flag(spark, triples, tmp_path):
+    """--structure writes the kcore2/ and clustering/ audits and the
+    summary reconciles with the standalone operators on the same
+    aggregated edges; the default path writes neither."""
+    from morra_spark.operators.components import (clustering_coefficient,
+                                                  kcore)
+    from morra_spark.plans.kg_report import run_kg_report
+
+    out = str(tmp_path / "kg_report_s")
+    s = run_kg_report(spark, triples=triples, out_dir=out, profile_k=2,
+                      structure=True)
+    edges = spark.read.parquet(f"{out}/edges")
+    und = edges.selectExpr("subj as src", "obj as dst")
+    assert s["n_core2_nodes"] == kcore(und, 2).count()
+    got_core = {r.node for r in
+                spark.read.parquet(f"{out}/kcore2").collect()}
+    assert got_core == {r.node for r in kcore(und, 2).collect()}
+    cc = spark.read.parquet(f"{out}/clustering")
+    want = {r.node: (r.deg, r.n_triangles, r.coeff)
+            for r in clustering_coefficient(und).collect()}
+    assert {r.node: (r.deg, r.n_triangles, r.coeff)
+            for r in cc.collect()} == want
+    assert s["n_clustered_nodes"] == sum(1 for v in want.values()
+                                         if v[2] > 0)
+
+    import os
+    out2 = str(tmp_path / "kg_report_d")
+    s2 = run_kg_report(spark, triples=triples, out_dir=out2, profile_k=2)
+    assert "n_core2_nodes" not in s2
+    assert not os.path.exists(f"{out2}/kcore2")
