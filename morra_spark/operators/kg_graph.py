@@ -965,3 +965,57 @@ def materialize_graph(triples: DataFrame, out_dir: str,
      .write.mode("overwrite").parquet(f"{out_dir}/nodes"))
     return {"n_edges": e_obs.get["n"], "n_nodes": n_obs.get["n"],
             "edges_dir": f"{out_dir}/edges", "nodes_dir": f"{out_dir}/nodes"}
+
+
+def predicate_similarity(triples: DataFrame, *, min_shared: int = 2,
+                         round_to: int = 6) -> DataFrame:
+    """Distributional predicate alignment — for every predicate pair,
+    how much their DISTINCT (subj, obj) pair sets overlap: the
+    synonym-predicate detector a construction pipeline runs next to
+    ``predicate_signatures``. Extraction mints near-duplicate
+    predicates freely ("married_to" vs "spouse_of", "works_for" vs
+    "employed_by"); this surfaces them by behavior, not by string —
+    the 1-hop sibling of ``mine_horn_rules``'s 2-hop compositions.
+
+    Output per unordered pair (``pred_a < pred_b``, ``n_shared ≥
+    min_shared``):
+
+    * ``n_shared`` / ``n_a`` / ``n_b`` — exact distinct-(s,o) counts
+    * ``jaccard``  — n_shared / (n_a + n_b − n_shared): symmetric
+      merge candidate score
+    * ``conf_ab`` / ``conf_ba`` — n_shared/n_a and n_shared/n_b: the
+      DIRECTIONAL 1-hop implication confidences (conf_ab ≈ 1 with a
+      low conf_ba = a is a SUB-predicate of b, not a synonym — the
+      merge-vs-subsume distinction a reviewer needs)
+
+    100 TB shape: everything at the distinct (pred, subj, obj) grain,
+    never assertions. ONE co-keyed self-join on (subj, obj) + pair-
+    grain and predicate-grain partial aggregates; per-predicate sizes
+    join back co-keyed (NOT broadcast — predicate cardinality is
+    ontology-sized but the rule from coparticipation_pairs stands:
+    never bake a cardinality assumption into a broadcast). The join's
+    per-(s,o) fan-out is bounded by |predicates asserting that pair|²
+    — ontology-sized by nature, not corpus-sized, which is why this
+    join needs no df-cap where the entity-grain ones do.
+    """
+    pso = triples.select("pred", "subj", "obj").distinct()
+    sizes = pso.groupBy("pred").agg(F.count(F.lit(1)).alias("_n"))
+    a = pso.select(F.col("pred").alias("pred_a"), "subj", "obj")
+    b = pso.select(F.col("pred").alias("pred_b"), "subj", "obj")
+    pairs = (a.join(b, ["subj", "obj"])
+             .filter(F.col("pred_a") < F.col("pred_b"))
+             .groupBy("pred_a", "pred_b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+    na = sizes.select(F.col("pred").alias("pred_a"),
+                      F.col("_n").alias("n_a"))
+    nb = sizes.select(F.col("pred").alias("pred_b"),
+                      F.col("_n").alias("n_b"))
+    s, da, db = F.col("n_shared"), F.col("n_a"), F.col("n_b")
+    return (pairs.join(na, "pred_a").join(nb, "pred_b")
+            .select("pred_a", "pred_b", "n_shared",
+                    da.cast("long").alias("n_a"),
+                    db.cast("long").alias("n_b"),
+                    F.round(s / (da + db - s), round_to).alias("jaccard"),
+                    F.round(s / da, round_to).alias("conf_ab"),
+                    F.round(s / db, round_to).alias("conf_ba")))

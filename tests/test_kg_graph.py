@@ -665,3 +665,33 @@ def test_kg_report_structure_flag(spark, triples, tmp_path):
     s2 = run_kg_report(spark, triples=triples, out_dir=out2, profile_k=2)
     assert "n_core2_nodes" not in s2
     assert not os.path.exists(f"{out2}/kcore2")
+
+
+def test_predicate_similarity_hand_and_invariance(spark):
+    """Hand-computed overlap scores, the merge-vs-subsume direction
+    read-out, duplicate-assertion immunity, the min_shared gate, and
+    repartition invariance."""
+    from morra_spark.operators.kg_graph import predicate_similarity
+
+    rows = [("a", "spouse", "b"), ("c", "spouse", "d"),
+            ("e", "spouse", "f"),
+            ("a", "married", "b"), ("c", "married", "d"),
+            ("a", "married", "b"),               # duplicate assertion
+            ("a", "knows", "b"), ("x", "knows", "y"),
+            ("z", "knows", "w")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    for df in (t, t.repartition(5)):
+        got = {(r.pred_a, r.pred_b): r
+               for r in predicate_similarity(df).collect()}
+        # knows shares only 1 pair with each -> below min_shared
+        assert set(got) == {("married", "spouse")}
+        r = got[("married", "spouse")]
+        assert (r.n_shared, r.n_a, r.n_b) == (2, 2, 3)
+        assert r.jaccard == round(2 / 3, 6)
+        # married => spouse always holds; spouse => married at 2/3:
+        # married is a SUB-predicate of spouse, not a synonym
+        assert r.conf_ab == 1.0
+        assert r.conf_ba == round(2 / 3, 6)
+    low = {(r.pred_a, r.pred_b)
+           for r in predicate_similarity(t, min_shared=1).collect()}
+    assert ("knows", "spouse") in low and ("knows", "married") in low
