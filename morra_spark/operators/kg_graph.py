@@ -1019,3 +1019,56 @@ def predicate_similarity(triples: DataFrame, *, min_shared: int = 2,
                     F.round(s / (da + db - s), round_to).alias("jaccard"),
                     F.round(s / da, round_to).alias("conf_ab"),
                     F.round(s / db, round_to).alias("conf_ba")))
+
+
+def predicate_merge_map(triples: DataFrame, *, min_jaccard: float = 0.8,
+                        min_shared: int = 2) -> DataFrame:
+    """Turn ``predicate_similarity`` detections into an executable
+    merge plan: ``(pred, canon)`` for every predicate belonging to a
+    synonym cluster, where clusters are the connected components of the
+    jaccard ≥ ``min_jaccard`` alignment graph (so "married_to" ~
+    "spouse_of" ~ "wed_to" chains collapse even when the two ends were
+    never directly compared — the same transitive-closure argument
+    behind the dedup survivors) and ``canon`` is the lexicographically
+    smallest member (``connected_components``'s min-label IS that
+    pick — no second pass). Identity rows (pred == canon) are kept so
+    the map is total over clustered predicates and auditable as-is.
+
+    Thresholding on the symmetric jaccard deliberately leaves
+    SUB-predicate pairs (conf_ab ≈ 1, low jaccard) out of the merge —
+    subsumption is a review decision (``mine_horn_rules`` territory),
+    not a rewrite this map should silently perform.
+
+    100 TB shape: ``predicate_similarity``'s one self-join dominates;
+    the clustering runs on the alignment graph, whose node count is
+    the predicate vocabulary — ontology-sized, so the component loop
+    converges in a handful of scheduler-latency-bound rounds.
+    """
+    from morra_spark.operators.components import connected_components
+
+    sim = predicate_similarity(triples, min_shared=min_shared)
+    pairs = (sim.filter(F.col("jaccard") >= min_jaccard)
+             .select(F.col("pred_a").alias("src"),
+                     F.col("pred_b").alias("dst")))
+    return (connected_components(pairs)
+            .select(F.col("node").alias("pred"),
+                    F.col("comp").alias("canon")))
+
+
+def apply_predicate_map(triples: DataFrame,
+                        mapping: DataFrame) -> DataFrame:
+    """Rewrite ``pred`` through a ``(pred, canon)`` merge map —
+    unmapped predicates pass through unchanged. The predicate twin of
+    ``entity_resolution.canonicalize_triples``'s endpoint rewrite:
+    the triple stream is touched by ONE vocabulary-sized broadcast
+    hash join (predicate maps are ontology-sized by nature — this is
+    the dictionary-join shape the whole repo broadcasts deliberately),
+    never shuffled. Downstream aggregated-grain consumers
+    (``graph_edges`` etc.) re-aggregate merged predicates correctly
+    because they group by the rewritten value.
+    """
+    m = F.broadcast(mapping.select(F.col("pred").alias("_p"),
+                                   F.col("canon").alias("_c")))
+    return (triples.join(m, F.col("pred") == F.col("_p"), "left")
+            .withColumn("pred", F.coalesce(F.col("_c"), F.col("pred")))
+            .drop("_p", "_c"))

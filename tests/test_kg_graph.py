@@ -695,3 +695,47 @@ def test_predicate_similarity_hand_and_invariance(spark):
     low = {(r.pred_a, r.pred_b)
            for r in predicate_similarity(t, min_shared=1).collect()}
     assert ("knows", "spouse") in low and ("knows", "married") in low
+
+
+def test_predicate_merge_map_and_apply(spark):
+    """Chained synonyms collapse to one lexicographically-smallest
+    canonical through components, sub-predicates and unrelated
+    predicates survive untouched, and the rewrite preserves every
+    non-pred column."""
+    from morra_spark.operators.kg_graph import (apply_predicate_map,
+                                                graph_edges,
+                                                predicate_merge_map)
+
+    shared = [("a", "b"), ("c", "d"), ("e", "f")]
+    rows = []
+    # wed ~ spouse ~ married: identical pair sets (jaccard 1.0), but
+    # only adjacent pairs need to clear the threshold for the chain
+    for p in ("spouse", "married", "wed"):
+        rows += [(s, p, o) for s, o in shared]
+    # "knows" subsumes them all (superset): conf high, jaccard low
+    rows += [(s, "knows", o) for s, o in shared]
+    rows += [("x", "knows", "y"), ("p", "knows", "q"),
+             ("r", "knows", "t"), ("u", "knows", "v"),
+             ("w", "knows", "z"), ("m", "knows", "n")]
+    rows += [("g", "hires", "h"), ("i", "hires", "j")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+    m = {r.pred: r.canon
+         for r in predicate_merge_map(t, min_jaccard=0.8).collect()}
+    assert m == {"spouse": "married", "married": "married",
+                 "wed": "married"}
+
+    out = apply_predicate_map(t, predicate_merge_map(t, min_jaccard=0.8))
+    preds = {r.pred for r in out.select("pred").distinct().collect()}
+    assert preds == {"married", "knows", "hires"}
+    assert out.count() == t.count()
+    assert out.columns == t.columns
+    # merged predicates re-aggregate at the edge grain: 3 predicates x
+    # 3 shared pairs collapse to weight-3 "married" edges
+    e = graph_edges(out.withColumn("subj_ne", F.lit("PER"))
+                    .withColumn("obj_ne", F.lit("PER"))
+                    .withColumn("conv_id", F.lit("c"))
+                    .withColumn("turn_idx", F.lit(0)))
+    w = {(r.subj, r.obj): r.weight
+         for r in e.filter("pred = 'married'").collect()}
+    assert w == {("a", "b"): 3, ("c", "d"): 3, ("e", "f"): 3}
