@@ -45,6 +45,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _canon_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonicalize an undirected edge list to the simple-graph form
+    every audit operator here assumes: null endpoints and self-loops
+    dropped, each edge once as ``(x, y)`` with ``x < y``
+    (least/greatest), duplicates collapsed. One shared definition so a
+    canonicalization change can never silently diverge the graph that
+    ``triangle_count`` / ``kcore`` / ``link_scores`` /
+    ``clustering_coefficient`` each see.
+    """
+    a, b = F.col(src), F.col(dst)
+    return (edges.filter(a.isNotNull() & b.isNotNull() & (a != b))
+            .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+            .distinct())
+
+
 def connected_components(pairs: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 25) -> DataFrame:
     """(src, dst) undirected edge pairs → (node, component) labels.
@@ -485,10 +500,7 @@ def triangle_count(edges: DataFrame, src: str = "src",
     ``(node, n_triangles)`` for every node of the graph (zero-triangle
     nodes included via a left join against the node set).
     """
-    a, b = F.col(src), F.col(dst)
-    canon = (edges.filter(a != b)
-             .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
-             .distinct())
+    canon = _canon_undirected(edges, src, dst)
     deg = (canon.select(F.col("x").alias("node"))
            .unionAll(canon.select(F.col("y").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg")))
@@ -561,10 +573,8 @@ def kcore(pairs: DataFrame, k: int, src: str = "src", dst: str = "dst",
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    a, b = F.col(src), F.col(dst)
-    canon = (pairs.filter(a.isNotNull() & b.isNotNull() & (a != b))
-             .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
-             .distinct().localCheckpoint(eager=True))
+    canon = (_canon_undirected(pairs, src, dst)
+             .localCheckpoint(eager=True))
     n_edges = canon.count()
     for _ in range(max_iter):
         if n_edges == 0:
@@ -632,10 +642,7 @@ def link_scores(pairs: DataFrame, src: str = "src", dst: str = "dst",
     that is the very intuition the measure encodes). True degrees (not
     capped ones) feed the weights and denominators.
     """
-    a, b = F.col(src), F.col(dst)
-    canon = (pairs.filter(a.isNotNull() & b.isNotNull() & (a != b))
-             .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
-             .distinct())
+    canon = _canon_undirected(pairs, src, dst)
     adj = (canon.select(F.col("x").alias("z"), F.col("y").alias("n"))
            .unionAll(canon.select(F.col("y").alias("z"),
                                   F.col("x").alias("n"))))
@@ -690,10 +697,7 @@ def clustering_coefficient(edges: DataFrame, src: str = "src",
     regardless of hub skew) plus one co-keyed degree join — no new
     shuffle hazards.
     """
-    a, b = F.col(src), F.col(dst)
-    canon = (edges.filter(a.isNotNull() & b.isNotNull() & (a != b))
-             .select(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
-             .distinct())
+    canon = _canon_undirected(edges, src, dst)
     deg = (canon.select(F.col("x").alias("node"))
            .unionAll(canon.select(F.col("y").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).cast("long")

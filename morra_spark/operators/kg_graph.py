@@ -398,12 +398,19 @@ def infer_node_types(nodes: DataFrame, edges: DataFrame, *,
     the typed label set plus two partial-aggregating groupBys
     ((node, type) weight fold, then a max_by argmax at node grain) —
     no window, no driver state, no Python. Hub entities cost one hot
-    reduce key of counts; integer weights keep the vote fold exact
-    (no float-summation order sensitivity).
+    reduce key of counts; weights are quantized to 1e6-grain longs
+    before the fold so the vote is exact integer arithmetic even for
+    fractional similarity weights (no float-summation order
+    sensitivity).
     """
-    w = (F.col(weight_col).cast("long")
+    # quantize to 1e6-grain longs (the embed_nodes discipline): a bare
+    # cast("long") would truncate the fractional similarity weights the
+    # docstring invites to 0, silently degenerating the weighted vote;
+    # integer weights scale by exactly 1e6 so the vote and the
+    # conf = _wmax/_wtot ratio are unchanged for them
+    w = (F.round(F.col(weight_col) * 1e6).cast("long")
          if weight_col is not None and weight_col in edges.columns
-         else F.lit(1).cast("long"))
+         else F.lit(1_000_000).cast("long"))
     e = edges.select(F.col(subj).alias("u"), F.col(obj).alias("v"),
                      w.alias("w"))
     sym = (e.unionByName(e.select(F.col("v").alias("u"),
@@ -686,6 +693,36 @@ def compose_relations(e1: DataFrame, e2: DataFrame,
                  F.min("mid").alias("top_mid")))
 
 
+def _rule_bodies(triples: DataFrame, mid_cap: int) -> tuple[DataFrame,
+                                                            DataFrame]:
+    """Shared body-instantiation block for ``mine_horn_rules`` /
+    ``apply_horn_rules`` — mining and application MUST see the same
+    body population (same null handling, same mid-fan-out cap) or
+    rules get applied to candidates inconsistent with the confidences
+    they were scored on. Returns ``(edges, body)``: the distinct
+    non-null edge set and the distinct (p1, p2, x, y) body pairs with
+    hub mids (total fan-out > ``mid_cap``) dropped before the join.
+    """
+    edges = (triples.select("subj", "pred", "obj")
+             .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+             .distinct())
+    # df-cap at the mid node: total out-fan-out across predicates
+    fanout = (edges.groupBy(F.col("subj").alias("mid"))
+              .agg(F.count(F.lit(1)).alias("_fo")))
+    right = (edges.select(F.col("subj").alias("mid"),
+                          F.col("pred").alias("p2"),
+                          F.col("obj").alias("y"))
+             .join(fanout.filter(F.col("_fo") <= mid_cap), "mid")
+             .select("mid", "p2", "y"))
+    body = (edges.select(F.col("subj").alias("x"),
+                         F.col("pred").alias("p1"),
+                         F.col("obj").alias("mid"))
+            .join(right, "mid")
+            .select("p1", "p2", "x", "y")
+            .distinct())
+    return edges, body
+
+
 def mine_horn_rules(triples: DataFrame, *, min_support: int = 2,
                     min_confidence: float = 0.0, mid_cap: int = 64,
                     round_to: int = 6) -> DataFrame:
@@ -722,23 +759,7 @@ def mine_horn_rules(triples: DataFrame, *, min_support: int = 2,
     (x, y) equi-join against the same distinct edge set, and the final
     rule-grain aggregates are |preds|³-bounded — driver-displayable.
     """
-    edges = (triples.select("subj", "pred", "obj")
-             .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
-             .distinct())
-    # df-cap at the mid node: total out-fan-out across predicates
-    fanout = (edges.groupBy(F.col("subj").alias("mid"))
-              .agg(F.count(F.lit(1)).alias("_fo")))
-    right = (edges.select(F.col("subj").alias("mid"),
-                          F.col("pred").alias("p2"),
-                          F.col("obj").alias("y"))
-             .join(fanout.filter(F.col("_fo") <= mid_cap), "mid")
-             .select("mid", "p2", "y"))
-    body = (edges.select(F.col("subj").alias("x"),
-                         F.col("pred").alias("p1"),
-                         F.col("obj").alias("mid"))
-            .join(right, "mid")
-            .select("p1", "p2", "x", "y")
-            .distinct())
+    edges, body = _rule_bodies(triples, mid_cap)
     body_sizes = (body.groupBy("p1", "p2")
                   .agg(F.count(F.lit(1)).alias("body_size")))
     heads = edges.select(F.col("subj").alias("x"),
@@ -787,22 +808,7 @@ def apply_horn_rules(triples: DataFrame, rules: DataFrame, *,
     """
     from pyspark.sql.functions import broadcast
 
-    edges = (triples.select("subj", "pred", "obj")
-             .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
-             .distinct())
-    fanout = (edges.groupBy(F.col("subj").alias("mid"))
-              .agg(F.count(F.lit(1)).alias("_fo")))
-    right = (edges.select(F.col("subj").alias("mid"),
-                          F.col("pred").alias("p2"),
-                          F.col("obj").alias("y"))
-             .join(fanout.filter(F.col("_fo") <= mid_cap), "mid")
-             .select("mid", "p2", "y"))
-    body = (edges.select(F.col("subj").alias("x"),
-                         F.col("pred").alias("p1"),
-                         F.col("obj").alias("mid"))
-            .join(right, "mid")
-            .select("p1", "p2", "x", "y")
-            .distinct())
+    edges, body = _rule_bodies(triples, mid_cap)
     cand = (body.join(broadcast(rules.select("p1", "p2", "p3",
                                              "confidence")),
                       ["p1", "p2"])
@@ -998,7 +1004,14 @@ def predicate_similarity(triples: DataFrame, *, min_shared: int = 2,
     — ontology-sized by nature, not corpus-sized, which is why this
     join needs no df-cap where the entity-grain ones do.
     """
-    pso = triples.select("pred", "subj", "obj").distinct()
+    # null endpoints (kept pipeline-wide for unresolved pronouns) can
+    # never match the null-rejecting (subj, obj) self-join below, so
+    # counting them into n_a/n_b would systematically deflate jaccard
+    # for predicates with unresolved rows — filter first, the
+    # mine_horn_rules rule
+    pso = (triples.select("pred", "subj", "obj")
+           .filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+           .distinct())
     sizes = pso.groupBy("pred").agg(F.count(F.lit(1)).alias("_n"))
     a = pso.select(F.col("pred").alias("pred_a"), "subj", "obj")
     b = pso.select(F.col("pred").alias("pred_b"), "subj", "obj")

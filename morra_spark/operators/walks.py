@@ -69,6 +69,11 @@ def random_walks(edges: DataFrame, *, walk_length: int = 10,
     """
     if walk_length < 1:
         raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    if walks_per_node < 1:
+        # sequence(0, n-1) auto-steps -1 for n <= 0 and would silently
+        # emit phantom walks with negative rep ids
+        raise ValueError(
+            f"walks_per_node must be >= 1, got {walks_per_node}")
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     if not directed:
         e = e.unionByName(e.select(F.col("b").alias("a"),
@@ -161,8 +166,12 @@ def ppmi_scores(pairs: DataFrame, *, shift: float = 0.0,
     xm = (pairs.groupBy(F.col("context").alias("_ctx"))
           .agg(F.sum("n").alias("_nx")))
     total = pairs.agg(F.sum("n").alias("_nt"))
+    # marginals multiply as doubles: a long-by-long _nc*_nx wraps
+    # negative at ~3e9 × ~3e9 (hub × hub at corpus scale) under
+    # non-ANSI, nulling log() and silently dropping the heaviest pairs
     pmi = (F.log(F.col("n").cast("double") * F.col("_nt")
-                 / (F.col("_nc") * F.col("_nx")))
+                 / (F.col("_nc").cast("double")
+                    * F.col("_nx").cast("double")))
            - F.lit(float(shift)))
     return (pairs
             .join(cm, "center")

@@ -739,3 +739,42 @@ def test_predicate_merge_map_and_apply(spark):
     w = {(r.subj, r.obj): r.weight
          for r in e.filter("pred = 'married'").collect()}
     assert w == {("a", "b"): 3, ("c", "d"): 3, ("e", "f"): 3}
+
+
+def test_predicate_similarity_ignores_null_endpoint_rows(spark):
+    """Null-endpoint triples (kept pipeline-wide for unresolved
+    pronouns) can never match the null-rejecting (subj, obj) self-join,
+    so counting them into n_a/n_b would deflate jaccard for predicates
+    with unresolved rows: two true synonyms each carrying null-subj
+    rows must still score jaccard 1.0."""
+    from morra_spark.operators.kg_graph import predicate_similarity
+
+    rows = [("a", "spouse", "b"), ("c", "spouse", "d"),
+            ("a", "married", "b"), ("c", "married", "d"),
+            (None, "spouse", "q1"), (None, "spouse", "q2"),
+            (None, "married", "q3"), ("x", "married", None)]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r.pred_a, r.pred_b): r
+           for r in predicate_similarity(t).collect()}
+    r = got[("married", "spouse")]
+    assert (r.n_shared, r.n_a, r.n_b) == (2, 2, 2)
+    assert r.jaccard == 1.0 and r.conf_ab == 1.0 and r.conf_ba == 1.0
+
+
+def test_infer_types_fractional_weights_vote_exactly(spark):
+    """The docstring invites near-dup/similarity pair sets whose
+    weights are fractional scores in (0,1); a bare cast("long") would
+    truncate them all to 0 and degenerate the weighted vote to the
+    lexicographic tie-break. Weights are quantized to 1e6-grain longs
+    instead: PER (0.9) must beat ORG (0.5) with conf 0.9/1.4."""
+    from morra_spark.operators.kg_graph import infer_node_types
+
+    n = spark.createDataFrame([("a", "PER"), ("b", "ORG"), ("x", None)],
+                              "entity string, ne_type string")
+    e = spark.createDataFrame([("x", "a", 0.9), ("b", "x", 0.5)],
+                              "subj string, obj string, weight double")
+    got = {r.entity: (r.ne_type, r.inferred, r.conf)
+           for r in infer_node_types(n, e, iters=1).collect()}
+    typ, inferred, conf = got["x"]
+    assert (typ, inferred) == ("PER", True)
+    assert abs(conf - 0.9 / 1.4) < 1e-9

@@ -248,3 +248,33 @@ def test_walk_to_embedding_lifecycle_separates_communities(spark):
                  if a < b and a[0] == b[0])
     inter = mean(cos(a, b) for a in emb for b in emb if a[0] < b[0])
     assert intra > inter + 0.1
+
+
+def test_ppmi_marginal_product_does_not_overflow_long(spark):
+    """Corpus-scale marginals (~4e9 x 4e9) would wrap a long-by-long
+    _nc*_nx product negative, nulling log() and silently dropping
+    exactly the heaviest pairs; the marginals must multiply as doubles.
+    Expected PPMI for (a, b): ln(n * N / (n_a * n_b)) = ln(2)."""
+    import math
+
+    from morra_spark.operators.walks import ppmi_scores
+
+    heavy = 4_000_000_000
+    pairs = spark.createDataFrame(
+        [("a", "b", heavy), ("e", "f", heavy)],
+        "center string, context string, n long")
+    got = {(r.center, r.context): r.ppmi
+           for r in ppmi_scores(pairs).collect()}
+    assert got[("a", "b")] == round(math.log(2.0), 6)
+    assert got[("e", "f")] == round(math.log(2.0), 6)
+
+
+def test_random_walks_rejects_nonpositive_walks_per_node(spark):
+    """sequence(0, n-1) auto-steps -1 for n <= 0 and would emit phantom
+    walks with negative rep ids instead of zero walks."""
+    from morra_spark.operators.walks import random_walks
+
+    e = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    for bad in (0, -2):
+        with pytest.raises(ValueError, match="walks_per_node"):
+            random_walks(e, walks_per_node=bad)
