@@ -219,6 +219,107 @@ def personalized_pagerank(pairs: DataFrame, seeds: DataFrame,
                         F.round("pr", round_to).alias("ppr"))
 
 
+def hits_scores(pairs: DataFrame, src: str = "src", dst: str = "dst",
+                iters: int = 10, round_to: int = 6) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg's hubs & authorities) over the
+    DIRECTED edge set — ``(node, hub, authority)`` after ``iters``
+    synchronous mutual-reinforcement rounds with per-round L2
+    normalization.
+
+    Why next to ``pagerank_fixed``: PageRank runs on the symmetrized
+    graph and answers "how central"; HITS keeps direction and splits
+    centrality into the two roles a subj→obj KG actually has —
+    AUTHORITIES (entities many well-sourced subjects point at: the
+    canonical targets knowledge fusion should trust) vs HUBS (subjects
+    asserting many well-corroborated facts: prolific sources — or, at
+    pathological hub score with low per-edge corroboration, the
+    extraction-error magnets worth sampling). On a near-dup candidate
+    graph the split is degenerate (symmetric edges ⇒ hub ≡ authority);
+    it earns its keep on the KG's directed edges.
+
+    Semantics (the classic power iteration):
+    * init hub = authority = 1 for every node of the graph;
+    * per round: ``auth(v) = Σ_{u→v} hub(u)`` then L2-normalize;
+      ``hub(u) = Σ_{u→v} auth(v)`` (the fresh auths) then L2-normalize;
+    * nodes with no in-edges get authority 0.0, no out-edges hub 0.0 —
+      defined rows, never dropped, so downstream joins need no
+      special case.
+    Deterministic up to float-summation order, absorbed by rounding to
+    ``round_to`` at the END (the ``pagerank_fixed`` rule); a FIXED
+    iteration count keeps re-runs identical (10 rounds is well past
+    ranking stability on audit-sized graphs — pytest pins a hand case
+    and a Python power-iteration reference).
+
+    100 TB shape: each round is TWO co-keyed equi-joins (edges ⋈ hub
+    on the source key, edges ⋈ auth on the target key) + two
+    partial-aggregating groupBys — no window, no Python, hub keys
+    combine map-side. The loop-invariant edge list is PERSISTED twice,
+    pre-hash-partitioned on each join key (persist keeps
+    outputPartitioning where localCheckpoint erases it — verified on
+    the physical plan), so the BIG side of every join is exchange-free
+    across all ``2·iters`` joins; only the round's score frame (node
+    grain, small) shuffles. The L2 norm is a driver-side SCALAR read
+    per round (the ``kcore`` convergence-count discipline — bounded,
+    never a data collect); raw score frames are eagerly
+    localCheckpointed per round so lineage stays flat, and the
+    normalizing division is a lazy select stacked on the checkpoint.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    a, b = F.col(src), F.col(dst)
+    edges = (pairs.filter(a.isNotNull() & b.isNotNull() & (a != b))
+             .select(a.alias("u"), b.alias("v"))
+             .distinct().localCheckpoint(eager=True))
+    nodes = (edges.select(F.col("u").alias("node"))
+             .unionAll(edges.select(F.col("v").alias("node")))
+             .distinct().localCheckpoint(eager=True))
+    if edges.isEmpty():
+        # no edges -> no norm scalar to divide by; empty result, right schema
+        return nodes.select("node", F.lit(0.0).alias("hub"),
+                            F.lit(0.0).alias("authority"))
+    e_by_u = edges.repartition("u").persist()
+    e_by_v = edges.repartition("v").persist()
+    try:
+        hub = nodes.select("node", F.lit(1.0).alias("s"))
+        auth = None
+        for _ in range(iters):
+            # only the RAW aggregates materialize (one checkpoint
+            # each); the normalizing division is a lazy select stacked
+            # on the checkpointed frame — scaling a checkpoint would
+            # waste a job
+            raw_a = (e_by_u.join(hub.withColumnRenamed("node", "u"), "u")
+                     .groupBy(F.col("v").alias("node"))
+                     .agg(F.sum("s").alias("s"))
+                     .localCheckpoint(eager=True))
+            n2 = raw_a.agg(F.sum(F.col("s") * F.col("s"))).first()[0]
+            auth = raw_a.select("node", (F.col("s") / float(n2) ** 0.5)
+                                .alias("s"))
+            raw_h = (e_by_v.join(auth.withColumnRenamed("node", "v"),
+                                 "v")
+                     .groupBy(F.col("u").alias("node"))
+                     .agg(F.sum("s").alias("s"))
+                     .localCheckpoint(eager=True))
+            h2 = raw_h.agg(F.sum(F.col("s") * F.col("s"))).first()[0]
+            hub = raw_h.select("node", (F.col("s") / float(h2) ** 0.5)
+                               .alias("s"))
+        return (nodes
+                .join(hub.select("node", F.col("s").alias("_h")),
+                      "node", "left")
+                .join(auth.select("node", F.col("s").alias("_a")),
+                      "node", "left")
+                .select("node",
+                        F.round(F.coalesce("_h", F.lit(0.0)), round_to)
+                        .alias("hub"),
+                        F.round(F.coalesce("_a", F.lit(0.0)), round_to)
+                        .alias("authority"))
+                # the result no longer references the persisted
+                # orientations, so materialize before releasing them
+                .localCheckpoint(eager=True))
+    finally:
+        e_by_u.unpersist()
+        e_by_v.unpersist()
+
+
 def khop_reach(pairs: DataFrame, seeds: DataFrame, k: int = 2,
                src: str = "src", dst: str = "dst",
                seed_col: str = "node") -> DataFrame:

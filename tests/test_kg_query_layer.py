@@ -620,3 +620,94 @@ def test_shortest_paths_every_witness_is_a_real_path(spark):
         assert r.path[0] == "v1" and r.path[-1] == r.node
         for u, v in zip(r.path, r.path[1:]):
             assert (u, v) in sym
+
+
+# ------------------------------------------------- HITS hubs/authorities
+
+def _py_hits(edges, iters=10):
+    """Plain-Python power iteration replaying hits_scores exactly."""
+    import math
+
+    es = sorted({(a, b) for a, b in edges if a != b})
+    nodes = sorted({x for e in es for x in e})
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 0.0 for n in nodes}
+    for _ in range(iters):
+        auth = {n: 0.0 for n in nodes}
+        for u, v in es:
+            auth[v] += hub[u]
+        norm = math.sqrt(sum(x * x for x in auth.values()))
+        auth = {n: x / norm for n, x in auth.items()}
+        hub = {n: 0.0 for n in nodes}
+        for u, v in es:
+            hub[u] += auth[v]
+        norm = math.sqrt(sum(x * x for x in hub.values()))
+        hub = {n: x / norm for n, x in hub.items()}
+    return hub, auth
+
+
+def test_hits_hand_case_roles_split(spark):
+    """u cites three targets, w cites one; a is doubly-cited. Hub(u) >
+    hub(w) > 0, authority(a) > authority(b) = authority(c); pure
+    targets have hub 0.0 and pure sources authority 0.0 — defined
+    rows, not missing ones."""
+    from morra_spark.operators.components import hits_scores
+
+    edges = [("u", "a"), ("u", "b"), ("u", "c"), ("w", "a")]
+    got = {r.node: (r.hub, r.authority)
+           for r in hits_scores(
+               spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert set(got) == {"u", "w", "a", "b", "c"}
+    assert got["u"][0] > got["w"][0] > 0
+    assert got["a"][1] > got["b"][1] > 0
+    assert got["b"][1] == got["c"][1]
+    assert got["a"][0] == 0.0 and got["b"][0] == 0.0  # never a source
+    assert got["u"][1] == 0.0 and got["w"][1] == 0.0  # never a target
+
+
+def test_hits_matches_python_reference_and_partition_invariance(spark):
+    from morra_spark.operators.components import hits_scores
+
+    rng = random.Random(31)
+    edges = sorted({(f"v{rng.randrange(12)}", f"v{rng.randrange(12)}")
+                    for _ in range(30)})
+    edges = [(a, b) for a, b in edges if a != b]
+    hub, auth = _py_hits(edges, iters=10)
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    for frame in (df, df.repartition(7)):
+        got = {r.node: (r.hub, r.authority)
+               for r in hits_scores(frame, iters=10).collect()}
+        assert set(got) == set(hub)
+        for n in hub:
+            assert got[n][0] == pytest.approx(hub[n], abs=2e-6)
+            assert got[n][1] == pytest.approx(auth[n], abs=2e-6)
+
+
+def test_hits_bipartite_symmetry_and_l2_norm(spark):
+    """Complete 2x2 bipartite: both sources share one hub score, both
+    targets one authority score, and each side L2-normalizes to 1."""
+    from morra_spark.operators.components import hits_scores
+
+    edges = [("s1", "t1"), ("s1", "t2"), ("s2", "t1"), ("s2", "t2")]
+    got = {r.node: (r.hub, r.authority)
+           for r in hits_scores(
+               spark.createDataFrame(edges, ["src", "dst"])).collect()}
+    assert got["s1"] == got["s2"] and got["t1"] == got["t2"]
+    assert got["s1"][0] == pytest.approx(2 ** -0.5, abs=1e-6)
+    assert got["t1"][1] == pytest.approx(2 ** -0.5, abs=1e-6)
+    assert got["s1"][1] == 0.0 and got["t1"][0] == 0.0
+
+
+def test_hits_empty_and_degenerate_inputs(spark):
+    """Self-loops/nulls are canonicalization noise; a fully-degenerate
+    input yields an empty result with the right schema, and iters < 1
+    raises instead of silently returning init scores."""
+    from morra_spark.operators.components import hits_scores
+
+    noise = spark.createDataFrame([("a", "a"), (None, "b"), ("c", None)],
+                                  "src string, dst string")
+    out = hits_scores(noise)
+    assert out.columns == ["node", "hub", "authority"]
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="iters"):
+        hits_scores(noise, iters=0)
