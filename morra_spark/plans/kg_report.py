@@ -24,9 +24,11 @@ Artifacts (each a parquet dir under ``--out``):
 * ``summary/`` — one row of headline counts;
 * (``--structure``, opt-in) ``kcore2/`` — the 2-core membership
   (nodes whose assertions are corroborated by surrounding structure,
-  vs pendant one-shot extractions) and ``clustering/`` — per-node
-  local clustering coefficient; both run on the AGGREGATED edge
-  grain, so the flag never rescans triples.
+  vs pendant one-shot extractions), ``clustering/`` — per-node local
+  clustering coefficient, and ``hits/`` — directed hub/authority
+  scores (which entities are the trusted targets vs the prolific
+  sources); all three run on the AGGREGATED edge grain, so the flag
+  never rescans triples.
 
 Plan economics: the triple scan feeds edges, nodes, signatures,
 cardinality, and type_conflicts — five independent reduced-grain
@@ -110,7 +112,7 @@ def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
         # both run on the aggregated edge grain, orders smaller than the
         # triple scan, so the flag costs nothing on the default path
         from morra_spark.operators.components import (
-            clustering_coefficient, kcore)
+            clustering_coefficient, hits_scores, kcore)
 
         und = edges.select(F.col("subj").alias("src"),
                            F.col("obj").alias("dst"))
@@ -123,8 +125,16 @@ def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
          .observe(cc_obs, F.sum((F.col("coeff") > 0).cast("long"))
                   .alias("n_pos"))
          .write.mode("overwrite").parquet(f"{out_dir}/clustering"))
+        # hits keeps DIRECTION (subj->obj), unlike the two audits above
+        hits_obs = Observation("hits")
+        (hits_scores(edges, src="subj", dst="obj")
+         .observe(hits_obs,
+                  F.max(F.col("authority")).alias("max_auth"))
+         .write.mode("overwrite").parquet(f"{out_dir}/hits"))
         summary["n_core2_nodes"] = int(core_obs.get["n"] or 0)
         summary["n_clustered_nodes"] = int(cc_obs.get["n_pos"] or 0)
+        summary["top_authority_milli"] = int(
+            round(1000 * float(hits_obs.get["max_auth"] or 0.0)))
     spark.createDataFrame(
         [tuple(summary.values())],
         ", ".join(f"{k} long" for k in summary)) \

@@ -659,12 +659,22 @@ def test_kg_report_structure_flag(spark, triples, tmp_path):
             for r in cc.collect()} == want
     assert s["n_clustered_nodes"] == sum(1 for v in want.values()
                                          if v[2] > 0)
+    hits = {r.node: (r.hub, r.authority)
+            for r in spark.read.parquet(f"{out}/hits").collect()}
+    from morra_spark.operators.components import hits_scores
+    want_hits = {r.node: (r.hub, r.authority)
+                 for r in hits_scores(edges, src="subj",
+                                      dst="obj").collect()}
+    assert hits == want_hits
+    assert s["top_authority_milli"] == round(
+        1000 * max(a for _, a in want_hits.values()))
 
     import os
     out2 = str(tmp_path / "kg_report_d")
     s2 = run_kg_report(spark, triples=triples, out_dir=out2, profile_k=2)
     assert "n_core2_nodes" not in s2
     assert not os.path.exists(f"{out2}/kcore2")
+    assert not os.path.exists(f"{out2}/hits")
 
 
 def test_predicate_similarity_hand_and_invariance(spark):
