@@ -578,30 +578,16 @@ def dedup_survivors(pairs: DataFrame, docs: DataFrame,
     return docs.join(losers, id_col, "left_anti")
 
 
-def triangle_count(edges: DataFrame, src: str = "src",
-                   dst: str = "dst") -> DataFrame:
-    """Exact per-node triangle counts over an undirected graph — the
-    clustering-coefficient numerator, and on a near-dup candidate graph
-    a direct read on how clique-like (template/boilerplate families) vs
-    chain-like (drifting revisions) the duplicate structure is.
-
-    Algorithm: degree orientation + two equi-joins (the MapReduce
-    triangle-enumeration standard, cf. Suri & Vassilvitskii's MR_NI /
-    Cohen's MapReduce graph-twiddling): orient every edge from the
-    (degree, id)-SMALLER endpoint to the larger, so each triangle is
-    enumerated EXACTLY once as u→v, u→w, v→w with rank(u)<rank(v)<rank(w),
-    and — the scale property that matters — every node's out-degree is
-    O(sqrt(|E|)) regardless of raw degree skew: a celebrity node with
-    10^6 neighbors is never the join fan-out side. Both joins are hash
-    equi-joins on a node key; no node ranking is materialized globally
-    (the (deg, id) tuple comparison happens edge-local).
-
-    Input edges may carry duplicates, self-loops, or either direction;
-    they are canonicalized first (one distinct). Returns
-    ``(node, n_triangles)`` for every node of the graph (zero-triangle
-    nodes included via a left join against the node set).
+def _oriented_triangles(canon: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Degree-oriented triangle enumeration over a ``(x, y)``
+    canonicalized simple graph (``_canon_undirected`` output) — the
+    shared core of ``triangle_count`` and ``ktruss``. Returns
+    ``(deg, tri)``: the per-node degree table and one row per triangle
+    as ``(u, v, w)`` in (degree, id)-rank order, each triangle exactly
+    once. Every node's oriented out-degree is O(sqrt(|E|)) regardless
+    of raw skew (Suri & Vassilvitskii's MR_NI), so the wedge join's
+    fan-out is bounded even at hub nodes.
     """
-    canon = _canon_undirected(edges, src, dst)
     deg = (canon.select(F.col("x").alias("node"))
            .unionAll(canon.select(F.col("y").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("deg")))
@@ -629,6 +615,34 @@ def triangle_count(edges: DataFrame, src: str = "src",
               .select("u", "v", "w"))
     closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
     tri = wedges.join(closing, ["v", "w"])  # u < v < w in rank order
+    return deg, tri
+
+
+def triangle_count(edges: DataFrame, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Exact per-node triangle counts over an undirected graph — the
+    clustering-coefficient numerator, and on a near-dup candidate graph
+    a direct read on how clique-like (template/boilerplate families) vs
+    chain-like (drifting revisions) the duplicate structure is.
+
+    Algorithm: degree orientation + two equi-joins (the MapReduce
+    triangle-enumeration standard, cf. Suri & Vassilvitskii's MR_NI /
+    Cohen's MapReduce graph-twiddling): orient every edge from the
+    (degree, id)-SMALLER endpoint to the larger, so each triangle is
+    enumerated EXACTLY once as u→v, u→w, v→w with rank(u)<rank(v)<rank(w),
+    and — the scale property that matters — every node's out-degree is
+    O(sqrt(|E|)) regardless of raw degree skew: a celebrity node with
+    10^6 neighbors is never the join fan-out side. Both joins are hash
+    equi-joins on a node key; no node ranking is materialized globally
+    (the (deg, id) tuple comparison happens edge-local).
+
+    Input edges may carry duplicates, self-loops, or either direction;
+    they are canonicalized first (one distinct). Returns
+    ``(node, n_triangles)`` for every node of the graph (zero-triangle
+    nodes included via a left join against the node set).
+    """
+    canon = _canon_undirected(edges, src, dst)
+    deg, tri = _oriented_triangles(canon)
     per_node = (tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
                 .groupBy("node")
                 .agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
@@ -699,6 +713,73 @@ def kcore(pairs: DataFrame, k: int, src: str = "src", dst: str = "dst",
             .unionAll(canon.select(F.col("y").alias("node")))
             .groupBy("node").agg(F.count(F.lit(1)).cast("long")
                                  .alias("deg")))
+
+
+def ktruss(pairs: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           max_iter: int = 100) -> DataFrame:
+    """The k-truss of an undirected graph — the maximal subgraph where
+    every EDGE participates in ≥ k−2 triangles (within the subgraph) —
+    by synchronous support peeling. The edge-grain sharpening of
+    ``kcore``: a k-core keeps nodes with enough neighbors, a k-truss
+    keeps edges with enough MUTUALLY-CONNECTED neighbors, so it
+    isolates genuinely clique-like structure (template/boilerplate
+    families on a near-dup graph, mutually-corroborating assertion
+    clusters on the KG) that a degree bound alone can't separate from
+    star hubs: a pure hub's edges close no triangles and dissolve at
+    k=3 no matter the degree.
+
+    Returns surviving canonical edges ``(x, y, support)`` with
+    ``x < y``; ``support`` is the edge's triangle count INSIDE the
+    truss (≥ k−2 by construction). Empty result when no k-truss
+    exists. Deterministic: the k-truss is a unique fixpoint, so
+    partitioning/order never matter. ``k ≥ 3`` required (the 2-truss
+    is the whole simple graph — meaningless as an audit). Edges may
+    carry duplicates/self-loops/either direction — canonicalized once.
+
+    Round bound is the truss PEELING DEPTH (a fan of triangles
+    cascades one layer per round — the ``kcore`` honesty rule, not
+    O(log n)); ``max_iter`` raises rather than silently truncating.
+
+    100 TB shape: per round ONE degree-oriented triangle enumeration
+    (two equi-joins, per-node fan-out O(√|E|) under any hub skew — the
+    ``triangle_count`` core, shared via ``_oriented_triangles``), one
+    map-only explode of 3 edge-slots per triangle, one
+    partial-aggregating support groupBy, one co-keyed join back to the
+    edge list; each round ends with an eager localCheckpoint (the
+    module's iterative-loop discipline) and the convergence check is a
+    scalar count.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3, got {k}")
+    canon = (_canon_undirected(pairs, src, dst)
+             .localCheckpoint(eager=True))
+    n_edges = canon.count()
+    thresh = k - 2
+    for _ in range(max_iter):
+        if n_edges == 0:
+            return canon.select("x", "y",
+                                F.lit(0).cast("long").alias("support"))
+        _, tri = _oriented_triangles(canon)
+        # each triangle supports its 3 edges; emit them in canonical
+        # (least, greatest) id order — rank order (u,v,w) need not be
+        # lexicographic
+        slots = F.array(*[
+            F.struct(F.least(a, b).alias("x"), F.greatest(a, b).alias("y"))
+            for a, b in (("u", "v"), ("u", "w"), ("v", "w"))])
+        sup = (tri.select(F.explode(slots).alias("e"))
+               .groupBy(F.col("e.x").alias("x"), F.col("e.y").alias("y"))
+               .agg(F.count(F.lit(1)).cast("long").alias("support")))
+        # edges in no triangle have no support row -> support 0 -> drop
+        keep = (canon.join(sup, ["x", "y"], "left")
+                .filter(F.coalesce("support", F.lit(0)) >= thresh)
+                .localCheckpoint(eager=True))
+        n_keep = keep.count()
+        if n_keep == n_edges:
+            # fixpoint: the supports just computed ARE in-truss supports
+            return keep.select("x", "y", "support")
+        canon, n_edges = keep.select("x", "y"), n_keep
+    raise RuntimeError(f"ktruss(k={k}) did not converge in "
+                       f"{max_iter} rounds")
 
 
 def link_scores(pairs: DataFrame, src: str = "src", dst: str = "dst",

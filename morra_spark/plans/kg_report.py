@@ -25,10 +25,11 @@ Artifacts (each a parquet dir under ``--out``):
 * (``--structure``, opt-in) ``kcore2/`` — the 2-core membership
   (nodes whose assertions are corroborated by surrounding structure,
   vs pendant one-shot extractions), ``clustering/`` — per-node local
-  clustering coefficient, and ``hits/`` — directed hub/authority
-  scores (which entities are the trusted targets vs the prolific
-  sources); all three run on the AGGREGATED edge grain, so the flag
-  never rescans triples.
+  clustering coefficient, ``hits/`` — directed hub/authority scores
+  (which entities are the trusted targets vs the prolific sources),
+  and ``truss3/`` — the 3-truss edges (each closes ≥1 triangle: the
+  edge-grain corroboration twin of the 2-core); all four run on the
+  AGGREGATED edge grain, so the flag never rescans triples.
 
 Plan economics: the triple scan feeds edges, nodes, signatures,
 cardinality, and type_conflicts — five independent reduced-grain
@@ -112,7 +113,7 @@ def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
         # both run on the aggregated edge grain, orders smaller than the
         # triple scan, so the flag costs nothing on the default path
         from morra_spark.operators.components import (
-            clustering_coefficient, hits_scores, kcore)
+            clustering_coefficient, hits_scores, kcore, ktruss)
 
         und = edges.select(F.col("subj").alias("src"),
                            F.col("obj").alias("dst"))
@@ -131,10 +132,17 @@ def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
          .observe(hits_obs,
                   F.max(F.col("authority")).alias("max_auth"))
          .write.mode("overwrite").parquet(f"{out_dir}/hits"))
+        # 2-core says which NODES are structurally corroborated;
+        # 3-truss says which EDGES are (each closes >= 1 triangle)
+        truss_obs = Observation("truss3")
+        (ktruss(und, k=3)
+         .observe(truss_obs, F.count(F.lit(1)).alias("n"))
+         .write.mode("overwrite").parquet(f"{out_dir}/truss3"))
         summary["n_core2_nodes"] = int(core_obs.get["n"] or 0)
         summary["n_clustered_nodes"] = int(cc_obs.get["n_pos"] or 0)
         summary["top_authority_milli"] = int(
             round(1000 * float(hits_obs.get["max_auth"] or 0.0)))
+        summary["n_truss3_edges"] = int(truss_obs.get["n"] or 0)
     spark.createDataFrame(
         [tuple(summary.values())],
         ", ".join(f"{k} long" for k in summary)) \

@@ -773,3 +773,78 @@ def test_clustering_coefficient_hand_and_reference(spark):
         res = {r.node: (r.deg, r.n_triangles, r.coeff)
                for r in clustering_coefficient(d).collect()}
         assert res == want
+
+
+def test_ktruss_hand_computed_and_hub_immunity(spark):
+    """K4 + a hanging triangle + a star hub: at k=3 the star's edges
+    dissolve (no triangles) while both clique and triangle survive
+    with their in-truss supports; at k=4 only the K4 remains; k=5 is
+    empty; k<3 raises; canonicalization noise is immune."""
+    from morra_spark.operators.components import ktruss
+
+    clique = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    hang = [("d", "e"), ("d", "f"), ("e", "f")]       # triangle off d
+    star = [("h", x) for x in ("p", "q", "r", "s")]   # hub, no triangles
+    noise = [("b", "a"), ("a", "a")]
+    df = spark.createDataFrame(clique + hang + star + noise,
+                               "src string, dst string")
+    t3 = {(r.x, r.y): r.support for r in ktruss(df, 3).collect()}
+    assert set(t3) == set(clique) | set(hang)
+    assert all(s >= 1 for s in t3.values())
+    assert t3[("a", "b")] == 2 and t3[("e", "f")] == 1
+    # (d,e)/(d,f) are in exactly the hanging triangle once star edges
+    # never counted (they close no triangle from the start)
+    assert t3[("d", "e")] == 1
+    t4 = {(r.x, r.y): r.support for r in ktruss(df, 4).collect()}
+    assert set(t4) == set(clique) and all(s == 2 for s in t4.values())
+    assert ktruss(df, 5).count() == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must be >= 3"):
+        ktruss(df, 2)
+
+
+def test_ktruss_cascade_and_python_reference(spark):
+    """A triangle fan cascades from the ends one layer per round (the
+    peeling-depth case) — at k=4 the whole fan dissolves; random
+    graphs match a plain-Python peeling reference, repartition
+    invariant."""
+    import random as rnd
+
+    from morra_spark.operators.components import ktruss
+
+    def py_ktruss(edges, k):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        while True:
+            adj = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {e: len(adj[e[0]] & adj[e[1]]) for e in es}
+            keep = {e for e in es if sup[e] >= k - 2}
+            if keep == es:
+                return {e: sup[e] for e in es}
+            es = keep
+
+    # fan: apex 'a' over a path 1..6 — interior (a,i) edges have
+    # support 2, ends 1; k=4 peels from both ends until nothing is left
+    fan = [("a", f"v{i}") for i in range(6)] + \
+        [(f"v{i}", f"v{i+1}") for i in range(5)]
+    df = spark.createDataFrame(fan, "src string, dst string")
+    assert py_ktruss(fan, 4) == {}
+    assert ktruss(df, 4).count() == 0
+    t3 = {(r.x, r.y): r.support for r in ktruss(df, 3).collect()}
+    assert t3 == py_ktruss(fan, 3)
+
+    rnd.seed(33)
+    for trial in range(3):
+        edges = list({(f"n{rnd.randrange(12)}", f"n{rnd.randrange(12)}")
+                      for _ in range(30)})
+        df = spark.createDataFrame(edges, "src string, dst string")
+        for k in (3, 4):
+            want = py_ktruss(edges, k)
+            got = {(r.x, r.y): r.support
+                   for r in ktruss(df, k).collect()}
+            assert got == want, (trial, k)
+        got7 = {(r.x, r.y): r.support
+                for r in ktruss(df.repartition(7), 3).collect()}
+        assert got7 == py_ktruss(edges, 3)

@@ -668,6 +668,12 @@ def test_kg_report_structure_flag(spark, triples, tmp_path):
     assert hits == want_hits
     assert s["top_authority_milli"] == round(
         1000 * max(a for _, a in want_hits.values()))
+    from morra_spark.operators.components import ktruss
+    truss = {(r.x, r.y): r.support
+             for r in spark.read.parquet(f"{out}/truss3").collect()}
+    assert truss == {(r.x, r.y): r.support
+                     for r in ktruss(und, 3).collect()}
+    assert s["n_truss3_edges"] == len(truss)
 
     import os
     out2 = str(tmp_path / "kg_report_d")
