@@ -782,6 +782,32 @@ def ktruss(pairs: DataFrame, k: int, src: str = "src", dst: str = "dst",
                        f"{max_iter} rounds")
 
 
+def truss_communities(pairs: DataFrame, k: int = 3, src: str = "src",
+                      dst: str = "dst") -> DataFrame:
+    """Cohesive communities as the connected components of the k-truss
+    — the standard truss-community definition (Huang et al., "Querying
+    k-truss community in large and dynamic graphs"): first keep only
+    edges corroborated by ≥ k−2 triangles, then label what hangs
+    together. Unlike raw ``connected_components`` (which one noisy
+    bridge edge fuses into a giant blob) a truss community only admits
+    an edge its neighborhood actually vouches for, so extraction noise
+    and hub stitching don't merge unrelated entity clusters — the
+    community read-out a KG review queue and a template-family dedup
+    report both want.
+
+    Returns ``(node, comp)`` for every node of the k-truss, ``comp``
+    the min-label of its community (the ``connected_components``
+    contract). Nodes outside the truss carry no row. Deterministic:
+    both stages are unique fixpoints.
+
+    100 TB shape: exactly ``ktruss`` + ``connected_components`` —
+    nothing new; the component loop runs on the already-thinned truss
+    edge set.
+    """
+    return connected_components(ktruss(pairs, k, src=src, dst=dst),
+                                src="x", dst="y")
+
+
 def link_scores(pairs: DataFrame, src: str = "src", dst: str = "dst",
                 hub_cap: int = 256, round_to: int = 6) -> DataFrame:
     """Topological link-prediction scoring — for every NON-edge pair at

@@ -35,7 +35,8 @@ def ranking_metrics(scored: DataFrame, *,
                     query_cols: tuple[str, ...] = ("subj", "pred"),
                     cand_col: str = "obj", score_col: str = "score",
                     label_col: str = "is_pos",
-                    ks: tuple[int, ...] = (1, 3, 10)) -> DataFrame:
+                    ks: tuple[int, ...] = (1, 3, 10),
+                    filtered: bool = False) -> DataFrame:
     """Link-prediction ranking evaluation — MRR and Hits@k over a
     scored candidate table, the standard read-out for any KG-embedding
     model trained on this repo's exports (``walks.random_walks``
@@ -51,7 +52,9 @@ def ranking_metrics(scored: DataFrame, *,
     candidate id rather than random-permutation-averaged, so the metric
     is bit-reproducible across runs/engines (the repo-wide determinism
     rule; a model scoring ties hurts itself under this protocol, which
-    is the conservative direction).
+    is the conservative direction). With ``filtered=True`` a query's
+    other positives are excluded when ranking each positive — the
+    standard "filtered" KG-eval setting for multi-positive queries.
 
     Returns ONE row: n_queries, n_pos, mrr, hits_<k> for each k.
 
@@ -66,6 +69,15 @@ def ranking_metrics(scored: DataFrame, *,
                                         F.col(cand_col).asc())
     ranked = scored.withColumn("_rank", F.row_number().over(w))
     pos = ranked.filter(F.col(label_col))
+    if filtered:
+        # the standard "filtered" KG protocol (Bordes et al.): when
+        # ranking a positive, the query's OTHER positives don't count
+        # as competitors. With unique raw ranks per query, the i-th
+        # best positive has i-1 positives above it — subtract them.
+        # Same (query-key) exchange as the rank window: no new shuffle.
+        wp = Window.partitionBy(*qs).orderBy(F.col("_rank"))
+        pos = pos.withColumn(
+            "_rank", F.col("_rank") - (F.row_number().over(wp) - 1))
     aggs = [F.count(F.lit(1)).alias("n_pos"),
             F.countDistinct(*qs).alias("n_queries"),
             F.avg(F.lit(1.0) / F.col("_rank")).alias("mrr")]

@@ -848,3 +848,26 @@ def test_ktruss_cascade_and_python_reference(spark):
         got7 = {(r.x, r.y): r.support
                 for r in ktruss(df.repartition(7), 3).collect()}
         assert got7 == py_ktruss(edges, 3)
+
+
+def test_truss_communities_split_where_components_blob(spark):
+    """Two K4 cliques joined by one bridge edge: raw connected
+    components fuse them into one blob; 3-truss communities keep them
+    apart (the bridge closes no triangle) and label each clique by its
+    min member. A star hub contributes no community at all."""
+    from morra_spark.operators.components import (connected_components,
+                                                  truss_communities)
+
+    c1 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    c2 = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    bridge = [("d", "w")]
+    star = [("h", n) for n in ("p", "q", "r")]
+    df = spark.createDataFrame(c1 + c2 + bridge + star,
+                               "src string, dst string")
+    blob = {r.comp for r in connected_components(df).collect()
+            if r.node in set("abcdwxyz")}
+    assert blob == {"a"}  # one fused component
+    comm = {r.node: r.comp for r in truss_communities(df, 3).collect()}
+    assert {n: comm[n] for n in "abcd"} == {n: "a" for n in "abcd"}
+    assert {n: comm[n] for n in "wxyz"} == {n: "w" for n in "wxyz"}
+    assert set(comm) == set("abcdwxyz")  # star + bridge-only: no rows

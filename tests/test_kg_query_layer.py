@@ -711,3 +711,94 @@ def test_hits_empty_and_degenerate_inputs(spark):
     assert out.count() == 0
     with pytest.raises(ValueError, match="iters"):
         hits_scores(noise, iters=0)
+
+
+# ------------------------------------------------ link-pred benchmark
+
+def _py_holdout(edges, seed, frac):
+    """Replay the runner's portable-md5 edge split."""
+    import hashlib
+
+    out = set()
+    for x, y in edges:
+        h = int(hashlib.md5(
+            f"{seed}|{x}|{y}".encode()).hexdigest()[:15], 16)
+        if h % 1_000_000 < int(frac * 1_000_000):
+            out.add((x, y))
+    return out
+
+
+def test_linkpred_benchmark_clique_perfect_recovery(spark):
+    """On a clique every non-edge of the train graph IS a held-out
+    edge, and every held-out pair keeps common neighbors — so
+    coverage is 1.0 and every positive ranks first: mrr = hits_1 = 1.
+    The split must replay the Python md5 reference exactly."""
+    from morra_spark.plans.linkpred import run_linkpred_benchmark
+
+    nodes = [f"n{i}" for i in range(6)]
+    clique = [(a, b) for a in nodes for b in nodes if a < b]
+    df = spark.createDataFrame(clique, "src string, dst string")
+    s = run_linkpred_benchmark(df, holdout_frac=0.25, seed=13)
+    want_test = _py_holdout(clique, 13, 0.25)
+    assert s["n_test"] == len(want_test) > 0
+    assert s["n_train"] == len(clique) - len(want_test)
+    assert s["coverage"] == 1.0
+    assert s["n_pos"] == 2 * s["n_test_reachable"]  # both endpoints
+    assert s["mrr"] == 1.0 and s["hits_1"] == 1.0
+
+
+def test_linkpred_benchmark_determinism_and_coverage_honesty(spark):
+    """Same input, any partitioning -> identical summary; held-out
+    edges beyond distance 2 of the train graph are reported as
+    uncovered, never silently dropped."""
+    from morra_spark.plans.linkpred import run_linkpred_benchmark
+
+    rng = random.Random(41)
+    edges = sorted({(f"v{rng.randrange(10)}", f"v{rng.randrange(10)}")
+                    for _ in range(24)})
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    s1 = run_linkpred_benchmark(df, holdout_frac=0.3, seed=7)
+    s2 = run_linkpred_benchmark(df.repartition(5), holdout_frac=0.3,
+                                seed=7)
+    assert s1 == s2
+    assert 0 <= s1["n_test_reachable"] <= s1["n_test"]
+    assert s1["n_train"] + s1["n_test"] == s1["n_edges"]
+    # a chain's interior edge held out leaves its endpoints at
+    # distance 2 ONLY via a common neighbor; an isolated held-out
+    # bridge has none -> coverage must reflect it
+    bridge = [("a", "b"), ("c", "d"), ("b", "c")]
+    sb = run_linkpred_benchmark(
+        spark.createDataFrame(bridge, "src string, dst string"),
+        holdout_frac=0.999999, seed=1)
+    assert sb["n_test"] == 3 and sb["n_test_reachable"] == 0
+    assert sb["coverage"] == 0.0 and sb["n_pos"] == 0
+
+
+def test_linkpred_benchmark_validates_inputs(spark):
+    from morra_spark.plans.linkpred import run_linkpred_benchmark
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="holdout_frac"):
+        run_linkpred_benchmark(df, holdout_frac=1.5)
+    with pytest.raises(ValueError, match="score_col"):
+        run_linkpred_benchmark(df, score_col="pagerank")
+
+
+def test_ranking_metrics_filtered_excludes_sibling_positives(spark):
+    """Raw protocol: two positives at ranks 1 and 3 (a negative
+    between) -> mrr (1 + 1/3)/2; filtered: the second positive ignores
+    the first, rank 3-1=2 -> mrr (1 + 1/2)/2. Hits_1 unchanged."""
+    from morra_spark.plans.evaluate import ranking_metrics
+
+    rows = [("q", "p1", 9.0, True), ("q", "n1", 5.0, False),
+            ("q", "p2", 3.0, True), ("q", "n2", 1.0, False)]
+    df = spark.createDataFrame(
+        rows, "query string, cand string, score double, is_pos boolean")
+    kw = dict(query_cols=("query",), cand_col="cand", ks=(1, 3))
+    raw = ranking_metrics(df, **kw).first()
+    filt = ranking_metrics(df, filtered=True, **kw).first()
+    assert raw.mrr == pytest.approx((1 + 1 / 3) / 2)
+    assert filt.mrr == pytest.approx((1 + 1 / 2) / 2)
+    assert raw.hits_1 == filt.hits_1 == 0.5
+    assert filt.hits_3 == 1.0
