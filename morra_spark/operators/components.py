@@ -219,6 +219,20 @@ def personalized_pagerank(pairs: DataFrame, seeds: DataFrame,
                         F.round("pr", round_to).alias("ppr"))
 
 
+def _hits_round(e_part: DataFrame, scores: DataFrame, join_key: str,
+                group_key: str) -> DataFrame:
+    """One HITS half-round: the (persisted, pre-hash-partitioned on
+    ``join_key``) edge orientation ⋈ node scores, partial-aggregated to
+    ``group_key`` grain. Factored out so the plan-shape suite can pin
+    the scale property directly: the edge side must come straight off
+    the InMemoryTableScan with NO Exchange — only the node-grain score
+    side and the groupBy shuffle."""
+    return (e_part.join(scores.withColumnRenamed("node", join_key),
+                        join_key)
+            .groupBy(F.col(group_key).alias("node"))
+            .agg(F.sum("s").alias("s")))
+
+
 def hits_scores(pairs: DataFrame, src: str = "src", dst: str = "dst",
                 iters: int = 10, round_to: int = 6) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg's hubs & authorities) over the
@@ -287,17 +301,12 @@ def hits_scores(pairs: DataFrame, src: str = "src", dst: str = "dst",
             # each); the normalizing division is a lazy select stacked
             # on the checkpointed frame — scaling a checkpoint would
             # waste a job
-            raw_a = (e_by_u.join(hub.withColumnRenamed("node", "u"), "u")
-                     .groupBy(F.col("v").alias("node"))
-                     .agg(F.sum("s").alias("s"))
+            raw_a = (_hits_round(e_by_u, hub, "u", "v")
                      .localCheckpoint(eager=True))
             n2 = raw_a.agg(F.sum(F.col("s") * F.col("s"))).first()[0]
             auth = raw_a.select("node", (F.col("s") / float(n2) ** 0.5)
                                 .alias("s"))
-            raw_h = (e_by_v.join(auth.withColumnRenamed("node", "v"),
-                                 "v")
-                     .groupBy(F.col("u").alias("node"))
-                     .agg(F.sum("s").alias("s"))
+            raw_h = (_hits_round(e_by_v, auth, "v", "u")
                      .localCheckpoint(eager=True))
             h2 = raw_h.agg(F.sum(F.col("s") * F.col("s"))).first()[0]
             hub = raw_h.select("node", (F.col("s") / float(h2) ** 0.5)

@@ -705,3 +705,41 @@ def test_graph_rollup_nullsafe_joins_stay_equi_joins(spark):
             assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_hits_round_edge_side_is_exchange_free(spark):
+    """hits_scores' scale property: the loop-invariant edge orientation
+    is persisted pre-hash-partitioned on its join key, so across all
+    2*iters joins the BIG side reads straight off the cache with no
+    Exchange — only the node-grain score side and the groupBy shuffle
+    (2 total). A regression to localCheckpoint (which erases
+    outputPartitioning) or a lost repartition would show up as a third
+    hash exchange here."""
+    from morra_spark.operators.components import _hits_round
+
+    edges = spark.range(2000).selectExpr("cast(id % 97 as string) u",
+                                         "cast(id % 53 as string) v")
+    e_by_u = edges.distinct().repartition("u").persist()
+    # force SMJ: under a broadcast of the tiny test score side the edge
+    # side has no partitioning requirement and a lost persist would
+    # pass undetected
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e_by_u.count()
+        scores = spark.createDataFrame(
+            [(str(i), 1.0) for i in range(97)], "node string, s double")
+        plan = _spark_plan(_hits_round(e_by_u, scores, "u", "v"))
+        lines = plan.splitlines()
+        scans = [i for i, l in enumerate(lines)
+                 if "InMemoryTableScan" in l]
+        assert scans, plan
+        # the executed region between the cache scan and the join must
+        # carry no added shuffle (the cached plan BELOW the scan echoes
+        # its own REPARTITION_BY_COL lineage — not executed, ignored)
+        for i in scans:
+            above = "\n".join(lines[max(0, i - 4):i])
+            assert "ENSURE_REQUIREMENTS" not in above, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        e_by_u.unpersist()
