@@ -72,6 +72,13 @@ def connected_components(pairs: DataFrame, src: str = "src",
     components of diameter ~2^25).
     """
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # localCheckpoint, deliberately NOT the persisted pre-partitioned
+    # cache hits_scores uses: measured on the bench's curation_funnel
+    # (CC is its hottest loop), the per-round columnar cache decode
+    # costs more than the exchange it saves at local scale — funnel
+    # 12.8 s checkpointed vs 26.9 s cached, A/B'd round-5. The cluster
+    # tradeoff (network shuffle vs local decode) is documented on
+    # hits_scores and in SCALE.md.
     edges = e.unionByName(e.select(F.col("b").alias("a"),
                                    F.col("a").alias("b"))) \
         .distinct().localCheckpoint(eager=True)
