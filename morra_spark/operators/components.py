@@ -266,8 +266,12 @@ def hits_scores(pairs: DataFrame, src: str = "src", dst: str = "dst",
       defined rows, never dropped, so downstream joins need no
       special case.
     Deterministic up to float-summation order, absorbed by rounding to
-    ``round_to`` at the END (the ``pagerank_fixed`` rule); a FIXED
-    iteration count keeps re-runs identical (10 rounds is well past
+    ``round_to`` at the END (the ``pagerank_fixed`` rule — like
+    pagerank, a score sitting exactly on a rounding boundary may in
+    principle differ in the last decimal across partitionings; the
+    integer-quantized fold link_scores uses is not worth its overflow
+    bookkeeping here, where the consumer ranks rather than diffs); a
+    FIXED iteration count keeps re-runs stable (10 rounds is well past
     ranking stability on audit-sized graphs — pytest pins a hand case
     and a Python power-iteration reference).
 

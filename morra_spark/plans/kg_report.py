@@ -110,8 +110,8 @@ def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
 
     if structure:
         # opt-in structural audits (the materialize_graph flag pattern):
-        # both run on the aggregated edge grain, orders smaller than the
-        # triple scan, so the flag costs nothing on the default path
+        # all four run on the aggregated edge grain, orders smaller than
+        # the triple scan, so the flag costs nothing on the default path
         from morra_spark.operators.components import (
             clustering_coefficient, hits_scores, kcore, ktruss)
 

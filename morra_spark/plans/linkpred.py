@@ -53,6 +53,7 @@ def run_linkpred_benchmark(pairs: DataFrame, *, src: str = "src",
     coverage + mrr/hits_k for the chosen ``score_col``)."""
     from morra_spark.operators.components import (_canon_undirected,
                                                   link_scores)
+    from morra_spark.operators.curation import _portable_bucket
     from morra_spark.plans.evaluate import ranking_metrics
 
     if not 0.0 < holdout_frac < 1.0:
@@ -62,10 +63,11 @@ def run_linkpred_benchmark(pairs: DataFrame, *, src: str = "src",
         raise ValueError(f"unknown score_col {score_col!r}")
 
     canon = _canon_undirected(pairs, src, dst).localCheckpoint(eager=True)
-    # portable-md5 edge split: same decision on any engine/partitioning
-    bucket = (F.conv(F.substring(F.md5(F.concat_ws(
-        "|", F.lit(str(seed)), "x", "y")), 1, 15), 16, 10)
-        .cast("long") % 1_000_000)
+    # portable-md5 edge split (the shared split_assign/_portable_bucket
+    # definition — NOT a re-implementation, so a change to the portable
+    # hash can never diverge this split from the curation splits)
+    bucket = _portable_bucket(
+        F.concat_ws("|", F.lit(str(seed)), "x", "y"), 1_000_000)
     tagged = canon.withColumn(
         "_test", bucket < int(holdout_frac * 1_000_000))
     train = tagged.filter(~F.col("_test")).drop("_test") \
@@ -82,16 +84,23 @@ def run_linkpred_benchmark(pairs: DataFrame, *, src: str = "src",
                                        F.lit(True).alias("_pos")),
                            ["a", "b"], "left")
                .withColumn("is_pos", F.coalesce("_pos", F.lit(False)))
-               .drop("_pos"))
+               .drop("_pos")
+               # the wedge join is the dominant cost and feeds FOUR
+               # actions below (both union branches of the metrics
+               # read, the reachable count, and the artifact writes) —
+               # materialize it ONCE (the kg_report shared-scan rule)
+               .localCheckpoint(eager=True))
     directed = (labeled.select(F.col("a").alias("query"),
                                F.col("b").alias("cand"),
                                score_col, "is_pos")
                 .unionByName(labeled.select(
                     F.col("b").alias("query"), F.col("a").alias("cand"),
                     score_col, "is_pos")))
+    # 1-row frame consumed by first() AND an optional write — cut once
     metrics = ranking_metrics(directed, query_cols=("query",),
                               cand_col="cand", score_col=score_col,
-                              ks=ks, filtered=True)
+                              ks=ks, filtered=True) \
+        .localCheckpoint(eager=True)
 
     n_edges, n_test = canon.count(), test.count()
     n_reachable = labeled.filter("is_pos").count()

@@ -665,9 +665,15 @@ def test_kg_report_structure_flag(spark, triples, tmp_path):
     want_hits = {r.node: (r.hub, r.authority)
                  for r in hits_scores(edges, src="subj",
                                       dst="obj").collect()}
-    assert hits == want_hits
-    assert s["top_authority_milli"] == round(
-        1000 * max(a for _, a in want_hits.values()))
+    # two independent executions: float-fold order can wobble a score
+    # sitting on a rounding boundary by one last-decimal grain (the
+    # documented pagerank-family caveat), so compare with tolerance
+    assert set(hits) == set(want_hits)
+    for n, (h, a) in want_hits.items():
+        assert hits[n][0] == pytest.approx(h, abs=2e-6)
+        assert hits[n][1] == pytest.approx(a, abs=2e-6)
+    assert s["top_authority_milli"] == pytest.approx(round(
+        1000 * max(a for _, a in want_hits.values())), abs=1)
     from morra_spark.operators.components import ktruss
     truss = {(r.x, r.y): r.support
              for r in spark.read.parquet(f"{out}/truss3").collect()}
