@@ -128,13 +128,21 @@ def graph_nodes(triples: DataFrame,
 
 def negative_samples(positives: DataFrame, n_neg: int = 1,
                      subj: str = "subj", pred: str = "pred",
-                     obj: str = "obj") -> DataFrame:
+                     obj: str = "obj", corrupt: str = "obj") -> DataFrame:
     """Filtered deterministic negative sampling — the corrupt-triple
     generator KG-embedding training (TransE/DistMult-style) needs next
     to every positive triple table. For each positive (s, p, o) emit
     ``n_neg`` corrupted triples (s, p, o') with o' drawn from the
     object vocabulary, then drop FALSE negatives (corruptions that
     collide with a real positive — 'filtered' protocol, Bordes et al.).
+
+    ``corrupt="subj"`` runs the mirror protocol — (s', p, o) with s'
+    from the SUBJECT vocabulary, returning (neg_subj, pred, obj, r) —
+    the other half of the standard both-sides corruption; full-protocol
+    training takes the union of one call per side (each side's filter
+    and vocabulary are independent, so a union mode would just hide
+    that composition). ``corrupt="obj"`` output is byte-identical to
+    the historical single-mode form (oracle-pinned).
 
     Determinism (and hence SQL-oracle replay) instead of RNG: the
     object vocabulary gets a dense sort-rank index 0..M-1, and sample
@@ -156,25 +164,39 @@ def negative_samples(positives: DataFrame, n_neg: int = 1,
     the anti-join is the only fact-fact exchange.
 
     Returns (subj, pred, neg_obj, r) — one row per surviving
-    corruption, r in 1..n_neg.
+    corruption, r in 1..n_neg (``neg_subj`` leading instead under
+    ``corrupt="subj"``).
     """
     from pyspark.sql import Window
 
+    if corrupt not in ("obj", "subj"):
+        raise ValueError(f"corrupt must be 'obj' or 'subj', got "
+                         f"{corrupt!r}")
+    # one body, two roles: the corrupted column supplies the
+    # vocabulary; the md5 mix runs over the UNCORRUPTED key pair
+    corrupt_col = obj if corrupt == "obj" else subj
+    mix_cols = (subj, pred) if corrupt == "obj" else (pred, obj)
+    out_name = "neg_obj" if corrupt == "obj" else "neg_subj"
+    out_cols = ([subj, pred, out_name] if corrupt == "obj"
+                else [out_name, pred, obj])
     key = [subj, pred, obj]
     pos = positives.select(*key).distinct()
-    vocab = (pos.select(F.col(obj).alias("_ent")).distinct()
+    vocab = (pos.select(F.col(corrupt_col).alias("_ent")).distinct()
              .withColumn("idx", F.row_number().over(
                  Window.orderBy("_ent")) - 1))
     m = vocab.agg(F.count(F.lit(1)).alias("_m"))  # 1-row broadcast, no collect
-    # greatest(_m - 1, 1): a single-object vocabulary (_m = 1) would be
+    # greatest(_m - 1, 1): a single-entity vocabulary (_m = 1) would be
     # x % 0 — DIVIDE_BY_ZERO under Spark 4 ANSI. With the guard, every
     # corruption self-collides and the filter join yields the empty
     # result the filtered protocol implies (code-review r5)
     mix = (F.conv(F.substring(
-        F.md5(F.concat_ws("|", F.col(subj), F.col(pred))), 1, 15), 16, 10)
+        F.md5(F.concat_ws("|", *[F.col(c) for c in mix_cols])), 1, 15),
+        16, 10)
         .cast("long") % F.greatest(F.col("_m") - 1, F.lit(1)) + 1)
     indexed = (pos
-               .join(F.broadcast(vocab.withColumnRenamed("_ent", obj)), obj)
+               .join(F.broadcast(vocab.withColumnRenamed("_ent",
+                                                         corrupt_col)),
+                     corrupt_col)
                .crossJoin(F.broadcast(m))
                .withColumn("_mix", mix)
                .withColumn("r", F.explode(F.sequence(F.lit(1),
@@ -183,12 +205,12 @@ def negative_samples(positives: DataFrame, n_neg: int = 1,
                            (F.col("idx") + F.col("_mix") * F.col("r"))
                            % F.col("_m")))
     resolve = vocab.select(F.col("idx").alias("_nidx"),
-                           F.col("_ent").alias("neg_obj"))
+                           F.col("_ent").alias(out_name))
     cand = (indexed.join(F.broadcast(resolve), "_nidx")
-            .select(subj, pred, "neg_obj", "r"))
+            .select(*out_cols, "r"))
     return cand.join(
-        pos.withColumnRenamed(obj, "neg_obj"),
-        [subj, pred, "neg_obj"], "left_anti")
+        pos.withColumnRenamed(corrupt_col, out_name),
+        out_cols, "left_anti")
 
 
 def resolve_functional(assertions: DataFrame, subj: str, obj: str,

@@ -800,3 +800,39 @@ def test_infer_types_fractional_weights_vote_exactly(spark):
     typ, inferred, conf = got["x"]
     assert (typ, inferred) == ("PER", True)
     assert abs(conf - 0.9 / 1.4) < 1e-9
+
+
+def test_negative_samples_subject_corruption_mode(spark):
+    """corrupt='subj' mirrors the protocol: negatives are (s', p, o)
+    with s' from the SUBJECT vocabulary, no collision with positives,
+    bit-stable, and the historical obj-mode output is untouched by the
+    new parameter (same rows as a default call)."""
+    from morra_spark.operators.kg_graph import negative_samples
+
+    pos_rows = [("s1", "p", "o1"), ("s2", "p", "o1"), ("s3", "p", "o1"),
+                ("s4", "p", "o2"), ("s5", "p", "o3")]
+    pos = spark.createDataFrame(pos_rows,
+                                "subj string, pred string, obj string")
+    out = negative_samples(pos, n_neg=2, corrupt="subj")
+    assert out.columns == ["neg_subj", "pred", "obj", "r"]
+    rows = [(r.neg_subj, r.pred, r.obj, r.r) for r in out.collect()]
+    assert rows, "subject corruption produced nothing"
+    # no emitted negative is a positive; vocab is the subject side
+    assert not ({(s, p, o) for s, p, o, _ in rows} & set(pos_rows))
+    subj_vocab = {s for s, _, _ in pos_rows}
+    assert all(s in subj_vocab for s, _, _, _ in rows)
+    # o1 carries 3/5 subjects as positives -> filtered protocol bites
+    assert len(rows) < len(pos_rows) * 2
+    rows2 = [(r.neg_subj, r.pred, r.obj, r.r)
+             for r in negative_samples(pos, n_neg=2,
+                                       corrupt="subj").collect()]
+    assert sorted(rows) == sorted(rows2)
+    # default-mode output unchanged by the parametrization
+    a = sorted((r.subj, r.pred, r.neg_obj, r.r)
+               for r in negative_samples(pos, n_neg=2).collect())
+    b = sorted((r.subj, r.pred, r.neg_obj, r.r)
+               for r in negative_samples(pos, n_neg=2,
+                                         corrupt="obj").collect())
+    assert a == b
+    with pytest.raises(ValueError, match="corrupt"):
+        negative_samples(pos, corrupt="pred")
