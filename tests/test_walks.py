@@ -278,3 +278,43 @@ def test_random_walks_rejects_nonpositive_walks_per_node(spark):
     for bad in (0, -2):
         with pytest.raises(ValueError, match="walks_per_node"):
             random_walks(e, walks_per_node=bad)
+
+
+def test_embedding_build_runner_end_to_end(spark, tmp_path):
+    """The composed runner writes (vec_id, embedding) vectors identical
+    to hand-chaining the four stages; a second identical build drifts
+    nowhere (all kept, cosine floor 1.0); a perturbed-graph rebuild
+    reports real drift numbers through the gate summary."""
+    from morra_spark.operators.walks import (embed_nodes, ppmi_scores,
+                                             random_walks,
+                                             walk_skipgram_pairs)
+    from morra_spark.plans.embeddings import run_embedding_build
+
+    edges = [(a, b) for a, b in _rand_edges(9, n_nodes=10, n_edges=24)
+             if a != b]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out1 = str(tmp_path / "b1")
+    s1 = run_embedding_build(df, out_dir=out1, dim=16, seed=5)
+    got = {r.vec_id: list(r.embedding) for r in
+           spark.read.parquet(f"{out1}/embeddings").collect()}
+    want = {r.node: list(r.embedding) for r in embed_nodes(
+        ppmi_scores(walk_skipgram_pairs(random_walks(df, seed=5))),
+        dim=16, seed=5).collect()}
+    assert got == want  # bit-exact: the walks.py determinism contract
+    assert s1["n_vectors"] == len(want) > 0
+
+    out2 = str(tmp_path / "b2")
+    s2 = run_embedding_build(df, out_dir=out2, dim=16, seed=5,
+                             prev_path=f"{out1}/embeddings")
+    assert s2["n_added"] == s2["n_removed"] == 0
+    assert s2["n_kept"] == s1["n_vectors"]
+    assert s2["min_kept_cosine"] == 1.0  # identical rebuild: no drift
+
+    # rewire some edges: the gate must report movement, not silence
+    edges3 = edges[:-4] + [("v0", "v9"), ("v1", "v8")]
+    out3 = str(tmp_path / "b3")
+    s3 = run_embedding_build(
+        spark.createDataFrame(edges3, ["src", "dst"]), out_dir=out3,
+        dim=16, seed=5, prev_path=f"{out1}/embeddings")
+    assert s3["n_kept"] > 0
+    assert s3["min_kept_cosine"] is None or s3["min_kept_cosine"] < 1.0
