@@ -58,6 +58,21 @@ def run_embedding_build(pairs: DataFrame, *, out_dir: str,
                                              random_walks,
                                              walk_skipgram_pairs)
 
+    if prev_path is not None:
+        # the overwrite below lands BEFORE the (lazy) prev read: a prev
+        # inside out_dir would be destroyed first and the drift gate
+        # would compare the fresh build against itself — always-green,
+        # prior build gone (code-review r5). Builds are blue-green by
+        # design: write each build to its OWN dir, gate, then swap.
+        norm = lambda p: p.rstrip("/")  # noqa: E731
+        if (norm(prev_path) == norm(out_dir)
+                or norm(prev_path).startswith(norm(out_dir) + "/")):
+            raise ValueError(
+                f"prev_path {prev_path!r} lies inside out_dir "
+                f"{out_dir!r}: the overwrite would destroy the prior "
+                "build before the drift gate reads it — write the new "
+                "build to its own directory and swap after gating")
+
     walks = random_walks(pairs, walk_length=walk_length,
                          walks_per_node=walks_per_node, seed=seed,
                          src=src, dst=dst, max_degree=max_degree)

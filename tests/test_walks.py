@@ -318,3 +318,17 @@ def test_embedding_build_runner_end_to_end(spark, tmp_path):
         dim=16, seed=5, prev_path=f"{out1}/embeddings")
     assert s3["n_kept"] > 0
     assert s3["min_kept_cosine"] is None or s3["min_kept_cosine"] < 1.0
+
+
+def test_embedding_build_refuses_in_place_drift(spark, tmp_path):
+    """--prev inside --out would be destroyed by the overwrite before
+    the lazy drift read, making the gate compare the fresh build
+    against itself (always-green) — refused, with the blue-green
+    layout named in the error."""
+    from morra_spark.plans.embeddings import run_embedding_build
+
+    df = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    out = str(tmp_path / "emb")
+    for bad in (f"{out}/embeddings", out, f"{out}/"):
+        with pytest.raises(ValueError, match="inside out_dir"):
+            run_embedding_build(df, out_dir=out, prev_path=bad)
