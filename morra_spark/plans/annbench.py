@@ -1,0 +1,131 @@
+"""ANN recall/latency benchmark — the tuning harness for the IVF index:
+
+    python -m morra_spark.plans.annbench \
+        --emb /path/to/embeddings --k 10 --nprobes 1,2,4
+
+Answers the one question an ANN deployment actually tunes: which
+``nprobe`` buys which recall at which cost. Protocol (pinned here, the
+``plans/linkpred.py`` argument):
+
+* queries are a DETERMINISTIC sample of the corpus itself (the
+  ``train_ivf_centroids`` crc32-ordered trick — engine/partitioning
+  stable, no RNG), with the trivial self-match excluded from truth and
+  candidates alike;
+* ground truth is the brute-force exact cosine top-k — the explicitly
+  non-scale baseline (one broadcast crossJoin of n_queries against the
+  corpus: fine for a benchmark sample, never the serving path);
+* each swept ``nprobe`` runs the REAL ``ann_ivf_topk`` operator
+  (broadcast probe table, partition-prunable cid layout) and reports
+  ``recall@k`` = per-query |IVF∩truth| / |truth|, averaged, plus wall
+  seconds (local, relative numbers — the recall column is the portable
+  result, the timing column is box-specific).
+
+Recall is computed with joins and counts — nothing query-grain ever
+collects. Monotonicity (recall non-decreasing in nprobe, 1.0 when
+probing every bucket) is pinned by pytest on a clustered fixture.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def run_ann_benchmark(emb: DataFrame, *, n_queries: int = 32, k: int = 10,
+                      n_centroids: int = 16,
+                      nprobes: tuple[int, ...] = (1, 2, 4),
+                      seed: int = 7,
+                      vec_col: str = "embedding") -> dict:
+    """Run the sweep; returns {n_queries, k, n_centroids, brute_sec,
+    sweep: {nprobe: {recall_at_k, sec}}}."""
+    from pyspark.sql import Window
+
+    from morra_spark.operators.similarity import (_cosine, ann_ivf_topk,
+                                                  ivf_assign,
+                                                  train_ivf_centroids)
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # deterministic query sample (crc32 bucket, id tiebreak — the
+    # train_ivf_centroids sampling rule; disjoint-ish from its pool is
+    # NOT required: centroid training never sees labels)
+    qs = (emb.select(F.col("vec_id").alias("qid"),
+                     F.col(vec_col).alias("q"))
+          .withColumn("_h", F.crc32(F.col("qid").cast("string")) % 997)
+          .orderBy(F.desc("_h"), "qid").limit(int(n_queries))
+          .drop("_h").localCheckpoint(eager=True))
+    nq = qs.count()
+    if nq == 0:
+        raise ValueError("empty embedding table")
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    t0 = time.time()
+    truth = (emb.crossJoin(F.broadcast(qs))
+             .filter(F.col("vec_id") != F.col("qid"))   # no self-match
+             .withColumn("cosine", _cosine(vec_col, "q"))
+             .withColumn("_r", F.row_number().over(w))
+             .filter(F.col("_r") <= k)
+             .select("qid", "vec_id")
+             .localCheckpoint(eager=True))
+    brute_sec = round(time.time() - t0, 3)
+    n_truth = truth.count()   # ≤ nq*k (small corpora give short lists)
+
+    C = train_ivf_centroids(emb, n_centroids=n_centroids, seed=seed,
+                            vec_col=vec_col)
+    assigned = (ivf_assign(emb, C, vec_col)
+                .localCheckpoint(eager=True))  # index built once, reused
+    summary: dict = {"n_queries": nq, "k": k, "n_centroids": len(C),
+                     "n_truth_rows": n_truth, "brute_sec": brute_sec,
+                     "sweep": {}}
+    for nprobe in nprobes:
+        t1 = time.time()
+        # ask for k+1 then drop the self-match and re-rank: the operator
+        # legitimately returns the query itself at cosine 1 when queries
+        # are corpus members
+        got = (ann_ivf_topk(assigned, qs, C, k=k + 1, nprobe=int(nprobe),
+                            vec_col=vec_col)
+               .filter(F.col("vec_id") != F.col("qid"))
+               .withColumn("_r", F.row_number().over(w))
+               .filter(F.col("_r") <= k)
+               .select("qid", "vec_id"))
+        hits = got.join(truth, ["qid", "vec_id"], "left_semi").count()
+        summary["sweep"][int(nprobe)] = {
+            "recall_at_k": round(hits / n_truth, 6) if n_truth else 0.0,
+            "sec": round(time.time() - t1, 3),
+        }
+    return summary
+
+
+def main() -> None:
+    from morra_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--emb", required=True,
+                    help="(vec_id, embedding) parquet — e.g. the "
+                         "plans/embeddings.py output or the testdata "
+                         "embeddings table")
+    ap.add_argument("--n-queries", type=int, default=32)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--n-centroids", type=int, default=16)
+    ap.add_argument("--nprobes", default="1,2,4")
+    ap.add_argument("--seed", type=int, default=7)
+    args = ap.parse_args()
+    spark = get_spark("annbench")
+    s = run_ann_benchmark(
+        spark.read.parquet(args.emb), n_queries=args.n_queries,
+        k=args.k, n_centroids=args.n_centroids,
+        nprobes=tuple(int(x) for x in args.nprobes.split(",")),
+        seed=args.seed)
+    for key, v in s.items():
+        if key != "sweep":
+            print(f"{key:>14}: {v}")
+    for nprobe, row in s["sweep"].items():
+        print(f"   nprobe={nprobe:<3} recall@{s['k']}="
+              f"{row['recall_at_k']:<9} {row['sec']}s")
+
+
+if __name__ == "__main__":
+    main()

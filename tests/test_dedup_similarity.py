@@ -871,3 +871,35 @@ def test_truss_communities_split_where_components_blob(spark):
     assert {n: comm[n] for n in "abcd"} == {n: "a" for n in "abcd"}
     assert {n: comm[n] for n in "wxyz"} == {n: "w" for n in "wxyz"}
     assert set(comm) == set("abcdwxyz")  # star + bridge-only: no rows
+
+
+def test_ann_benchmark_recall_monotone_and_full_probe(spark):
+    """Clustered 8-dim corpus: recall@k is non-decreasing in nprobe and
+    near-exact when every bucket is probed; recalls are deterministic
+    across re-runs (crc32 sample + seeded k-means, no RNG); self-match
+    excluded from truth and candidates."""
+    import hashlib
+
+    from morra_spark.plans.annbench import run_ann_benchmark
+
+    def vec(cluster, i):
+        base = [0.0] * 8
+        base[cluster] = 1.0
+        base[(cluster + 4) % 8] = 0.5
+        # deterministic jitter from md5 — no RNG anywhere
+        h = hashlib.md5(f"{cluster}|{i}".encode()).digest()
+        return [round(b + (h[j] / 255.0 - 0.5) * 0.08, 6)
+                for j, b in enumerate(base)]
+
+    rows = [(f"c{c}_v{i}", vec(c, i)) for c in range(4) for i in range(30)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id string, embedding array<float>")
+    s = run_ann_benchmark(emb, n_queries=12, k=5, n_centroids=4,
+                          nprobes=(1, 2, 4))
+    assert s["n_queries"] == 12 and s["n_truth_rows"] == 12 * 5
+    recalls = [s["sweep"][n]["recall_at_k"] for n in (1, 2, 4)]
+    assert recalls == sorted(recalls)          # monotone in nprobe
+    assert recalls[-1] >= 0.95                 # all buckets ~= brute
+    s2 = run_ann_benchmark(emb, n_queries=12, k=5, n_centroids=4,
+                           nprobes=(1, 2, 4))
+    assert [s2["sweep"][n]["recall_at_k"] for n in (1, 2, 4)] == recalls
