@@ -16,9 +16,15 @@ Answers the one question an ANN deployment actually tunes: which
   corpus: fine for a benchmark sample, never the serving path);
 * each swept ``nprobe`` runs the REAL ``ann_ivf_topk`` operator
   (broadcast probe table, partition-prunable cid layout) and reports
-  ``recall@k`` = per-query |IVF∩truth| / |truth|, averaged, plus wall
-  seconds (local, relative numbers — the recall column is the portable
-  result, the timing column is box-specific).
+  ``recall@k`` — the MACRO average of per-query |IVF∩truth|/|truth| —
+  plus wall seconds for the retrieval alone (materialized inside the
+  timer; scoring joins run outside it, so the sec column compares the
+  same work brute_sec measures — local, relative numbers: recall is
+  the portable result, timing is box-specific);
+* zero-norm vectors are dropped up front (their cosine is NaN, which
+  Spark sorts ABOVE every finite value descending — one zero vector
+  would silently pollute every query's truth list); the count is
+  reported as ``n_zero_dropped``, never hidden.
 
 Recall is computed with joins and counts — nothing query-grain ever
 collects. Monotonicity (recall non-decreasing in nprobe, 1.0 when
@@ -49,6 +55,23 @@ def run_ann_benchmark(emb: DataFrame, *, n_queries: int = 32, k: int = 10,
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if n_queries < 1:
+        raise ValueError(f"n_queries must be >= 1, got {n_queries}")
+    bad = [n for n in nprobes if int(n) < 1]
+    if bad:
+        # nprobe=0 would report a fake 0-recall operating point; a
+        # NEGATIVE nprobe is worse — numpy slicing order[:, :n] probes
+        # n_centroids+n buckets mislabeled as nprobe=n
+        raise ValueError(f"nprobes must all be >= 1, got {bad}")
+    # zero-norm vectors have no direction: their cosine is NaN and
+    # Spark sorts NaN first under desc, so ONE such vector would sit
+    # atop every query's truth list — drop and report, never hide
+    sq = F.aggregate(F.transform(vec_col,
+                                 lambda x: x.cast("double") * x),
+                     F.lit(0.0), lambda a, x: a + x)
+    total = emb.count()
+    emb = emb.filter(sq > 0)
+    n_zero = total - emb.count()
     # deterministic query sample (crc32 bucket, id tiebreak — the
     # train_ivf_centroids sampling rule; disjoint-ish from its pool is
     # NOT required: centroid training never sees labels)
@@ -59,7 +82,7 @@ def run_ann_benchmark(emb: DataFrame, *, n_queries: int = 32, k: int = 10,
           .drop("_h").localCheckpoint(eager=True))
     nq = qs.count()
     if nq == 0:
-        raise ValueError("empty embedding table")
+        raise ValueError("empty embedding table (after zero-vector drop)")
 
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
     t0 = time.time()
@@ -78,23 +101,36 @@ def run_ann_benchmark(emb: DataFrame, *, n_queries: int = 32, k: int = 10,
     assigned = (ivf_assign(emb, C, vec_col)
                 .localCheckpoint(eager=True))  # index built once, reused
     summary: dict = {"n_queries": nq, "k": k, "n_centroids": len(C),
-                     "n_truth_rows": n_truth, "brute_sec": brute_sec,
-                     "sweep": {}}
+                     "n_truth_rows": n_truth, "n_zero_dropped": n_zero,
+                     "brute_sec": brute_sec, "sweep": {}}
+    tr_per_q = truth.groupBy("qid").agg(F.count(F.lit(1)).alias("_t"))
     for nprobe in nprobes:
         t1 = time.time()
         # ask for k+1 then drop the self-match and re-rank: the operator
         # legitimately returns the query itself at cosine 1 when queries
-        # are corpus members
+        # are corpus members. The timer covers retrieval only (probe +
+        # re-rank, materialized here); the scoring joins below run
+        # OUTSIDE it so sec compares the same work brute_sec measures
         got = (ann_ivf_topk(assigned, qs, C, k=k + 1, nprobe=int(nprobe),
                             vec_col=vec_col)
                .filter(F.col("vec_id") != F.col("qid"))
                .withColumn("_r", F.row_number().over(w))
                .filter(F.col("_r") <= k)
-               .select("qid", "vec_id"))
-        hits = got.join(truth, ["qid", "vec_id"], "left_semi").count()
+               .select("qid", "vec_id")
+               .localCheckpoint(eager=True))
+        sec = round(time.time() - t1, 3)
+        # MACRO recall: mean over queries of |IVF∩truth| / |truth| —
+        # robust to uneven truth lists, matches the documented metric
+        hit_per_q = (got.join(truth, ["qid", "vec_id"], "left_semi")
+                     .groupBy("qid").agg(F.count(F.lit(1)).alias("_h")))
+        rec = (tr_per_q.join(hit_per_q, "qid", "left")
+               .select((F.coalesce("_h", F.lit(0)) / F.col("_t"))
+                       .alias("r"))
+               .agg(F.avg("r")).first()[0])
         summary["sweep"][int(nprobe)] = {
-            "recall_at_k": round(hits / n_truth, 6) if n_truth else 0.0,
-            "sec": round(time.time() - t1, 3),
+            "recall_at_k": round(float(rec), 6) if rec is not None
+            else 0.0,
+            "sec": sec,
         }
     return summary
 

@@ -903,3 +903,27 @@ def test_ann_benchmark_recall_monotone_and_full_probe(spark):
     s2 = run_ann_benchmark(emb, n_queries=12, k=5, n_centroids=4,
                            nprobes=(1, 2, 4))
     assert [s2["sweep"][n]["recall_at_k"] for n in (1, 2, 4)] == recalls
+
+
+def test_ann_benchmark_validation_and_zero_vector_drop(spark):
+    """nprobe<=0 / n_queries<1 raise instead of reporting fake
+    operating points; a zero-norm vector (NaN cosine, which desc-sorts
+    FIRST) is dropped and counted, not silently atop every truth
+    list."""
+    from morra_spark.plans.annbench import run_ann_benchmark
+
+    rows = [(f"v{i}", [1.0 * (i % 3 == 0), 1.0 * (i % 3 == 1),
+                       1.0 * (i % 3 == 2), 0.25]) for i in range(12)]
+    emb = spark.createDataFrame(rows + [("zero", [0.0, 0.0, 0.0, 0.0])],
+                                "vec_id string, embedding array<float>")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="nprobes"):
+        run_ann_benchmark(emb, nprobes=(0, 2))
+    with _pt.raises(ValueError, match="nprobes"):
+        run_ann_benchmark(emb, nprobes=(-2,))
+    with _pt.raises(ValueError, match="n_queries"):
+        run_ann_benchmark(emb, n_queries=0)
+    s = run_ann_benchmark(emb, n_queries=6, k=3, n_centroids=3,
+                          nprobes=(3,))
+    assert s["n_zero_dropped"] == 1
+    assert s["sweep"][3]["recall_at_k"] >= 0.95  # truth not NaN-polluted
