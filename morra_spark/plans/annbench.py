@@ -43,26 +43,40 @@ from pyspark.sql import functions as F
 def run_ann_benchmark(emb: DataFrame, *, n_queries: int = 32, k: int = 10,
                       n_centroids: int = 16,
                       nprobes: tuple[int, ...] = (1, 2, 4),
+                      lsh_planes: tuple[int, ...] = (),
                       seed: int = 7,
                       vec_col: str = "embedding") -> dict:
     """Run the sweep; returns {n_queries, k, n_centroids, brute_sec,
-    sweep: {nprobe: {recall_at_k, sec}}}."""
+    sweep: {nprobe: {recall_at_k, sec}}, lsh_sweep: {n_planes: ...}}.
+
+    ``lsh_planes`` additionally sweeps the hyperplane-LSH tier: corpus
+    and queries bucketed by the SAME seeded planes, candidates = one
+    bucket equi-join, exact rescore inside. Because ``_hyperplanes`` is
+    a fixed-seed row-major draw, the first p planes are identical for
+    every sweep point — buckets at more planes strictly REFINE buckets
+    at fewer, so LSH recall is non-increasing in n_planes (pinned by
+    pytest) while candidate cost shrinks: the mirror-image knob of
+    IVF's nprobe.
+    """
     from pyspark.sql import Window
 
-    from morra_spark.operators.similarity import (_cosine, ann_ivf_topk,
+    from morra_spark.operators.similarity import (_cosine, _probe_dim,
+                                                  ann_ivf_topk,
                                                   ivf_assign,
+                                                  lsh_bucket_ids,
                                                   train_ivf_centroids)
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_queries < 1:
         raise ValueError(f"n_queries must be >= 1, got {n_queries}")
-    bad = [n for n in nprobes if int(n) < 1]
+    bad = [n for n in (*nprobes, *lsh_planes) if int(n) < 1]
     if bad:
         # nprobe=0 would report a fake 0-recall operating point; a
         # NEGATIVE nprobe is worse — numpy slicing order[:, :n] probes
         # n_centroids+n buckets mislabeled as nprobe=n
-        raise ValueError(f"nprobes must all be >= 1, got {bad}")
+        raise ValueError(
+            f"nprobes/lsh_planes must all be >= 1, got {bad}")
     # zero-norm vectors have no direction: their cosine is NaN and
     # Spark sorts NaN first under desc, so ONE such vector would sit
     # atop every query's truth list — drop and report, never hide
@@ -104,6 +118,18 @@ def run_ann_benchmark(emb: DataFrame, *, n_queries: int = 32, k: int = 10,
                      "n_truth_rows": n_truth, "n_zero_dropped": n_zero,
                      "brute_sec": brute_sec, "sweep": {}}
     tr_per_q = truth.groupBy("qid").agg(F.count(F.lit(1)).alias("_t"))
+
+    def macro_recall(got: DataFrame) -> float:
+        # MACRO recall: mean over queries of |got∩truth| / |truth| —
+        # robust to uneven truth lists, matches the documented metric
+        hit_per_q = (got.join(truth, ["qid", "vec_id"], "left_semi")
+                     .groupBy("qid").agg(F.count(F.lit(1)).alias("_h")))
+        rec = (tr_per_q.join(hit_per_q, "qid", "left")
+               .select((F.coalesce("_h", F.lit(0)) / F.col("_t"))
+                       .alias("r"))
+               .agg(F.avg("r")).first()[0])
+        return round(float(rec), 6) if rec is not None else 0.0
+
     for nprobe in nprobes:
         t1 = time.time()
         # ask for k+1 then drop the self-match and re-rank: the operator
@@ -119,19 +145,32 @@ def run_ann_benchmark(emb: DataFrame, *, n_queries: int = 32, k: int = 10,
                .select("qid", "vec_id")
                .localCheckpoint(eager=True))
         sec = round(time.time() - t1, 3)
-        # MACRO recall: mean over queries of |IVF∩truth| / |truth| —
-        # robust to uneven truth lists, matches the documented metric
-        hit_per_q = (got.join(truth, ["qid", "vec_id"], "left_semi")
-                     .groupBy("qid").agg(F.count(F.lit(1)).alias("_h")))
-        rec = (tr_per_q.join(hit_per_q, "qid", "left")
-               .select((F.coalesce("_h", F.lit(0)) / F.col("_t"))
-                       .alias("r"))
-               .agg(F.avg("r")).first()[0])
         summary["sweep"][int(nprobe)] = {
-            "recall_at_k": round(float(rec), 6) if rec is not None
-            else 0.0,
-            "sec": sec,
+            "recall_at_k": macro_recall(got), "sec": sec,
         }
+
+    if lsh_planes:
+        summary["lsh_sweep"] = {}
+        dim = _probe_dim(emb, vec_col)
+        for n_planes in lsh_planes:
+            t1 = time.time()
+            corpus_b = lsh_bucket_ids(emb, n_planes=int(n_planes),
+                                      dim=dim, vec_col=vec_col)
+            q_b = (lsh_bucket_ids(
+                qs.select("qid", F.col("q").alias(vec_col)),
+                n_planes=int(n_planes), dim=dim, vec_col=vec_col)
+                .select("qid", F.col(vec_col).alias("q"), "bucket"))
+            got = (corpus_b.join(F.broadcast(q_b), "bucket")
+                   .filter(F.col("vec_id") != F.col("qid"))
+                   .withColumn("cosine", _cosine(vec_col, "q"))
+                   .withColumn("_r", F.row_number().over(w))
+                   .filter(F.col("_r") <= k)
+                   .select("qid", "vec_id")
+                   .localCheckpoint(eager=True))
+            sec = round(time.time() - t1, 3)
+            summary["lsh_sweep"][int(n_planes)] = {
+                "recall_at_k": macro_recall(got), "sec": sec,
+            }
     return summary
 
 
@@ -147,6 +186,8 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--n-centroids", type=int, default=16)
     ap.add_argument("--nprobes", default="1,2,4")
+    ap.add_argument("--lsh-planes", default="",
+                    help="optional hyperplane sweep, e.g. 4,6,8")
     ap.add_argument("--seed", type=int, default=7)
     args = ap.parse_args()
     spark = get_spark("annbench")
@@ -154,12 +195,17 @@ def main() -> None:
         spark.read.parquet(args.emb), n_queries=args.n_queries,
         k=args.k, n_centroids=args.n_centroids,
         nprobes=tuple(int(x) for x in args.nprobes.split(",")),
+        lsh_planes=tuple(int(x) for x in args.lsh_planes.split(",")
+                         if x.strip()),
         seed=args.seed)
     for key, v in s.items():
-        if key != "sweep":
+        if key not in ("sweep", "lsh_sweep"):
             print(f"{key:>14}: {v}")
     for nprobe, row in s["sweep"].items():
         print(f"   nprobe={nprobe:<3} recall@{s['k']}="
+              f"{row['recall_at_k']:<9} {row['sec']}s")
+    for n_planes, row in s.get("lsh_sweep", {}).items():
+        print(f"   planes={n_planes:<3} recall@{s['k']}="
               f"{row['recall_at_k']:<9} {row['sec']}s")
 
 

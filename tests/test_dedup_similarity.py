@@ -927,3 +927,37 @@ def test_ann_benchmark_validation_and_zero_vector_drop(spark):
                           nprobes=(3,))
     assert s["n_zero_dropped"] == 1
     assert s["sweep"][3]["recall_at_k"] >= 0.95  # truth not NaN-polluted
+
+
+def test_ann_benchmark_lsh_sweep_refines_monotonically(spark):
+    """_hyperplanes is a fixed-seed row-major draw, so the first p
+    planes are identical at every sweep point: buckets at more planes
+    strictly refine buckets at fewer -> LSH recall is non-INCREASING in
+    n_planes (the mirror knob of IVF's nprobe), and the sweep is
+    deterministic across re-runs."""
+    import hashlib
+
+    from morra_spark.plans.annbench import run_ann_benchmark
+
+    def vec(cluster, i):
+        base = [0.0] * 8
+        base[cluster] = 1.0
+        h = hashlib.md5(f"{cluster}|{i}".encode()).digest()
+        return [round(b + (h[j] / 255.0 - 0.5) * 0.1, 6)
+                for j, b in enumerate(base)]
+
+    rows = [(f"c{c}_v{i}", vec(c, i)) for c in range(4) for i in range(25)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id string, embedding array<float>")
+    s = run_ann_benchmark(emb, n_queries=10, k=4, n_centroids=4,
+                          nprobes=(4,), lsh_planes=(1, 4, 8))
+    lsh = [s["lsh_sweep"][p]["recall_at_k"] for p in (1, 4, 8)]
+    assert lsh == sorted(lsh, reverse=True)    # refinement: non-increasing
+    assert lsh[0] >= 0.5                       # 1 plane = half the corpus
+    s2 = run_ann_benchmark(emb, n_queries=10, k=4, n_centroids=4,
+                           nprobes=(4,), lsh_planes=(1, 4, 8))
+    assert s2["lsh_sweep"] == s["lsh_sweep"] or [
+        s2["lsh_sweep"][p]["recall_at_k"] for p in (1, 4, 8)] == lsh
+    import pytest as _pt
+    with _pt.raises(ValueError, match="lsh_planes"):
+        run_ann_benchmark(emb, lsh_planes=(0,))
