@@ -229,19 +229,22 @@ def personalized_pagerank(pairs: DataFrame, seeds: DataFrame,
 def _hits_round(e_part: DataFrame, scores: DataFrame, join_key: str,
                 group_key: str) -> DataFrame:
     """One HITS half-round: the (persisted, pre-hash-partitioned on
-    ``join_key``) edge orientation ⋈ node scores, partial-aggregated to
-    ``group_key`` grain. Factored out so the plan-shape suite can pin
-    the scale property directly: the edge side must come straight off
-    the InMemoryTableScan with NO Exchange — only the node-grain score
-    side and the groupBy shuffle."""
+    ``join_key``) weighted edge orientation ⋈ node scores,
+    partial-aggregated to ``group_key`` grain (contribution = score ×
+    edge weight; the unweighted caller carries w = 1.0). Factored out
+    so the plan-shape suite can pin the scale property directly: the
+    edge side must come straight off the InMemoryTableScan with NO
+    Exchange — only the node-grain score side and the groupBy
+    shuffle."""
     return (e_part.join(scores.withColumnRenamed("node", join_key),
                         join_key)
             .groupBy(F.col(group_key).alias("node"))
-            .agg(F.sum("s").alias("s")))
+            .agg(F.sum(F.col("s") * F.col("w")).alias("s")))
 
 
 def hits_scores(pairs: DataFrame, src: str = "src", dst: str = "dst",
-                iters: int = 10, round_to: int = 6) -> DataFrame:
+                iters: int = 10, round_to: int = 6,
+                weight_col: str | None = None) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg's hubs & authorities) over the
     DIRECTED edge set — ``(node, hub, authority)`` after ``iters``
     synchronous mutual-reinforcement rounds with per-round L2
@@ -260,8 +263,13 @@ def hits_scores(pairs: DataFrame, src: str = "src", dst: str = "dst",
 
     Semantics (the classic power iteration):
     * init hub = authority = 1 for every node of the graph;
-    * per round: ``auth(v) = Σ_{u→v} hub(u)`` then L2-normalize;
-      ``hub(u) = Σ_{u→v} auth(v)`` (the fresh auths) then L2-normalize;
+    * per round: ``auth(v) = Σ_{u→v} w(u,v)·hub(u)`` then
+      L2-normalize; ``hub(u) = Σ_{u→v} w(u,v)·auth(v)`` (the fresh
+      auths) then L2-normalize. ``weight_col`` supplies w (the KG
+      edges table's ``weight`` = supporting-triple count, so trust
+      scales with corroboration — multi-edges fold by sum, null
+      weights contribute nothing); default w = 1 is the classic
+      unweighted form;
     * nodes with no in-edges get authority 0.0, no out-edges hub 0.0 —
       defined rows, never dropped, so downstream joins need no
       special case.
@@ -292,9 +300,18 @@ def hits_scores(pairs: DataFrame, src: str = "src", dst: str = "dst",
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     a, b = F.col(src), F.col(dst)
-    edges = (pairs.filter(a.isNotNull() & b.isNotNull() & (a != b))
-             .select(a.alias("u"), b.alias("v"))
-             .distinct().localCheckpoint(eager=True))
+    e = (pairs.filter(a.isNotNull() & b.isNotNull() & (a != b))
+         .select(a.alias("u"), b.alias("v"),
+                 (F.col(weight_col).cast("double")
+                  if weight_col is not None
+                  else F.lit(1.0)).alias("w")))
+    # unweighted: duplicates collapse to ONE unit edge (the historical
+    # contract); weighted: multi-edge weights fold by sum (the
+    # infer_node_types rule)
+    edges = (e.select("u", "v").distinct().withColumn("w", F.lit(1.0))
+             if weight_col is None
+             else e.groupBy("u", "v").agg(F.sum("w").alias("w"))
+             ).localCheckpoint(eager=True)
     nodes = (edges.select(F.col("u").alias("node"))
              .unionAll(edges.select(F.col("v").alias("node")))
              .distinct().localCheckpoint(eager=True))

@@ -126,9 +126,11 @@ def run_kg_report(spark: SparkSession, *, triples: DataFrame | None = None,
          .observe(cc_obs, F.sum((F.col("coeff") > 0).cast("long"))
                   .alias("n_pos"))
          .write.mode("overwrite").parquet(f"{out_dir}/clustering"))
-        # hits keeps DIRECTION (subj->obj), unlike the two audits above
+        # hits keeps DIRECTION (subj->obj), unlike the two audits
+        # above, and weights each edge by its supporting-triple count —
+        # trust scales with corroboration, not just fan-out
         hits_obs = Observation("hits")
-        (hits_scores(edges, src="subj", dst="obj")
+        (hits_scores(edges, src="subj", dst="obj", weight_col="weight")
          .observe(hits_obs,
                   F.max(F.col("authority")).alias("max_auth"))
          .write.mode("overwrite").parquet(f"{out_dir}/hits"))

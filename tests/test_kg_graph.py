@@ -663,8 +663,8 @@ def test_kg_report_structure_flag(spark, triples, tmp_path):
             for r in spark.read.parquet(f"{out}/hits").collect()}
     from morra_spark.operators.components import hits_scores
     want_hits = {r.node: (r.hub, r.authority)
-                 for r in hits_scores(edges, src="subj",
-                                      dst="obj").collect()}
+                 for r in hits_scores(edges, src="subj", dst="obj",
+                                      weight_col="weight").collect()}
     # two independent executions: float-fold order can wobble a score
     # sitting on a rounding boundary by one last-decimal grain (the
     # documented pagerank-family caveat), so compare with tolerance

@@ -802,3 +802,53 @@ def test_ranking_metrics_filtered_excludes_sibling_positives(spark):
     assert filt.mrr == pytest.approx((1 + 1 / 2) / 2)
     assert raw.hits_1 == filt.hits_1 == 0.5
     assert filt.hits_3 == 1.0
+
+
+def test_hits_weighted_by_corroboration(spark):
+    """weight_col: trust scales with supporting-triple count — a source
+    asserting one heavily-corroborated edge outranks a source fanning
+    out across many singletons; multi-edges fold by sum; the default
+    stays the classic unweighted form (duplicates collapse to one unit
+    edge). Python power-iteration reference with weights."""
+    import math
+
+    from morra_spark.operators.components import hits_scores
+
+    # u asserts ONE heavily-corroborated edge (weight 9); w fans out
+    # over singletons, one of them sharing u's authority so the graph
+    # stays connected and hub mass can't fully concentrate on u
+    rows = [("u", "a", 9.0), ("w", "a", 1.0), ("w", "b", 1.0),
+            ("w", "c", 1.0)]
+    df = spark.createDataFrame(rows, "src string, dst string, wt double")
+    got = {r.node: (r.hub, r.authority)
+           for r in hits_scores(df, weight_col="wt").collect()}
+    assert got["u"][0] > got["w"][0] > 0      # corroboration beats fan-out
+    assert got["a"][1] > got["b"][1] > 0
+    # Python replay (same normalization scheme)
+    nodes = sorted({x for r in rows for x in r[:2]})
+    hub = {n: 1.0 for n in nodes}
+    for _ in range(10):
+        auth = {n: 0.0 for n in nodes}
+        for s, d, wt in rows:
+            auth[d] += wt * hub[s]
+        nz = math.sqrt(sum(x * x for x in auth.values()))
+        auth = {n: x / nz for n, x in auth.items()}
+        hub = {n: 0.0 for n in nodes}
+        for s, d, wt in rows:
+            hub[s] += wt * auth[d]
+        nz = math.sqrt(sum(x * x for x in hub.values()))
+        hub = {n: x / nz for n, x in hub.items()}
+    for n in nodes:
+        assert got[n][0] == pytest.approx(hub[n], abs=2e-6)
+        assert got[n][1] == pytest.approx(auth[n], abs=2e-6)
+    # multi-edge fold: two weight-2 assertions of the same edge == one
+    # weight-4 edge
+    two = spark.createDataFrame([("u", "a", 2.0), ("u", "a", 2.0),
+                                 ("w", "b", 4.0)],
+                                "src string, dst string, wt double")
+    one = spark.createDataFrame([("u", "a", 4.0), ("w", "b", 4.0)],
+                                "src string, dst string, wt double")
+    assert ({r.node: (r.hub, r.authority)
+             for r in hits_scores(two, weight_col="wt").collect()}
+            == {r.node: (r.hub, r.authority)
+                for r in hits_scores(one, weight_col="wt").collect()})

@@ -727,6 +727,7 @@ def test_hits_round_edge_side_is_exchange_free(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         e_by_u.count()
+        e_by_u = e_by_u.withColumn("w", F.lit(1.0))
         scores = spark.createDataFrame(
             [(str(i), 1.0) for i in range(97)], "node string, s double")
         plan = _spark_plan(_hits_round(e_by_u, scores, "u", "v"))
