@@ -117,15 +117,46 @@ def connected_components(pairs: DataFrame, src: str = "src",
         f"connected_components did not converge in {max_iter} rounds")
 
 
+def _degree_normalized_edges(pairs: DataFrame, src: str, dst: str,
+                             weight_col: str | None) -> DataFrame:
+    """Shared wedge-prep for the PageRank family: symmetrized edge list
+    with per-source transition mass ``w``. Unweighted (default): the
+    historical distinct-edges / 1-per-degree form (oracle-pinned
+    byte-identical). Weighted: multi-edge weights fold by sum and each
+    edge carries weight/Σ(source weights) — corroboration-proportional
+    transition probability (the weighted-HITS rule), null weights
+    contribute nothing. One definition so the two PageRank variants can
+    never silently diverge (the _rule_bodies argument)."""
+    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"),
+                     (F.col(weight_col).cast("double")
+                      if weight_col is not None
+                      else F.lit(1.0)).alias("_w"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b"), "_w"))
+    if weight_col is None:
+        edges = sym.select("a", "b").distinct()
+        deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("_t"))
+    else:
+        edges = sym.groupBy("a", "b").agg(F.sum("_w").alias("_w"))
+        deg = edges.groupBy("a").agg(F.sum("_w").alias("_t"))
+    w = (F.col("_w") / F.col("_t")) if weight_col is not None \
+        else (F.lit(1.0) / F.col("_t"))
+    return edges.join(deg, "a").select("a", "b", w.alias("w"))
+
+
 def pagerank_fixed(pairs: DataFrame, src: str = "src", dst: str = "dst",
                    iters: int = 3, damping: float = 0.85,
-                   round_to: int = 5) -> DataFrame:
+                   round_to: int = 5,
+                   weight_col: str | None = None) -> DataFrame:
     """Fixed-iteration PageRank over an undirected edge set —
     (node, pr) after ``iters`` synchronous power iterations with uniform
     init 1/N and damping ``(1-d)/N + d·Σ pr(u)/deg(u)``.
 
     Centrality over the KG / near-dup graph ranks canonical candidates
-    and surfaces hub entities. A FIXED iteration count keeps the whole
+    and surfaces hub entities. ``weight_col`` makes the transition mass
+    corroboration-proportional (weight/Σ source weights, multi-edges
+    folded by sum — the weighted-HITS rule); the default stays the
+    historical uniform 1/deg form, oracle-pinned byte-identical. A FIXED iteration count keeps the whole
     computation SQL-expressible: the DuckDB oracle unrolls the same
     ``iters`` levels as chained CTEs and must reproduce every rank
     bit-for-bit (after rounding to ``round_to`` decimals, absorbing
@@ -142,12 +173,7 @@ def pagerank_fixed(pairs: DataFrame, src: str = "src", dst: str = "dst",
     Symmetrized input means no dangling nodes, so total mass is
     conserved without a dangling-redistribution term.
     """
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = e.unionByName(e.select(F.col("b").alias("a"),
-                                   F.col("a").alias("b"))).distinct()
-    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    wedges = (edges.join(deg, "a")
-              .select("a", "b", (F.lit(1.0) / F.col("deg")).alias("w"))
+    wedges = (_degree_normalized_edges(pairs, src, dst, weight_col)
               .localCheckpoint(eager=True))
     n = wedges.select("a").distinct().count()
     ranks = (wedges.select("a").distinct()
@@ -167,15 +193,18 @@ def pagerank_fixed(pairs: DataFrame, src: str = "src", dst: str = "dst",
 def personalized_pagerank(pairs: DataFrame, seeds: DataFrame,
                           src: str = "src", dst: str = "dst",
                           seed_col: str = "node", iters: int = 5,
-                          damping: float = 0.85,
-                          round_to: int = 6) -> DataFrame:
+                          damping: float = 0.85, round_to: int = 6,
+                          weight_col: str | None = None) -> DataFrame:
     """Personalized PageRank — ``(node, ppr)`` relatedness scores with
     the restart mass concentrated on ``seeds`` instead of spread
     uniformly: the standard "entities related to X" serving primitive
     (RAG context ranking beyond raw hop distance, link-prediction
     candidate scoring, query expansion). ``khop_reach`` answers *how
     far*; this answers *how strongly connected*, which differs exactly
-    when multiple short paths reinforce each other.
+    when multiple short paths reinforce each other. ``weight_col``
+    (like ``pagerank_fixed``) makes transitions corroboration-
+    proportional — the better serving default on the KG edges table,
+    where edge weight counts supporting triples.
 
     Fixed synchronous iterations of
     ``r ← (1-d)·restart + d·(Wᵀ r)`` with restart uniform over the seed
@@ -197,12 +226,7 @@ def personalized_pagerank(pairs: DataFrame, seeds: DataFrame,
     node universe — the reason PPR (not global pagerank) is the serving
     primitive.
     """
-    e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    edges = e.unionByName(e.select(F.col("b").alias("a"),
-                                   F.col("a").alias("b"))).distinct()
-    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-    wedges = (edges.join(deg, "a")
-              .select("a", "b", (F.lit(1.0) / F.col("deg")).alias("w"))
+    wedges = (_degree_normalized_edges(pairs, src, dst, weight_col)
               .localCheckpoint(eager=True))
     s = seeds.select(F.col(seed_col).alias("a")).distinct()
     n_seeds = s.count()

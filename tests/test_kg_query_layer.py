@@ -852,3 +852,48 @@ def test_hits_weighted_by_corroboration(spark):
              for r in hits_scores(two, weight_col="wt").collect()}
             == {r.node: (r.hub, r.authority)
                 for r in hits_scores(one, weight_col="wt").collect()})
+
+
+def test_pagerank_and_ppr_weighted_transitions(spark):
+    """weight_col: transition mass is corroboration-proportional
+    (weight/sum of source weights, multi-edges folded) — on a star
+    where one spoke carries 9x the weight, that spoke outranks the
+    others; weighted PPR conserves total mass like the uniform form;
+    the default path stays byte-identical to the historical uniform
+    1/deg (graph_pagerank oracle re-verified)."""
+    from morra_spark.operators.components import (pagerank_fixed,
+                                                  personalized_pagerank)
+
+    rows = [("hub", "a", 9.0), ("hub", "b", 1.0), ("hub", "c", 1.0)]
+    df = spark.createDataFrame(rows, "src string, dst string, wt double")
+    pr = {r.node: r.pr
+          for r in pagerank_fixed(df, weight_col="wt",
+                                  round_to=9).collect()}
+    assert pr["a"] > pr["b"] and pr["b"] == pr["c"]
+    # python replay, 3 iters, symmetrized weighted transitions
+    nodes = ["hub", "a", "b", "c"]
+    trans = {("hub", "a"): 9 / 11, ("hub", "b"): 1 / 11,
+             ("hub", "c"): 1 / 11,
+             ("a", "hub"): 1.0, ("b", "hub"): 1.0, ("c", "hub"): 1.0}
+    r = {n: 1 / 4 for n in nodes}
+    for _ in range(3):
+        nxt = {n: 0.15 / 4 for n in nodes}
+        for (u, v), w in trans.items():
+            nxt[v] += 0.85 * r[u] * w
+        r = nxt
+    for n in nodes:
+        assert pr[n] == pytest.approx(r[n], abs=1e-7)
+
+    ppr = {row.node: row.ppr for row in personalized_pagerank(
+        df, spark.createDataFrame([("hub",)], ["node"]),
+        weight_col="wt", iters=4, round_to=12).collect()}
+    assert ppr["a"] > ppr["b"] and sum(ppr.values()) == pytest.approx(
+        1.0, abs=1e-9)
+
+    # unweighted call ignores duplicate assertions (historical contract)
+    dup = spark.createDataFrame(
+        [("hub", "a", 1.0), ("hub", "a", 1.0), ("hub", "b", 1.0),
+         ("hub", "c", 1.0)], "src string, dst string, wt double")
+    assert ({r.node: r.pr for r in pagerank_fixed(dup).collect()}
+            == {r.node: r.pr for r in pagerank_fixed(
+                dup.dropDuplicates()).collect()})
