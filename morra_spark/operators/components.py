@@ -124,15 +124,24 @@ def _degree_normalized_edges(pairs: DataFrame, src: str, dst: str,
     historical distinct-edges / 1-per-degree form (oracle-pinned
     byte-identical). Weighted: multi-edge weights fold by sum and each
     edge carries weight/Σ(source weights) — corroboration-proportional
-    transition probability (the weighted-HITS rule), null weights
-    contribute nothing. One definition so the two PageRank variants can
-    never silently diverge (the _rule_bodies argument)."""
+    transition probability (the weighted-HITS rule); null and
+    non-positive weights contribute nothing (dropped BEFORE the degree
+    sum, so a node whose weights all floor to zero can never produce a
+    divide-by-zero under ANSI — code-review r5). One definition so the
+    two PageRank variants can never silently diverge (the _rule_bodies
+    argument)."""
     e = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"),
                      (F.col(weight_col).cast("double")
                       if weight_col is not None
                       else F.lit(1.0)).alias("_w"))
-    sym = e.unionByName(e.select(F.col("b").alias("a"),
-                                 F.col("a").alias("b"), "_w"))
+    if weight_col is not None:
+        e = e.filter(F.col("_w") > 0)
+    # symmetrize WITHOUT re-emitting self-loops: the unweighted
+    # distinct() collapsed the duplicate, but the weighted groupBy-sum
+    # would double a self-loop's mass (code-review r5)
+    sym = e.unionByName(e.filter(F.col("a") != F.col("b"))
+                        .select(F.col("b").alias("a"),
+                                F.col("a").alias("b"), "_w"))
     if weight_col is None:
         edges = sym.select("a", "b").distinct()
         deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("_t"))
@@ -329,6 +338,14 @@ def hits_scores(pairs: DataFrame, src: str = "src", dst: str = "dst",
                  (F.col(weight_col).cast("double")
                   if weight_col is not None
                   else F.lit(1.0)).alias("w")))
+    if weight_col is not None:
+        # null / non-positive weights contribute nothing — and must be
+        # dropped HERE: an all-zero (or all-null) weight column would
+        # otherwise zero a round's L2 norm and divide by it (ANSI
+        # DIVIDE_BY_ZERO / float(None) — code-review r5). A node whose
+        # edges all carry such weights is not part of the effective
+        # graph and carries no output row.
+        e = e.filter(F.col("w") > 0)
     # unweighted: duplicates collapse to ONE unit edge (the historical
     # contract); weighted: multi-edge weights fold by sum (the
     # infer_node_types rule)

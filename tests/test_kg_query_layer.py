@@ -897,3 +897,45 @@ def test_pagerank_and_ppr_weighted_transitions(spark):
     assert ({r.node: r.pr for r in pagerank_fixed(dup).collect()}
             == {r.node: r.pr for r in pagerank_fixed(
                 dup.dropDuplicates()).collect()})
+
+
+def test_weighted_graph_ops_degenerate_weights(spark):
+    """code-review r5 ANSI edge cases: self-loops keep weight-
+    proportional (not doubled) transition mass; null / non-positive
+    weights contribute nothing instead of zeroing a degree sum or an
+    L2 norm and dividing by it; an all-degenerate weight column yields
+    the empty result, not a crash."""
+    from morra_spark.operators.components import (hits_scores,
+                                                  pagerank_fixed,
+                                                  personalized_pagerank)
+
+    # self-loop: (x,x,1) + (x,y,1) -> x's out-mass splits 1/2, 1/2
+    loop = spark.createDataFrame([("x", "x", 1.0), ("x", "y", 1.0)],
+                                 "src string, dst string, wt double")
+    pr_w = {r.node: r.pr for r in pagerank_fixed(
+        loop, weight_col="wt", round_to=9).collect()}
+    pr_u = {r.node: r.pr for r in pagerank_fixed(loop,
+                                                 round_to=9).collect()}
+    assert pr_w == pr_u  # equal weights == the uniform form, loop incl.
+
+    # zero/null weights are ignored, not divided by
+    mixed = spark.createDataFrame(
+        [("a", "b", 2.0), ("a", "c", 0.0), ("z", "q", 0.0),
+         ("b", "c", None)],
+        "src string, dst string, wt double")
+    pr = {r.node: r.pr for r in pagerank_fixed(mixed,
+                                               weight_col="wt").collect()}
+    assert set(pr) == {"a", "b"}  # only the positive-weight edge's ends
+    ppr = personalized_pagerank(
+        mixed, spark.createDataFrame([("a",)], ["node"]),
+        weight_col="wt")
+    assert {r.node for r in ppr.collect()} <= {"a", "b"}
+    h = {r.node for r in hits_scores(mixed, weight_col="wt").collect()}
+    assert h == {"a", "b"}
+
+    # ALL-degenerate weights: empty result with the right schema
+    dead = spark.createDataFrame([("a", "b", 0.0), ("b", "c", None)],
+                                 "src string, dst string, wt double")
+    out = hits_scores(dead, weight_col="wt")
+    assert out.columns == ["node", "hub", "authority"]
+    assert out.count() == 0
