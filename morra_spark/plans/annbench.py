@@ -189,6 +189,9 @@ def main() -> None:
     ap.add_argument("--lsh-planes", default="",
                     help="optional hyperplane sweep, e.g. 4,6,8")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--json", action="store_true",
+                    help="print ONE machine-readable JSON line (the "
+                         "bench.py convention) instead of the table")
     args = ap.parse_args()
     spark = get_spark("annbench")
     s = run_ann_benchmark(
@@ -198,6 +201,10 @@ def main() -> None:
         lsh_planes=tuple(int(x) for x in args.lsh_planes.split(",")
                          if x.strip()),
         seed=args.seed)
+    if args.json:
+        import json
+        print(json.dumps(s))
+        return
     for key, v in s.items():
         if key not in ("sweep", "lsh_sweep"):
             print(f"{key:>14}: {v}")

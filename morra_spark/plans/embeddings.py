@@ -134,6 +134,9 @@ def main() -> None:
     ap.add_argument("--max-degree", type=int, default=None)
     ap.add_argument("--prev", default=None,
                     help="prior build's embeddings/ for the drift gate")
+    ap.add_argument("--json", action="store_true",
+                    help="print ONE machine-readable JSON line (the "
+                         "bench.py convention) instead of the table")
     args = ap.parse_args()
     spark = get_spark("embeddings")
     s = run_embedding_build(
@@ -143,8 +146,12 @@ def main() -> None:
         shift=args.shift, dim=args.dim, n_hashes=args.n_hashes,
         seed=args.seed, max_degree=args.max_degree,
         prev_path=args.prev)
-    for k, v in s.items():
-        print(f"{k:>16}: {v}")
+    if args.json:
+        import json
+        print(json.dumps(s))
+    else:
+        for k, v in s.items():
+            print(f"{k:>16}: {v}")
 
 
 if __name__ == "__main__":

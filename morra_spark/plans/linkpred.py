@@ -143,14 +143,21 @@ def main() -> None:
     ap.add_argument("--score-col", default="adamic_adar",
                     choices=("cn", "adamic_adar", "jaccard"))
     ap.add_argument("--hub-cap", type=int, default=256)
+    ap.add_argument("--json", action="store_true",
+                    help="print ONE machine-readable JSON line (the "
+                         "bench.py convention) instead of the table")
     args = ap.parse_args()
     spark: SparkSession = get_spark("linkpred")
     s = run_linkpred_benchmark(
         spark.read.parquet(args.pairs), src=args.src, dst=args.dst,
         holdout_frac=args.holdout_frac, seed=args.seed,
         score_col=args.score_col, hub_cap=args.hub_cap, out_dir=args.out)
-    for k, v in s.items():
-        print(f"{k:>18}: {v}")
+    if args.json:
+        import json
+        print(json.dumps(s))
+    else:
+        for k, v in s.items():
+            print(f"{k:>18}: {v}")
 
 
 if __name__ == "__main__":
